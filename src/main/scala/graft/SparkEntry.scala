@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.{ReferencePipeline => RP, Routing}
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the extended LLM-data-pipeline
+  * ops) is a named pure query `(SparkSession, sfDir) => DataFrame` with an
+  * equivalent DuckDB SQL oracle. Implementations live in graft.pipeline
+  * (reference surface) and graft.ops (relational + extended ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Step-2 transaction enrichment — the reference's core query
+    * (/root/reference/updatescript.py:57-108, SURVEY.md §3.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RP.txEnrich(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference pipeline surface (SURVEY.md §2/§3) --
+    "tx_enrich" -> (RP.txEnrich _),
+    "daily_price" -> (RP.dailyPriceQuery _),
+    "price_backfill" -> (RP.priceBackfill _),
+    "stats_rollup" -> (RP.statsRollup _),
+    "watermark_advance" -> (RP.watermarkAdvance _),
+    "route_nominations" -> (Routing.polkadotNominations _),
+    "route_amountstaked" -> (Routing.polkadotAmountStaked _),
+    "route_nominations_kusama" -> (Routing.kusamaNominations _),
+    "route_aum" -> (Routing.aum _),
+    "first_seen_stash" -> (Routing.firstSeenStash _),
+    // -- general relational shapes --
+    "q1_agg" -> (Relational.q1Agg _),
+    "top_customers" -> (Relational.topCustomers _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "tx_enrich" -> RP.txEnrichSql,
+    "daily_price" -> RP.dailyPriceSql,
+    "price_backfill" -> RP.priceBackfillSql,
+    "stats_rollup" -> RP.statsRollupSql,
+    "watermark_advance" -> RP.watermarkAdvanceSql,
+    "route_nominations" -> Routing.polkadotNominationsSql,
+    "route_amountstaked" -> Routing.polkadotAmountStakedSql,
+    "route_nominations_kusama" -> Routing.kusamaNominationsSql,
+    "route_aum" -> Routing.aumSql,
+    "first_seen_stash" -> Routing.firstSeenStashSql,
+    "q1_agg" -> Relational.q1AggSql,
+    "top_customers" -> Relational.topCustomersSql,
+  )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Tables
+
+/** General relational operators over the TPC-H-ish tables: the partial-agg
+  * (map-side combine) and broadcast-join/top-k shapes every metrics pipeline
+  * at scale is built from.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with map-side partial
+    * aggregation over the fact table; only the 6 referenced columns are read
+    * (column pruning to the parquet scan). `sum(l_quantity)` is a sum of
+    * integer-valued doubles — exact in any order; the non-integral money sums
+    * are round-pinned against partial-agg reordering (noise ≤1e-4 at 10^5
+    * rows vs round(.,2)).
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top 10 customers by total order value: shuffle-agg on the fact side,
+    * broadcast join to the small customer dim, then `orderBy().limit(10)` —
+    * Spark compiles that to TakeOrderedAndProject (per-partition heaps, no
+    * global sort/shuffle), which is the top-k that survives 100 TB; a global
+    * rank window would funnel everything through one partition. The rank
+    * column is added after the limit, over 10 rows. Rounding before ranking
+    * keeps the order identical across engines; custkey breaks ties.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val top = spend
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("total_spend").desc, col("c_custkey"))))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"),
+        col("n_orders"), col("rnk"))
+  }
+
+  val topCustomersSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT c.c_custkey, c.c_name, s.total_spend, s.n_orders,
+      |         row_number() OVER (ORDER BY s.total_spend DESC, c.c_custkey) AS rnk
+      |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+      |SELECT c_custkey, c_name, total_spend, n_orders, rnk
+      |FROM ranked WHERE rnk <= 10""".stripMargin
+}

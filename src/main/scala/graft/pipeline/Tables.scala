@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture readers + the derived views shared by every pipeline operator.
+  *
+  * Role mapping (see /root/repo/FIXTURES.md §C): the driver's `events` table
+  * plays the reference's `*transactiondatas` collections
+  * (/root/reference/updatescript.py:59,84): `_id`←event_id, `createdAt`←ts,
+  * `stashId`←user_id, `stake`←value, `alreadyBonded`←props.k,
+  * `successful`←(event_type <> 'error'); the two chains (polkadot/kusama)
+  * are the event_id parity split. The daily price dim
+  * (`dotPriceInUSD`/`ksmPriceInUSD` role, updatescript.py:43,52) is the
+  * per-(chain, day) average of `value`.
+  *
+  * All operators take (SparkSession, sfDir) and return a pure DataFrame so
+  * the driver's DuckDB oracle can replay them (SURVEY.md §5.2).
+  */
+object Tables {
+
+  /** Fixed watermark standing in for the reference's `lastUpdated` singleton
+    * (updatescript.py:223). Fixed rather than now() for determinism
+    * (SURVEY.md §7.5.3). Events span 2024-01-01..2024-01-30.
+    */
+  val WM = "2024-01-10 00:00:00"
+
+  /** Fixed "current_time" (updatescript.py:224) for determinism. */
+  val ASOF_DATE = "2024-01-30"
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and floor-divide
+    * to microseconds — exactly DuckDB's ns→us truncation, so both engines see
+    * identical timestamps. Integer `div`, not `/`: a double round-trip would
+    * lose precision at 1.7e18 ns.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = read(spark, sfDir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+
+  /** Regex that pulls `k` out of the props JSON ('{"k": 87}'). Used instead
+    * of get_json_object so the DuckDB oracle can use the identical
+    * `regexp_extract` (the JSON extension may not be loadable offline).
+    */
+  val PROPS_K_RE = "\"k\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)"
+
+  /** The transaction view: events recast in the reference's schema
+    * (FIXTURES.md §A.1). Filter/column pruning push through this projection
+    * down to the parquet scan.
+    *
+    * `alreadyBonded` equals `stake` exactly when props.k ≡ 0 (mod 3), so the
+    * reference's three routing branches (stake = / > / < alreadyBonded,
+    * updatescript.py:164-178) all fire on real rows; a raw random double
+    * would never equal the integer k and the equal-stake branch would be
+    * dead in every test.
+    */
+  def tx(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = regexp_extract(col("props"), PROPS_K_RE, 1)
+    events(spark, sfDir).select(
+      col("event_id").as("_id"),
+      col("ts").as("createdAt"),
+      col("user_id").as("stashId"),
+      col("value").as("stake"),
+      when(k.cast("long") % 3 === 0, col("value"))
+        .otherwise(k.cast("double")).as("alreadyBonded"),
+      (col("event_type") =!= "error").as("successful"),
+      (col("event_id") % 2).as("chain"))
+  }
+
+  /** Daily price dimension, one row per (chain, day) — the
+    * `dotPriceInUSD`/`ksmPriceInUSD` role (updatescript.py:43,52).
+    * ~1 row/day/chain: always broadcastable, at 100 TB too.
+    * round(.,6) pins the float so Spark partial-agg ordering and the
+    * DuckDB oracle agree bit-for-bit downstream.
+    */
+  def dailyPrice(spark: SparkSession, sfDir: String): DataFrame =
+    tx(spark, sfDir)
+      .groupBy(col("chain"), to_date(col("createdAt")).as("price_date"))
+      .agg(round(avg(col("stake")), 6).as("price"))
+
+  // ---- Oracle SQL fragments (DuckDB dialect; driver registers the parquet
+  // ---- files as views named events/lineitem/... ) ----
+
+  val TX_CTE: String =
+    """tx AS (
+      |  SELECT event_id AS _id, ts AS createdAt, user_id AS stashId, value AS stake,
+      |         CASE WHEN CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+(?:\.\d+)?)', 1) AS BIGINT) % 3 = 0
+      |              THEN value
+      |              ELSE CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+(?:\.\d+)?)', 1) AS DOUBLE) END AS alreadyBonded,
+      |         event_type <> 'error' AS successful, event_id % 2 AS chain
+      |  FROM events)""".stripMargin
+
+  val PRICE_CTE: String =
+    """price AS (
+      |  SELECT chain, CAST(createdAt AS DATE) AS price_date, round(avg(stake), 6) AS price
+      |  FROM tx GROUP BY 1, 2)""".stripMargin
+
+  /** Tokenized documents (doc_id, i (1-based), tok) — shared by the text and
+    * dedup operators. Matches `string_split_regex(text,'\s+')` +
+    * `generate_subscripts` on the DuckDB side.
+    */
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("tok"))
+
+  val TOK_CTE: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
+      |  FROM documents)""".stripMargin
+
+  /** Distinct word 3-gram shingles per document — the MinHash/Jaccard unit.
+    * Built array-side with a higher-order `transform` (a narrow, codegen'd
+    * map over each row) rather than a positional self-join: zero shuffles
+    * until the consumer aggregates, which is what survives 100 TB. The
+    * DuckDB oracle uses an equivalent positional self-join formulation.
+    */
+  def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+          .stripMargin)).as("shingle"))
+      .distinct()
+
+  val SHINGLE_CTE: String =
+    """sh AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+}
