@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.{ReferencePipeline => RP, Routing}
-import graft.ops.Relational
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,19 @@ object SparkEntry {
     // -- general relational shapes --
     "q1_agg" -> (Relational.q1Agg _),
     "top_customers" -> (Relational.topCustomers _),
+    // -- LLM-data-pipeline ops (north star) --
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "simsearch_topk" -> (Similarity.simsearchTopk _),
+    "simsearch_ivf" -> (Similarity.simsearchIvf _),
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +68,17 @@ object SparkEntry {
     "first_seen_stash" -> Routing.firstSeenStashSql,
     "q1_agg" -> Relational.q1AggSql,
     "top_customers" -> Relational.topCustomersSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "simsearch_topk" -> Similarity.simsearchTopkSql,
+    "simsearch_ivf" -> Similarity.simsearchIvfSql,
+    "text_langid" -> TextAnalysis.textLangidSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
   )
 }

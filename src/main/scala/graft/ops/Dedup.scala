@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Tables
+
+/** Deduplication operators over the `documents` table — the core of any
+  * 100 TB training-data pipeline. Five flavors, cheapest to richest:
+  * exact (hash group-by), MinHash+LSH (shingle → signature → band →
+  * bucket join), SimHash (bitwise signature), exact n-gram Jaccard
+  * (set-similarity join), and embedding-cosine near-dup.
+  *
+  * All hashing is md5 — identical bits in Spark and DuckDB, so every
+  * operator here is oracle-checkable end to end (xxhash64 would be faster
+  * but has no DuckDB twin; at scale swap the hash behind the same shape).
+  * Scale shape: everything is one groupBy/self-join on a key whose
+  * cardinality the shingling/banding controls — no driver-side loops, no
+  * quadratic all-pairs except where banding has already bounded the bucket.
+  */
+object Dedup {
+
+  val NUM_HASHES = 12
+  val NUM_BANDS = 3
+  val ROWS_PER_BAND: Int = NUM_HASHES / NUM_BANDS
+  val JACCARD_THRESHOLD = 0.5
+
+  /** Exact dedup: group documents by the md5 of whitespace/case-normalized
+    * text; emit one representative (min doc_id) + multiplicity per group.
+    * Map-side partial agg; one shuffle on the 128-bit fingerprint.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    exactGroups(Tables.documents(spark, sfDir))
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash signature per document: H independent permutations simulated as
+    * min(md5(shingle || '#' || h)) over the document's distinct word 3-gram
+    * shingles. One aggregation computes all H minima (no H-way row blowup).
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    Tables.shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(col("shingle"), lit("#0")))).as("mh0"),
+        (1 until NUM_HASHES).map(h =>
+          min(md5(concat(col("shingle"), lit(s"#$h")))).as(s"mh$h")): _*)
+
+  private val sigSqlCols: String =
+    (0 until NUM_HASHES).map(h => s"min(md5(shingle || '#$h')) AS mh$h").mkString(",\n         ")
+
+  /** MinHash + LSH banding: hash each band of the signature to a bucket key,
+    * self-join per band bucket, count agreeing bands per candidate pair.
+    * Pairs agreeing on ≥1 of 3 bands (4 rows each) ≈ Jaccard ≳ 0.6 with
+    * high probability. The self-join shuffles on (band_no, bucket) — bucket
+    * population, not corpus size, bounds the pair blowup, which is the whole
+    * point of LSH at 100 TB.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs)
+    val bandCols = (0 until NUM_BANDS).map { b =>
+      val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
+      md5(concat(parts: _*)).as(s"b$b")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+    val buckets = (0 until NUM_BANDS).map { b =>
+      bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
+    }.reduce(_.unionByName(_))
+    val x = buckets.as("x"); val y = buckets.as("y")
+    x.join(y,
+        col("x.band_no") === col("y.band_no") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).cast("long").as("n_bands"))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, sfDir))
+
+  val dedupMinhashSql: String = {
+    val bandExprs = (0 until NUM_BANDS).map { b =>
+      val parts = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(" || ")
+      s"md5($parts) AS b$b"
+    }.mkString(",\n         ")
+    val bandUnion = (0 until NUM_BANDS)
+      .map(b => s"SELECT doc_id, $b AS band_no, b$b AS bucket FROM bands")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigSqlCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |         $bandExprs
+       |  FROM sig),
+       |buckets AS (
+       |  $bandUnion)
+       |SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM buckets x
+       |JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |             AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** SimHash: 16-bit signature per document. Each distinct token votes
+    * ±1 on every bit of its (md5-derived) 16-bit hash; the signature sets
+    * bit b iff the vote sum is positive. Narrow map + one groupBy — the
+    * classic near-dup sketch at crawl scale.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = Tables.tokens(docs).select(col("doc_id"), col("tok")).distinct()
+    // nibble j of the token hash = integer value of hex char j+1 of md5
+    val withNibbles = toks.select(
+      col("doc_id") +:
+        (0 until 4).map(j =>
+          conv(substring(md5(col("tok")), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
+    val votes = withNibbles.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("v0"), 0).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as("s0"),
+      (1 until 16).map { b =>
+        val nibble = col(s"v${b / 4}"); val shift = b % 4
+        sum(when(shiftright(nibble, shift).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b")
+      }: _*)
+    val simhash = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSignatures(Tables.documents(spark, sfDir))
+
+  val dedupSimhashSql: String = {
+    val nibbleExprs = (0 until 4)
+      .map(j => s"strpos('0123456789abcdef', substr(md5(tok), ${j + 1}, 1)) - 1 AS v$j")
+      .mkString(",\n         ")
+    val voteExprs = (0 until 16).map { b =>
+      s"sum(CASE WHEN (v${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n         ")
+    val bitsExpr = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${Tables.TOK_CTE},
+       |t AS (SELECT DISTINCT doc_id, tok FROM tok),
+       |h AS (
+       |  SELECT doc_id,
+       |         $nibbleExprs
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id,
+       |         $voteExprs
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bitsExpr AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard set-similarity join: candidate pairs share ≥1
+    * distinct 3-gram shingle (the inverted-index join); Jaccard computed
+    * from intersection/set sizes; threshold 0.5. Integer-count arithmetic —
+    * bit-exact across engines. Shingle frequency bounds the join fan-out
+    * (vs. the quadratic all-pairs a naive dedup would do).
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = Tables.shingles(docs).cache()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val x = sh.as("x"); val y = sh.as("y")
+    val inter = x.join(y,
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val jacc = col("c").cast("double") /
+      (col("s1.n") + col("s2.n") - col("c")).cast("double")
+    inter
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(jacc >= JACCARD_THRESHOLD)
+      .select(col("d1"), col("d2"), round(jacc, 6).as("jaccard"))
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, sfDir))
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.d1, i.d2,
+       |       round(CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE), 6) AS jaccard
+       |FROM inter i
+       |JOIN sz s1 ON i.d1 = s1.doc_id
+       |JOIN sz s2 ON i.d2 = s2.doc_id
+       |WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD""".stripMargin
+
+  /** Embedding-cosine near-dup: for every vector, its nearest same-label
+    * neighbor by cosine (label acts as the blocking cell, keeping the join
+    * quadratic only within a cell), flagged when above 0.9. Norms are
+    * precomputed per vector (once, narrow) — never inside the pair loop.
+    */
+  def embeddingNearDup(emb: DataFrame): DataFrame = {
+    val base = Similarity.withNorm(emb)
+    val a = base.select(col("vec_id"), col("label"), col("embedding").as("ea"), col("nm").as("na"))
+    val b = base.select(col("vec_id").as("nn_id"), col("label"),
+      col("embedding").as("eb"), col("nm").as("nb"))
+    val cosine = round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("nn_id"), col("cosine"),
+        (col("cosine") >= 0.9).as("is_near_dup"))
+  }
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingNearDup(Tables.embeddings(spark, sfDir))
+
+  val dedupEmbeddingSql: String =
+    s"""WITH ${Similarity.UNNEST_CTE},
+       |${Similarity.NORM_CTE},
+       |dots AS (
+       |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+       |         sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2, 3),
+       |cos AS (
+       |  SELECT d.vec_id, d.label, d.nn_id,
+       |         round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.vec_id = n1.vec_id
+       |  JOIN nrm n2 ON d.nn_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, nn_id) AS rn
+       |  FROM cos)
+       |SELECT vec_id, label, nn_id, cosine, cosine >= 0.9 AS is_near_dup
+       |FROM ranked WHERE rn = 1""".stripMargin
+}

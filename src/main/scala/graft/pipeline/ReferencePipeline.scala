@@ -29,9 +29,7 @@ object ReferencePipeline {
     * join against sink state; first-run state is empty (FIXTURES.md §C), so
     * it is the identity here and the enrichment itself is the query.
     */
-  def txEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tx(spark, sfDir).filter(col("createdAt") > wmLit)
-    val p = dailyPrice(spark, sfDir)
+  def enrich(t: DataFrame, p: DataFrame): DataFrame =
     t.join(broadcast(p),
         t("chain") === p("chain") && to_date(t("createdAt")) === p("price_date"))
       .select(t("_id"), t("createdAt"), t("stashId"), t("stake"), t("alreadyBonded"),
@@ -40,7 +38,10 @@ object ReferencePipeline {
           when(t("stake") === t("alreadyBonded"), t("stake") * p("price"))
             .otherwise(abs(t("stake") - t("alreadyBonded")) * p("price")))
           .otherwise(lit(0.0)).as("txDollarValue"))
-  }
+
+  def txEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    enrich(tx(spark, sfDir).filter(col("createdAt") > wmLit),
+      dailyPrice(spark, sfDir))
 
   val txEnrichSql: String =
     s"""WITH $TX_CTE,

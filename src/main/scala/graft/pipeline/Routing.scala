@@ -40,15 +40,57 @@ object Routing {
   private val passthrough = Seq("_id", "createdAt", "stashId", "stake",
     "alreadyBonded", "successful", "chain").map(col)
 
+  // ---- DataFrame-level cores (library surface; unit-testable on any
+  // ---- frame with the tx schema of successful-only rows) ----
+
+  /** Equal-stake rows → volume = stake (updatescript.py:164-167). */
+  def nominationsRows(batch: DataFrame): DataFrame =
+    batch.filter(col("stake") === col("alreadyBonded"))
+      .select(passthrough :+ col("stake").as("volume"): _*)
+
+  /** Increased-stake rows → volume = delta (updatescript.py:169-172). */
+  def amountStakedRows(batch: DataFrame): DataFrame =
+    batch.filter(col("stake") > col("alreadyBonded"))
+      .select(passthrough :+ (col("stake") - col("alreadyBonded")).as("volume"): _*)
+
+  /** Q1 merged kusama routing: both branches, branch-specific volume. */
+  def kusamaNominationsRows(batch: DataFrame): DataFrame =
+    batch.filter(col("stake") >= col("alreadyBonded"))
+      .select(passthrough :+
+        when(col("stake") === col("alreadyBonded"), col("stake"))
+          .otherwise(col("stake") - col("alreadyBonded")).as("volume"): _*)
+
+  /** First-seen AUM semantics (see object doc). `priorStashes` is the
+    * cross-run state — stashIds already present in the AUM sink from
+    * earlier runs (updatescript.py:175 probes the sink, which spans runs);
+    * rows of known stashes never get rn=1 treatment.
+    */
+  def aumRows(batch: DataFrame, priorStashes: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy(col("chain"), col("stashId"))
+      .orderBy(col("createdAt"), col("_id"))
+    val numbered = batch.withColumn("rn", row_number().over(w))
+    val withState = priorStashes match {
+      case None => numbered.withColumn("known", lit(false))
+      case Some(st) => numbered.join(
+          st.select(col("chain"), col("stashId"), lit(true).as("known")),
+          Seq("chain", "stashId"), "left")
+        .withColumn("known", coalesce(col("known"), lit(false)))
+    }
+    withState
+      .withColumn("isFirst", col("rn") === 1 && !col("known"))
+      .filter(col("isFirst") || col("stake") =!= col("alreadyBonded"))
+      .select(passthrough :+
+        when(col("isFirst"), col("stake"))
+          .otherwise(col("stake") - col("alreadyBonded")).as("volume"): _*)
+  }
+
   private val BATCH_CTE: String =
     s"""batch AS (
        |  SELECT * FROM tx WHERE createdAt > TIMESTAMP '$WM' AND successful)""".stripMargin
 
   /** Polkadot nominations-updated sink (updatescript.py:164-167). */
   def polkadotNominations(spark: SparkSession, sfDir: String): DataFrame =
-    batch(spark, sfDir)
-      .filter(col("chain") === 0 && col("stake") === col("alreadyBonded"))
-      .select(passthrough :+ col("stake").as("volume"): _*)
+    nominationsRows(batch(spark, sfDir).filter(col("chain") === 0))
 
   val polkadotNominationsSql: String =
     s"""WITH $TX_CTE,
@@ -59,9 +101,7 @@ object Routing {
 
   /** Polkadot amount-staked sink (updatescript.py:169-172). */
   def polkadotAmountStaked(spark: SparkSession, sfDir: String): DataFrame =
-    batch(spark, sfDir)
-      .filter(col("chain") === 0 && col("stake") > col("alreadyBonded"))
-      .select(passthrough :+ (col("stake") - col("alreadyBonded")).as("volume"): _*)
+    amountStakedRows(batch(spark, sfDir).filter(col("chain") === 0))
 
   val polkadotAmountStakedSql: String =
     s"""WITH $TX_CTE,
@@ -75,11 +115,7 @@ object Routing {
     * branch-specific volume.
     */
   def kusamaNominations(spark: SparkSession, sfDir: String): DataFrame =
-    batch(spark, sfDir)
-      .filter(col("chain") === 1 && col("stake") >= col("alreadyBonded"))
-      .select(passthrough :+
-        when(col("stake") === col("alreadyBonded"), col("stake"))
-          .otherwise(col("stake") - col("alreadyBonded")).as("volume"): _*)
+    kusamaNominationsRows(batch(spark, sfDir).filter(col("chain") === 1))
 
   val kusamaNominationsSql: String =
     s"""WITH $TX_CTE,
@@ -92,16 +128,8 @@ object Routing {
     * (chain, stashId) always lands with volume = stake; later rows land only
     * when stake ≠ alreadyBonded, with the signed delta.
     */
-  def aum(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("chain"), col("stashId"))
-      .orderBy(col("createdAt"), col("_id"))
-    batch(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 || col("stake") =!= col("alreadyBonded"))
-      .select(passthrough :+
-        when(col("rn") === 1, col("stake"))
-          .otherwise(col("stake") - col("alreadyBonded")).as("volume"): _*)
-  }
+  def aum(spark: SparkSession, sfDir: String): DataFrame =
+    aumRows(batch(spark, sfDir))
 
   val aumSql: String =
     s"""WITH $TX_CTE,

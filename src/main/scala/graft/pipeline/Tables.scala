@@ -111,10 +111,12 @@ object Tables {
     * dedup operators. Matches `string_split_regex(text,'\s+')` +
     * `generate_subscripts` on the DuckDB side.
     */
-  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("tok"))
+
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(documents(spark, sfDir))
 
   val TOK_CTE: String =
     """tok AS (
@@ -128,8 +130,8 @@ object Tables {
     * until the consumer aggregates, which is what survives 100 TB. The
     * DuckDB oracle uses an equivalent positional self-join formulation.
     */
-  def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
+  def shingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -137,6 +139,9 @@ object Tables {
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
           .stripMargin)).as("shingle"))
       .distinct()
+
+  def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(documents(spark, sfDir))
 
   val SHINGLE_CTE: String =
     """sh AS (

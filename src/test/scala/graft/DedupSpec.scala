@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark table scan hash join sort merge window agg batch " +
+    "stream filter group key value row column line part query"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups normalized copies and keeps min doc_id") {
+    val d = docs(
+      1L -> "spark table scan",
+      2L -> "  SPARK   table SCAN ", // same after normalization
+      3L -> "spark table sort")
+    val groups = Dedup.exactGroups(d)
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate and not unrelated docs") {
+    val nearDup = base.replaceFirst("window", "vector") // 1-word edit
+    val d = docs(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "dup big small fast slow the a customer data order sort key line")
+    val pairs = Dedup.minhashPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("identical docs agree on all bands; signature is text-determined") {
+    val d = docs(1L -> base, 2L -> base)
+    val row = Dedup.minhashPairs(d).select("d1", "d2", "n_bands")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(row == Seq((1L, 2L, Dedup.NUM_BANDS.toLong)))
+  }
+
+  test("simhash: identical text -> identical signature; near-dup within small hamming distance") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(1L -> base, 2L -> base, 3L -> nearDup)
+    val sig = Dedup.simhashSignatures(d)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hamming <= 6, s"hamming=$hamming") // 1-token edit on a 16-bit sketch
+  }
+
+  test("ngram jaccard: planted pair above threshold with exact score") {
+    // 20 distinct tokens -> 18 shingles; the 1-word edit sits in 3 of them:
+    // intersection 15, union 21 -> jaccard = 15/21 ≈ 0.714
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(1L -> base, 2L -> nearDup,
+      3L -> "dup big small fast slow the a customer data order sort key line")
+    val got = Dedup.ngramJaccardPairs(d)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(math.abs(got.head._3 - 15.0 / 21.0) < 1e-4)
+  }
+
+  test("embedding near-dup: planted duplicate vector is mutual nearest neighbor with cosine 1") {
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v1.map(_ * 2.0f) // same direction -> cosine 1
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 0))
+      .toDF("vec_id", "embedding", "label")
+    val nn = Dedup.embeddingNearDup(emb)
+      .select("vec_id", "nn_id", "cosine", "is_near_dup")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(nn(1L)._2 == 2L && nn(1L)._3 == 1.0 && nn(1L)._4)
+    assert(nn(2L)._2 == 1L && nn(2L)._4)
+    assert(!nn(3L)._4)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    // query = (1,0); candidates at known angles
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(2.0f, 0.0f), 0),   // cosine 1.0
+      (2L, Array(1.0f, 1.0f), 0),   // cosine ~0.7071
+      (3L, Array(0.0f, 1.0f), 0),   // cosine 0
+      (4L, Array(-1.0f, 0.0f), 0))  // cosine -1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopk(emb, col("vec_id") === 0L, 3)
+      .select("n_id", "cosine", "rnk").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 1.0)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-6)
+    assert(got(2)._2 == 0.0)
+  }
+
+  test("IVF restricts candidates to the query's cell") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(1.0f, 0.1f), 7),   // same cell, near
+      (2L, Array(1.0f, 0.0f), 3))   // identical direction but other cell
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfTopk(emb, col("vec_id") === 0L, 5)
+      .select("n_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}

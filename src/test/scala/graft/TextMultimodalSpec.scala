@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+
+  test("langid picks argmax profile, unknown when no marker fires") {
+    val d = docs(
+      (1L, "the a table row row", "en", "s"),   // 5 en hits
+      (2L, "query scan fast the", "fr", "s"),   // 3 fr vs 1 en
+      (3L, "dup dup dup", "zh", "s"))           // no markers
+    val got = TextAnalysis.langid(d)
+      .select("doc_id", "predicted_lang", "hits")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("en", 5L))
+    assert(got(2L) == ("fr", 3L))
+    assert(got(3L) == ("unknown", 0L))
+  }
+
+  test("quality ratios are exact integer arithmetic") {
+    val d = docs((1L, "a bb ccc dddd", "en", "s"))
+    val r = TextAnalysis.quality(d)
+      .select("n_tokens", "n_distinct", "ttr", "avg_token_len", "short_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r == ((4L, 4L, 1.0, 2.5, 0.5)))
+  }
+
+  test("token stats: BPE estimate is ceil(chars/4)") {
+    val d = docs((1L, "abcdefgh", "en", "s0"), (2L, "abcdefghi", "en", "s0"))
+    val r = TextAnalysis.tokenStats(d)
+      .select("n_docs", "total_words", "total_est_bpe")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((2L, 2L, 2L + 3L)))
+  }
+
+  test("fingerprint is order-insensitive over token set") {
+    val d = docs(
+      (1L, "spark table scan hash", "en", "s"),
+      (2L, "hash scan table spark", "en", "s"), // same set, reordered
+      (3L, "spark table scan join", "en", "s"))
+    val fp = TextAnalysis.fingerprints(d)
+      .select("doc_id", "content_fp").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal: mapPartitions decoder matches the relational metadata query") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "audio", Array.tabulate(100)(_.toByte)))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).byte_len == 11L)
+    assert(feats(1L).n_frames == (11 % 7 + 1))
+    assert(feats(1L).checksum == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(feats(2L).byte_len == 100L)
+    assert(feats(2L).width == 101 && feats(2L).height == 101)
+  }
+
+  test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
+    val sf = "/root/testdata/sf0.001"
+    val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
+      .select("media_id", "byte_len", "checksum", "n_frames")
+    val viaSql = Multimodal.multimodalMeta(spark, sf)
+      .select("media_id", "byte_len", "checksum", "n_frames")
+    assert(viaDecoder.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaDecoder).isEmpty)
+  }
+}
