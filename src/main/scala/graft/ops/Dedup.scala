@@ -73,7 +73,11 @@ object Dedup {
       val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
       md5(concat(parts: _*)).as(s"b$b")
     }
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
+    // One row per document after the signature agg — cache it so the three
+    // band projections and both self-join sides read it once instead of
+    // re-running the shingle+signature pipeline 6 times (the signature
+    // table is ~3 short strings/doc, cacheable at any corpus size).
+    val bands = sig.select(col("doc_id") +: bandCols: _*).cache()
     val buckets = (0 until NUM_BANDS).map { b =>
       bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
     }.reduce(_.unionByName(_))

@@ -74,17 +74,20 @@ object TextAnalysis {
     * a pretraining filter runs per document.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val stats = Tables.tokens(docs)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"),
-        sum(when(length(col("tok")) <= 2, 1L).otherwise(0L)).as("n_short"),
-        sum(length(col("tok")).cast("long")).as("sum_len"))
+    // All stats computed array-side (higher-order functions inside one
+    // codegen'd projection): zero explode, zero shuffle, zero join — the
+    // per-document scan cost and nothing else, at any corpus size.
+    val stats = docs
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_short",
+        size(expr("filter(toks, t -> length(t) <= 2)")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, v) -> acc + v)"))
     val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
     val shortRatio = col("n_short").cast("double") / col("n_tokens").cast("double")
-    docs
-      .join(stats, Seq("doc_id"))
+    stats
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("n_distinct"),
         round(ttr, 6).as("ttr"),

@@ -40,8 +40,7 @@ object ReferencePipeline {
           .otherwise(lit(0.0)).as("txDollarValue"))
 
   def txEnrich(spark: SparkSession, sfDir: String): DataFrame =
-    enrich(tx(spark, sfDir).filter(col("createdAt") > wmLit),
-      dailyPrice(spark, sfDir))
+    enrich(txSince(spark, sfDir, WM), dailyPrice(spark, sfDir))
 
   val txEnrichSql: String =
     s"""WITH $TX_CTE,
@@ -133,7 +132,7 @@ object ReferencePipeline {
     * of wall-clock now() for determinism (SURVEY.md §7.5.3).
     */
   def watermarkAdvance(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).filter(col("ts") > wmLit)
+    eventsSince(spark, sfDir, WM)
       .agg(max(col("ts")).as("newWatermark"), count(lit(1)).as("batchRows"))
       .select(lit(WM).cast("timestamp").as("prevWatermark"), col("newWatermark"), col("batchRows"))
 

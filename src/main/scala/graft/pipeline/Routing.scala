@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
 object Routing {
   import Tables._
 
-  /** Successful transactions after the watermark — the shared scan. */
+  /** Successful transactions after the watermark — the shared scan, with
+    * the watermark predicate pushed to parquet (Tables.eventsSince).
+    */
   private def batch(spark: SparkSession, sfDir: String): DataFrame =
-    tx(spark, sfDir)
-      .filter(col("createdAt") > lit(WM).cast("timestamp") && col("successful"))
+    txSince(spark, sfDir, WM).filter(col("successful"))
 
   private val passthrough = Seq("_id", "createdAt", "stashId", "stake",
     "alreadyBonded", "successful", "chain").map(col)

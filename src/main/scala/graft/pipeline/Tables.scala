@@ -37,12 +37,36 @@ object Tables {
     * identical timestamps. Integer `div`, not `/`: a double round-trip would
     * lose precision at 1.7e18 ns.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = read(spark, sfDir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    read(spark, sfDir, "events")
+  }
+
+  private def tsIsRawNanos(df: DataFrame): Boolean =
+    df.schema("ts").dataType == org.apache.spark.sql.types.LongType
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = eventsRaw(spark, sfDir)
+    if (tsIsRawNanos(df)) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+  }
+
+  /** Events with `ts > wm`, with the watermark predicate applied in RAW
+    * nanos space *before* the µs conversion. `timestamp_micros(ts div 1000)
+    * > wm` is an expression over the column, which Parquet cannot push —
+    * at 100 TB that is a full scan. A plain long comparison pushes down and
+    * row-group min/max stats skip everything before the watermark, which is
+    * the entire point of incremental processing.
+    * floor(ns/1000) > wm_µs  ⇔  ns > wm_µs*1000 + 999.
+    */
+  def eventsSince(spark: SparkSession, sfDir: String, wm: String): DataFrame = {
+    val df = eventsRaw(spark, sfDir)
+    val wmTs = java.sql.Timestamp.valueOf(wm)
+    if (tsIsRawNanos(df)) {
+      val wmMicros = wmTs.getTime * 1000L // whole-second watermark: no sub-ms part
+      df.filter(col("ts") > lit(wmMicros * 1000L + 999L))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else df.filter(col("ts") > lit(wmTs))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
@@ -66,9 +90,9 @@ object Tables {
     * would never equal the integer k and the equal-stake branch would be
     * dead in every test.
     */
-  def tx(spark: SparkSession, sfDir: String): DataFrame = {
+  def txFrom(ev: DataFrame): DataFrame = {
     val k = regexp_extract(col("props"), PROPS_K_RE, 1)
-    events(spark, sfDir).select(
+    ev.select(
       col("event_id").as("_id"),
       col("ts").as("createdAt"),
       col("user_id").as("stashId"),
@@ -78,6 +102,15 @@ object Tables {
       (col("event_type") =!= "error").as("successful"),
       (col("event_id") % 2).as("chain"))
   }
+
+  def tx(spark: SparkSession, sfDir: String): DataFrame =
+    txFrom(events(spark, sfDir))
+
+  /** Incremental tx scan: watermark filter pushed to the parquet scan
+    * (see [[eventsSince]]).
+    */
+  def txSince(spark: SparkSession, sfDir: String, wm: String): DataFrame =
+    txFrom(eventsSince(spark, sfDir, wm))
 
   /** Daily price dimension, one row per (chain, day) — the
     * `dotPriceInUSD`/`ksmPriceInUSD` role (updatescript.py:43,52).
