@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.pipeline.{ReferencePipeline, Tables}
+
+/** The reference cron job is batch-incremental with a manual watermark —
+  * exactly the shape of Structured Streaming with `Trigger.AvailableNow`
+  * (SURVEY.md §2.10). This module is the streaming expression of the same
+  * operators, so the engine covers both deployment modes:
+  *
+  *  - [[enrichStream]]: step 2 as a stream-static broadcast join — the
+  *    price dim stays a static (periodically reloaded) table, new
+  *    transactions stream through; checkpointing replaces the lastUpdated
+  *    bookmark, and the idempotent-append contract becomes exactly-once
+  *    sink semantics via foreachBatch + anti-join.
+  *  - [[dailyVolume]]: the reference's 1-day buckets as a true event-time
+  *    tumbling window with lateness bounded by the watermark.
+  *  - [[firstSeen]]: the W1 first-seen-per-stash state (updatescript.py:175)
+  *    as keyed state in `flatMapGroupsWithState` — state lives in the state
+  *    store instead of a sink probe, emitting each (chain, stashId) exactly
+  *    once across all micro-batches.
+  */
+object StreamingPipeline {
+
+  case class TxRow(_id: Long, createdAt: Timestamp, stashId: Long, stake: Double,
+      alreadyBonded: Double, successful: Boolean, chain: Long)
+
+  case class FirstSeen(chain: Long, stashId: Long, _id: Long,
+      firstSeenAt: Timestamp, firstStake: Double)
+
+  /** The tx projection applies unchanged to a streaming events frame —
+    * same columns, same semantics as the batch view.
+    */
+  def txStream(events: DataFrame): DataFrame = Tables.txFrom(events)
+
+  /** Step 2 as stream-static join: `price` is a static dim (broadcast),
+    * the streaming side never shuffles for the join.
+    */
+  def enrichStream(txStream: DataFrame, price: DataFrame): DataFrame =
+    ReferencePipeline.enrich(txStream, price)
+
+  /** Per-(chain, day) volume with event-time windowing; `lateness` bounds
+    * how long a day stays open for stragglers.
+    */
+  def dailyVolume(tx: DataFrame, lateness: String = "1 day"): DataFrame =
+    tx.withWatermark("createdAt", lateness)
+      .groupBy(window(col("createdAt"), "1 day").as("day"), col("chain"))
+      .agg(count(lit(1)).as("n_tx"), sum(col("stake")).as("total_stake"))
+      .select(col("day.start").as("day"), col("chain"), col("n_tx"), col("total_stake"))
+
+  /** First event per (chain, stashId) across the whole stream, emitted
+    * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
+    * matching the batch window's ordering.
+    */
+  def firstSeen(tx: Dataset[TxRow]): Dataset[FirstSeen] = {
+    import tx.sparkSession.implicits._
+    tx.groupByKey(r => (r.chain, r.stashId))
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (r.createdAt.getTime, r._id))
+            state.update(true)
+            Iterator(FirstSeen(key._1, key._2, first._id, first.createdAt, first.stake))
+          }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.TxRow
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-static enrichment joins the price dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxRow]
+    val price = Seq((0L, Date.valueOf("2024-01-11"), 2.0))
+      .toDF("chain", "price_date", "price")
+    in.addData(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 5.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 02:00:00"), 11L, 3.0, 8.0, false, 0L))
+    // AvailableNow = the cron shape: process everything present, then stop
+    val q = StreamingPipeline.enrichStream(in.toDF(), price)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enriched")
+      .select("_id", "priceUSD", "txDollarValue")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2.0, 10.0)))
+    assert(got(2L) == ((2L, 2.0, 0.0))) // failed tx kept with 0 (Q7)
+  }
+
+  test("stateful first-seen emits each stash exactly once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxRow]
+    val q = StreamingPipeline.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("firstseen")
+      .outputMode("append").start()
+    in.addData(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 1.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 00:30:00"), 10L, 4.0, 1.0, true, 0L), // earlier: wins
+      TxRow(3L, ts("2024-01-11 02:00:00"), 11L, 7.0, 2.0, true, 0L))
+    q.processAllAvailable()
+    in.addData(
+      TxRow(4L, ts("2024-01-12 01:00:00"), 10L, 9.0, 3.0, true, 0L), // known stash: silent
+      TxRow(5L, ts("2024-01-12 02:00:00"), 12L, 6.0, 4.0, true, 0L)) // new stash: emit
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("firstseen")
+      .select("stashId", "_id", "firstStake").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == ((10L, 2L, 4.0))) // batch-internal ordering by (ts, _id)
+    assert(got(12L) == ((12L, 5L, 6.0)))
+  }
+
+  test("daily tumbling window aggregates per (chain, day)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxRow]
+    val q = StreamingPipeline.dailyVolume(in.toDF())
+      .writeStream.format("memory").queryName("daily")
+      .outputMode("complete").start()
+    in.addData(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 1.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 23:00:00"), 11L, 3.0, 1.0, true, 0L),
+      TxRow(3L, ts("2024-01-12 00:30:00"), 12L, 7.0, 1.0, true, 0L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("daily")
+      .select("day", "n_tx", "total_stake").as[(Timestamp, Long, Double)]
+      .collect().map(r => r._1.toString.take(10) -> (r._2, r._3)).toMap
+    assert(got("2024-01-11") == ((2L, 8.0)))
+    assert(got("2024-01-12") == ((1L, 7.0)))
+  }
+}
