@@ -23,18 +23,23 @@ import graft.pipeline.Tables
   */
 object Similarity {
 
-  /** Left-fold dot product of two float-array columns, in double. */
-  def dotExpr(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+  /** Left-fold dot product of two float-array columns, in double — the
+    * fused codegen expression (graft.functions.FloatVecDot), bit-identical
+    * to the HOF `aggregate(zip_with(...))` formulation it replaces but with
+    * no per-pair array allocation. Registration is session-idempotent; the
+    * SparkSession is taken from the active session of the calling query.
+    */
+  def dotExpr(a: String, b: String): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.VectorFunctions.vec_dot(spark, a, b)
+  }
 
   /** Adds the L2 norm `nm` to an embeddings frame — computed once per
     * vector, before any join fans rows out.
     */
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nm",
-      sqrt(expr("""aggregate(transform(embedding, p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE)),
-                 |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
+      sqrt(graft.functions.VectorFunctions.vec_norm_sq(emb.sparkSession, "embedding")))
 
   /** DuckDB twins: positional unnest + per-vector norms. */
   val UNNEST_CTE: String =
