@@ -37,6 +37,7 @@ object SparkEntry {
     // -- general relational shapes --
     "q1_agg" -> (Relational.q1Agg _),
     "top_customers" -> (Relational.topCustomers _),
+    "props_parse" -> (Relational.propsParse _),
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "first_seen_stash" -> Routing.firstSeenStashSql,
     "q1_agg" -> Relational.q1AggSql,
     "top_customers" -> Relational.topCustomersSql,
+    "props_parse" -> Relational.propsParseSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

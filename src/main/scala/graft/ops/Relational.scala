@@ -65,6 +65,24 @@ object Relational {
         col("n_orders"), col("rnk"))
   }
 
+  /** F8 (SURVEY.md §2.8): structured JSON parsing — `from_json` with a
+    * declared schema (not regex), then typed aggregation over the extracted
+    * field. The parse happens once per row inside codegen; only `props` and
+    * `value` are read from the scan.
+    */
+  def propsParse(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"), col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+
+  val propsParseSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |       count(*) AS n_events, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin
+
   val topCustomersSql: String =
     """WITH spend AS (
       |  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
