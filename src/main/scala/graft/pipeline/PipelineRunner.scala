@@ -40,17 +40,36 @@ object PipelineRunner {
   /** Idempotent append: anti-join on `key` against current sink content,
     * checkpoint the delta (cuts lineage so the append never scans the very
     * files it is writing), append, return appended row count.
+    *
+    * `partitionDate` (an expression over the incoming rows) makes the sink
+    * date-partitioned (`p_date=.../`), and `prune` restricts the anti-join's
+    * sink scan to the partitions a replay could collide with. Every incoming
+    * row satisfies `createdAt > wm`, and a key can only collide with the
+    * row that originally carried it (same key ⇒ same row ⇒ same date), so
+    * scanning `p_date >= date(wm)` is exhaustive — at 100 TB the dedup
+    * probe reads days-since-watermark, not years of sink history.
     */
   private def appendNew(spark: SparkSession, c: Config, name: String,
-      incoming: DataFrame, key: Seq[String]): Long = {
-    val delta = readSink(spark, c, name) match {
-      case Some(existing) =>
-        incoming.join(existing.select(key.map(col): _*).distinct(), key, "left_anti")
+      incoming: DataFrame, key: Seq[String],
+      partitionDate: Option[org.apache.spark.sql.Column] = None,
+      prune: Option[org.apache.spark.sql.Column] = None): Long = {
+    val withPart = partitionDate match {
+      case Some(d) => incoming.withColumn("p_date", d)
       case None => incoming
+    }
+    val delta = readSink(spark, c, name) match {
+      case Some(existing0) =>
+        val existing = prune.foldLeft(existing0)((df, p) => df.filter(p))
+        withPart.join(existing.select(key.map(col): _*).distinct(), key, "left_anti")
+      case None => withPart
     }
     val materialized = delta.localCheckpoint(true)
     val n = materialized.count()
-    if (n > 0) materialized.write.mode(SaveMode.Append).parquet(sinkPath(c, name))
+    if (n > 0) {
+      val w = materialized.write.mode(SaveMode.Append)
+      (if (partitionDate.isDefined) w.partitionBy("p_date") else w)
+        .parquet(sinkPath(c, name))
+    }
     n
   }
 
@@ -80,10 +99,15 @@ object PipelineRunner {
     val gapPrices = days.join(price, Seq("chain", "price_date"))
     val priceAppended = appendNew(spark, c, "priceInUSD", gapPrices, Seq("chain", "price_date"))
 
-    // step 2 — tx enrichment (updatescript.py:57-108), dedup by _id.
+    // step 2 — tx enrichment (updatescript.py:57-108), dedup by _id;
+    // sink date-partitioned, anti-join pruned to the replayable window.
     val priceSink = spark.read.parquet(sinkPath(c, "priceInUSD"))
+      .select(col("chain"), col("price_date"), col("price"))
     val enriched = ReferencePipeline.enrich(Tables.txSince(spark, c.sfDir, wm), priceSink)
-    val txAppended = appendNew(spark, c, "transactiondatas", enriched, Seq("_id"))
+    val wmDate = to_date(lit(wm).cast("timestamp"))
+    val txAppended = appendNew(spark, c, "transactiondatas", enriched, Seq("_id"),
+      partitionDate = Some(to_date(col("createdAt"))),
+      prune = Some(col("p_date") >= wmDate))
 
     // step 3 — rolling stats singletons (Q3: overwrite, no history).
     overwriteSingleton(spark, c, "stats", ReferencePipeline.statsRollup(spark, c.sfDir))
@@ -111,7 +135,9 @@ object PipelineRunner {
         Routing.kusamaNominationsRows(successful.filter(col("chain") === 1)),
       "AUMdata" -> Routing.aumRows(successful, priorStashes))
     val routedCounts = routed.map { case (name, df) =>
-      name -> appendNew(spark, c, name, df, Seq("_id"))
+      name -> appendNew(spark, c, name, df, Seq("_id"),
+        partitionDate = Some(to_date(col("createdAt"))),
+        prune = Some(col("p_date") >= wmDate))
     }
 
     RunReport(

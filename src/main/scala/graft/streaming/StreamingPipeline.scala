@@ -53,6 +53,31 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_tx"), sum(col("stake")).as("total_stake"))
       .select(col("day.start").as("day"), col("chain"), col("n_tx"), col("total_stake"))
 
+  /** Exactly-once idempotent parquet sink for a streaming frame: per
+    * micro-batch, LEFT ANTI join the sink on `key`, then append — the
+    * foreachBatch + MERGE pattern (SURVEY.md §2.10). Checkpointing gives
+    * at-least-once delivery; the anti-join makes the replayed batch a
+    * no-op, which together is exactly-once in the sink — the streaming twin
+    * of the cron job's insert-if-absent guards (updatescript.py:62).
+    */
+  def writeIdempotent(df: DataFrame, sinkDir: String, key: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val delta =
+          if (new java.io.File(sinkDir).exists()) {
+            val existing = spark.read.parquet(sinkDir)
+            batch.join(existing.select(key.map(col): _*).distinct(), key, "left_anti")
+          } else batch.toDF()
+        val materialized = delta.localCheckpoint(true)
+        if (materialized.count() > 0)
+          materialized.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+
   /** First event per (chain, stashId) across the whole stream, emitted
     * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
     * matching the batch window's ordering.

