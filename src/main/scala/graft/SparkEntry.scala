@@ -38,6 +38,9 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "top_customers" -> (Relational.topCustomers _),
     "props_parse" -> (Relational.propsParse _),
+    "user_sessions" -> (Relational.userSessions _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "purchasers_no_error" -> (Relational.purchasersNoError _),
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -70,6 +73,9 @@ object SparkEntry {
     "q1_agg" -> Relational.q1AggSql,
     "top_customers" -> Relational.topCustomersSql,
     "props_parse" -> Relational.propsParseSql,
+    "user_sessions" -> Relational.userSessionsSql,
+    "agg_rollup" -> Relational.aggRollupSql,
+    "purchasers_no_error" -> Relational.purchasersNoErrorSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

@@ -65,6 +65,88 @@ object Relational {
         col("n_orders"), col("rnk"))
   }
 
+  /** Sessionization: split each user's event stream into sessions at
+    * >30-minute gaps — `lag` to find the gap, a running `sum` over the
+    * session-start flags to number sessions, then two aggregations. The
+    * classic lag + cumulative-sum window stack; shuffles once on user_id
+    * and reuses that partitioning for both windows.
+    */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L // 30 min in microseconds
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("session_events")).as("n_events"),
+        max(col("session_events")).as("max_session_events"))
+  }
+
+  val userSessionsSql: String =
+    """WITH numbered AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM numbered),
+      |sessions AS (
+      |  SELECT user_id, event_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS session_events
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, sum(session_events) AS n_events,
+      |       max(session_events) AS max_session_events
+      |FROM per_session GROUP BY 1""".stripMargin
+
+  /** Multi-level aggregation: ROLLUP over (chain, event_type) — partial
+    * aggregation handles each grouping set in one pass. Null grouping keys
+    * are coalesced to 'ALL' so both engines emit identical strings.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select((col("event_id") % 2).as("chain"), col("event_type"),
+        col("value").as("stake"))
+      .rollup(col("chain"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("stake")), 4).as("total_stake"))
+      .select(
+        coalesce(col("chain").cast("string"), lit("ALL")).as("chain"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("total_stake"))
+
+  val aggRollupSql: String =
+    """SELECT coalesce(CAST(event_id % 2 AS VARCHAR), 'ALL') AS chain,
+      |       coalesce(event_type, 'ALL') AS event_type,
+      |       count(*) AS n, round(sum(value), 4) AS total_stake
+      |FROM events
+      |GROUP BY ROLLUP (event_id % 2, event_type)""".stripMargin
+
+  /** Set operations: users who purchased but never errored —
+    * EXCEPT (distinct) over two filtered projections of the same scan.
+    */
+  def purchasersNoError(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+  }
+
+  val purchasersNoErrorSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
+
   /** F8 (SURVEY.md §2.8): structured JSON parsing — `from_json` with a
     * declared schema (not regex), then typed aggregation over the extracted
     * field. The parse happens once per row inside codegen; only `props` and
