@@ -26,6 +26,23 @@ object Dedup {
   val ROWS_PER_BAND: Int = NUM_HASHES / NUM_BANDS
   val JACCARD_THRESHOLD = 0.5
 
+  /** Candidate pairs from co-membership: group rows by `groupCols`, collect
+    * the member ids, emit every ordered pair (d1 < d2). One shuffle (the
+    * groupBy) instead of a self-join's two exchanged sides, and
+    * single-member groups vanish before any pair exists. Group size bounds
+    * the fan-out — the inverted-index / LSH-bucket pairing shape. Equivalent
+    * to `x JOIN y ON keys AND x.id < y.id`.
+    */
+  private def coMemberPairs(df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+
   /** Exact dedup: group documents by the md5 of whitespace/case-normalized
     * text; emit one representative (min doc_id) + multiplicity per group.
     * Map-side partial agg; one shuffle on the 128-bit fingerprint.
@@ -81,11 +98,8 @@ object Dedup {
     val buckets = (0 until NUM_BANDS).map { b =>
       bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
     }.reduce(_.unionByName(_))
-    val x = buckets.as("x"); val y = buckets.as("y")
-    x.join(y,
-        col("x.band_no") === col("y.band_no") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    coMemberPairs(buckets, Seq("band_no", "bucket"), "doc_id")
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).cast("long").as("n_bands"))
   }
 
@@ -178,10 +192,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = Tables.shingles(docs).cache()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val x = sh.as("x"); val y = sh.as("y")
-    val inter = x.join(y,
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val inter = coMemberPairs(sh, Seq("shingle"), "doc_id")
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("c"))
     val jacc = col("c").cast("double") /
       (col("s1.n") + col("s2.n") - col("c")).cast("double")
