@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.{ReferencePipeline => RP, Routing}
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,7 @@ object SparkEntry {
     "user_sessions" -> (Relational.userSessions _),
     "agg_rollup" -> (Relational.aggRollup _),
     "purchasers_no_error" -> (Relational.purchasersNoError _),
+    "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "user_sessions" -> Relational.userSessionsSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "purchasers_no_error" -> Relational.purchasersNoErrorSql,
+    "tx_enrich_asof" -> AsofJoin.txEnrichAsofSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

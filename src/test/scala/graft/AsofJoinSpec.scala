@@ -1,0 +1,40 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest at-or-before value per key; ties match; no-predecessor is null") {
+    val left = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L),  // between p@01 and p@03 -> 10
+      (2L, ts("2024-01-03 00:00:00"), 1L),  // exactly at p@03 -> 20 (tie matches)
+      (3L, ts("2024-01-04 00:00:00"), 1L),  // after last -> 20
+      (4L, ts("2023-12-31 00:00:00"), 1L),  // before first -> null
+      (5L, ts("2024-01-05 00:00:00"), 2L))  // other key -> 99
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 20.0),
+      (2L, ts("2024-01-01 00:00:00"), 99.0))
+      .toDF("k", "pt", "v")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> Some(20.0),
+      4L -> None, 5L -> Some(99.0)))
+  }
+
+  test("asof join preserves every left row exactly once") {
+    val left = (1 to 100).map(i => (i.toLong, ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"), i % 3L))
+      .toDF("id", "t", "k")
+    val right = Seq((0L, ts("2024-01-01 00:00:00"), 1.0), (1L, ts("2024-01-15 00:00:00"), 2.0))
+      .toDF("k", "pt", "v")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))
+    assert(out.count() == 100)
+    assert(out.select("id").distinct().count() == 100)
+  }
+}
