@@ -54,6 +54,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
   )
 
@@ -89,6 +90,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
   )
 }

@@ -165,6 +165,58 @@ object TextAnalysis {
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     fingerprints(Tables.documents(spark, sfDir))
 
+  /** The full corpus-preparation pipeline, composed from the engine's own
+    * operators: exact-dedup survivors (LEFT SEMI on keep ids) minus
+    * near-duplicates (LEFT ANTI on the Jaccard pairs' later doc) minus
+    * low-quality documents, rolled up per (lang, source). What a user runs
+    * before tokenizing a pretraining shard.
+    */
+  def corpusFilter(docs: DataFrame): DataFrame = {
+    val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+    val nearDupLosers = Dedup.ngramJaccardPairs(docs).select(col("d2").as("doc_id")).distinct()
+    val q = quality(docs)
+    q.join(keep, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= 0.45)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+  }
+
+  def textCorpusFilter(spark: SparkSession, sfDir: String): DataFrame =
+    corpusFilter(Tables.documents(spark, sfDir))
+
+  val textCorpusFilterSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |        FROM documents) GROUP BY fp),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |losers AS (
+       |  SELECT DISTINCT i.d2 AS doc_id
+       |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= ${Dedup.JACCARD_THRESHOLD}),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, d.source, s.n_tokens,
+       |         round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |           * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6) AS score
+       |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
+       |SELECT sc.lang, sc.source, count(*) AS kept_docs, sum(sc.n_tokens) AS kept_tokens
+       |FROM scored sc
+       |WHERE sc.doc_id IN (SELECT doc_id FROM keep)
+       |  AND sc.doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND sc.score >= 0.45
+       |GROUP BY 1, 2""".stripMargin
+
   val textFingerprintSql: String =
     s"""WITH ${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
