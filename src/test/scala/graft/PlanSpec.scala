@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the engine was
+  * tuned for (pushdown, broadcast, shuffle-free projections, TakeOrdered
+  * top-k) must survive refactors — a correct-but-full-scan plan is a bug
+  * at 100 TB even when the rows match.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("tx_enrich: watermark reaches the parquet scan and the price dim broadcasts") {
+    val p = plan("tx_enrich")
+    assert(p.contains("GreaterThan(ts,"), "watermark filter must be pushed to the scan")
+    assert(p.contains("BroadcastHashJoin"), "price dim join must broadcast")
+  }
+
+  test("route_aum: pushed filters include the successful predicate") {
+    val p = plan("route_aum")
+    assert(p.contains("GreaterThan(ts,"))
+    assert(p.contains("Not(EqualTo(event_type,error))"),
+      "successful-only filter must be pushed to the scan")
+  }
+
+  test("text_quality: single narrow projection, no shuffle") {
+    assert(!plan("text_quality").contains("Exchange"),
+      "array-side stats must not shuffle")
+  }
+
+  test("top_customers: top-k via TakeOrdered, not a global sort") {
+    assert(plan("top_customers").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg: partial (map-side) aggregation present") {
+    assert(plan("q1_agg").contains("partial_"))
+  }
+
+  test("simsearch_topk: queries broadcast; fused vec_dot in plan") {
+    val p = plan("simsearch_topk")
+    assert(p.contains("Broadcast"))
+    assert(p.contains("vec_dot"))
+  }
+}
