@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,

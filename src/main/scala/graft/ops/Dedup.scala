@@ -133,18 +133,21 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** SimHash: 16-bit signature per document. Each distinct token votes
-    * ±1 on every bit of its (md5-derived) 16-bit hash; the signature sets
-    * bit b iff the vote sum is positive. Narrow map + one groupBy — the
-    * classic near-dup sketch at crawl scale.
+  /** SimHash: 16-bit signature per document. Each distinct word-3-gram
+    * shingle votes ±1 on every bit of its (md5-derived) 16-bit hash; the
+    * signature sets bit b iff the vote sum is positive. Narrow map + one
+    * groupBy — the classic near-dup sketch at crawl scale. Features are
+    * shingles, not tokens: token sets barely differ across documents of a
+    * shared vocabulary, while shingle sets carry word order and separate
+    * near-duplicates from the rest.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = Tables.tokens(docs).select(col("doc_id"), col("tok")).distinct()
-    // nibble j of the token hash = integer value of hex char j+1 of md5
+    val toks = Tables.shingles(docs)
+    // nibble j of the shingle hash = integer value of hex char j+1 of md5
     val withNibbles = toks.select(
       col("doc_id") +:
         (0 until 4).map(j =>
-          conv(substring(md5(col("tok")), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
+          conv(substring(md5(col("shingle")), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
     val votes = withNibbles.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("v0"), 0).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as("s0"),
       (1 until 16).map { b =>
@@ -160,9 +163,43 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSignatures(Tables.documents(spark, sfDir))
 
+  /** SimHash near-dup pairs: signatures within hamming distance ≤ 3,
+    * blocked by `lang` so the pair space is per-block quadratic, not
+    * corpus-quadratic (at real scale the block key is the signature's top
+    * bits — same shape). XOR + bit_count is one codegen'd expression per
+    * pair.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val a = sig.select(col("lang"), col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sig.select(col("lang"), col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, Seq("lang"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, sfDir))
+
+  // lazy: reuses dedupSimhashSql, which is declared later in this object
+  lazy val dedupSimhashPairsSql: String = {
+    val sigSql = dedupSimhashSql
+    s"""WITH sig AS ($sigSql),
+       |lsig AS (
+       |  SELECT s.doc_id, s.simhash, d.lang
+       |  FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM lsig a JOIN lsig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   val dedupSimhashSql: String = {
     val nibbleExprs = (0 until 4)
-      .map(j => s"strpos('0123456789abcdef', substr(md5(tok), ${j + 1}, 1)) - 1 AS v$j")
+      .map(j => s"strpos('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1 AS v$j")
       .mkString(",\n         ")
     val voteExprs = (0 until 16).map { b =>
       s"sum(CASE WHEN (v${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
@@ -171,11 +208,11 @@ object Dedup {
       .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
       .mkString(" + ")
     s"""WITH ${Tables.TOK_CTE},
-       |t AS (SELECT DISTINCT doc_id, tok FROM tok),
+       |${Tables.SHINGLE_CTE},
        |h AS (
        |  SELECT doc_id,
        |         $nibbleExprs
-       |  FROM t),
+       |  FROM sh),
        |v AS (
        |  SELECT doc_id,
        |         $voteExprs
