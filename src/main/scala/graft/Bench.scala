@@ -9,7 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: WARN-level chatter (function registry, AQE hints) must not
+    // reach stdout — the harness parses the single JSON line printed below.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: run every query once at the smallest SF. The generated
     // whole-stage-codegen classes are identical across SFs (only file paths
     // differ), so this pre-pays Janino compilation and JIT — per-query

@@ -75,11 +75,18 @@ object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry. Spark 4 keeps
     * the Column↔Expression bridge private, so the public route to a custom
-    * expression is registration + `expr("vec_dot(...)")`. Idempotent.
+    * expression is registration + `expr("vec_dot(...)")`. Idempotent: the
+    * existence check keeps repeat calls from re-registering (re-registration
+    * is harmless but emits a WARN per call, which pollutes harness stdout).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   /** Dot product of two float-array columns (double result). Registers the
     * function on the session bound to the active query when first used.

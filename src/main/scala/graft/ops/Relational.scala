@@ -107,7 +107,7 @@ object Relational {
       |per_session AS (
       |  SELECT user_id, session_id, count(*) AS session_events
       |  FROM sessions GROUP BY 1, 2)
-      |SELECT user_id, count(*) AS n_sessions, sum(session_events) AS n_events,
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(session_events) AS BIGINT) AS n_events,
       |       max(session_events) AS max_session_events
       |FROM per_session GROUP BY 1""".stripMargin
 

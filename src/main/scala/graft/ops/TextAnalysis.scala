@@ -143,7 +143,7 @@ object TextAnalysis {
       |SELECT lang, source, count(*) AS n_docs,
       |       CAST(sum(n_words) AS BIGINT) AS total_words,
       |       round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words,
-      |       sum(est_bpe_tokens) AS total_est_bpe
+      |       CAST(sum(est_bpe_tokens) AS BIGINT) AS total_est_bpe
       |FROM per_doc GROUP BY 1, 2""".stripMargin
 
   /** Document fingerprinting: (a) a canonical content fingerprint — md5 of
@@ -210,7 +210,7 @@ object TextAnalysis {
        |         round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
        |           * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6) AS score
        |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
-       |SELECT sc.lang, sc.source, count(*) AS kept_docs, sum(sc.n_tokens) AS kept_tokens
+       |SELECT sc.lang, sc.source, count(*) AS kept_docs, CAST(sum(sc.n_tokens) AS BIGINT) AS kept_tokens
        |FROM scored sc
        |WHERE sc.doc_id IN (SELECT doc_id FROM keep)
        |  AND sc.doc_id NOT IN (SELECT doc_id FROM losers)

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate: read Verify's parquet
 dumps + oracle_sql.json, run each oracle in DuckDB over the same testdata
-parquet, and compare (column names, row counts, sorted-value hashes with
-float tolerance). Usage: check.py <sfDir> <outDir>."""
+parquet, and compare EXACTLY (column names, row counts, sorted-value string
+hashes — no float tolerance, matching the driver's exact-hash compare; a
+DuckDB HUGEINT that lands as float64 will fail here just as it fails
+driver-side). Usage: check.py <sfDir> <outDir>."""
 import json, sys, math
 import duckdb
 import pandas as pd
@@ -36,13 +38,14 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in cols:
         gv, ev = g[c], e[c]
-        if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
-            if not np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
-                bad = c; break
-        else:
-            gs, es = gv.astype(str), ev.astype(str)
-            if not (gs == es).all():
-                bad = c; break
+        # Exact compare, like the driver: stringify and demand equality.
+        # Dtype mismatches (e.g. int64 vs float64 from an uncast DuckDB
+        # HUGEINT sum) surface as "42" vs "42.0" string diffs — by design.
+        if gv.dtype.kind != ev.dtype.kind:
+            print(f"WARN {name}: column {c} dtype {gv.dtype} (spark) vs {ev.dtype} (oracle)")
+        gs, es = gv.astype(str), ev.astype(str)
+        if not (gs == es).all():
+            bad = c; break
     if bad:
         m = (g[bad].astype(str) != e[bad].astype(str))
         print(f"FAIL {name}: column {bad} differs; first: got={g[bad][m].iloc[0]!r} exp={e[bad][m].iloc[0] if m.any() else '?'!r}")
