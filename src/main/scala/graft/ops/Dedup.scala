@@ -26,6 +26,21 @@ object Dedup {
   val ROWS_PER_BAND: Int = NUM_HASHES / NUM_BANDS
   val JACCARD_THRESHOLD = 0.5
 
+  /** SimHash geometry: a 56-bit signature (14 md5 nibbles — stays clear of
+    * the Long sign bit) banded into 8×7-bit bands. Pigeonhole: two
+    * signatures within hamming distance ≤ 7 differ in at most 7 bands, so
+    * they agree on ≥ 1 of the 8 — banding finds EVERY pair under the
+    * threshold, which is why the oracle can stay the naive all-pairs
+    * formulation while the engine runs the banded plan. Production tuning
+    * trades recall for bucket width (e.g. 64-bit/4×16 at hamming ≤ 3 for
+    * web-crawl text); the fixture corpus (31-word vocabulary, short docs)
+    * has noisier margins, hence the wider threshold here.
+    */
+  val SIMHASH_BITS = 56
+  val SIMHASH_BANDS = 8
+  val SIMHASH_BAND_BITS: Int = SIMHASH_BITS / SIMHASH_BANDS
+  val SIMHASH_MAX_HAMMING: Int = SIMHASH_BANDS - 1
+
   /** Candidate pairs from co-membership: group rows by `groupCols`, collect
     * the member ids, emit every ordered pair (d1 < d2). One shuffle (the
     * groupBy) instead of a self-join's two exchanged sides, and
@@ -133,29 +148,29 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** SimHash: 16-bit signature per document. Each distinct word-3-gram
-    * shingle votes ±1 on every bit of its (md5-derived) 16-bit hash; the
-    * signature sets bit b iff the vote sum is positive. Narrow map + one
-    * groupBy — the classic near-dup sketch at crawl scale. Features are
-    * shingles, not tokens: token sets barely differ across documents of a
-    * shared vocabulary, while shingle sets carry word order and separate
-    * near-duplicates from the rest.
+  /** SimHash: [[SIMHASH_BITS]]-bit signature per document. Each distinct
+    * word-3-gram shingle votes ±1 on every bit of its (md5-derived) hash;
+    * the signature sets bit b iff the vote sum is positive. Narrow map +
+    * one groupBy — the classic near-dup sketch at crawl scale. Features
+    * are shingles, not tokens: token sets barely differ across documents
+    * of a shared vocabulary, while shingle sets carry word order and
+    * separate near-duplicates from the rest.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = Tables.shingles(docs)
     // nibble j of the shingle hash = integer value of hex char j+1 of md5
     val withNibbles = toks.select(
       col("doc_id") +:
-        (0 until 4).map(j =>
+        (0 until SIMHASH_BITS / 4).map(j =>
           conv(substring(md5(col("shingle")), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
     val votes = withNibbles.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("v0"), 0).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until 16).map { b =>
+      (1 until SIMHASH_BITS).map { b =>
         val nibble = col(s"v${b / 4}"); val shift = b % 4
         sum(when(shiftright(nibble, shift).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b")
       }: _*)
-    val simhash = (0 until 16)
-      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+    val simhash = (0 until SIMHASH_BITS)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
@@ -163,49 +178,65 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSignatures(Tables.documents(spark, sfDir))
 
-  /** SimHash near-dup pairs: signatures within hamming distance ≤ 3,
-    * blocked by `lang` so the pair space is per-block quadratic, not
-    * corpus-quadratic (at real scale the block key is the signature's top
-    * bits — same shape). XOR + bit_count is one codegen'd expression per
-    * pair.
+  /** SimHash near-dup pairs: signatures within hamming distance ≤
+    * [[SIMHASH_MAX_HAMMING]], found via banded LSH — each signature is cut
+    * into [[SIMHASH_BANDS]] bands of [[SIMHASH_BAND_BITS]] bits, candidates
+    * are pairs sharing any (band_no, band_val) bucket, and the exact hamming
+    * filter runs only inside buckets. Pigeonhole makes this EXACT: hamming
+    * ≤ bands−1 implies ≥ 1 identical band, so no qualifying pair is missed.
+    * One shuffle (the bucket groupBy); pair fan-out is bounded by bucket
+    * population, never corpus size — no cross join anywhere in the plan.
+    * The signature carries into the bucket rows, so the hamming check needs
+    * no join back to the signature table.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sig = simhashSignatures(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val a = sig.select(col("lang"), col("doc_id").as("d1"), col("simhash").as("h1"))
-    val b = sig.select(col("lang"), col("doc_id").as("d2"), col("simhash").as("h2"))
-    a.join(b, Seq("lang"))
-      .filter(col("d1") < col("d2"))
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+    val mask = (1L << SIMHASH_BAND_BITS) - 1
+    val bands = simhashSignatures(docs).select(
+      col("doc_id"), col("simhash"),
+      explode(expr(s"sequence(0, ${SIMHASH_BANDS - 1})")).as("band_no"))
+      .withColumn("band_val",
+        expr(s"(simhash >> (band_no * $SIMHASH_BAND_BITS)) & $mask"))
+    bands
+      .groupBy(col("band_no"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    struct(x.doc_id AS d1, y.doc_id AS d2,
+          |           bit_count(x.simhash ^ y.simhash) AS hamming))))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.hamming") <= SIMHASH_MAX_HAMMING)
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(Tables.documents(spark, sfDir))
 
-  // lazy: reuses dedupSimhashSql, which is declared later in this object
+  // The oracle states the SEMANTICS (all pairs under the hamming threshold,
+  // naive all-pairs — fine at oracle scale); the banded plan above is the
+  // scale path and provably returns the same set. lazy: reuses
+  // dedupSimhashSql, which is declared later in this object.
   lazy val dedupSimhashPairsSql: String = {
     val sigSql = dedupSimhashSql
-    s"""WITH sig AS ($sigSql),
-       |lsig AS (
-       |  SELECT s.doc_id, s.simhash, d.lang
-       |  FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
+    s"""WITH sig AS ($sigSql)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM lsig a JOIN lsig b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_MAX_HAMMING""".stripMargin
   }
 
   val dedupSimhashSql: String = {
-    val nibbleExprs = (0 until 4)
+    val nibbleExprs = (0 until SIMHASH_BITS / 4)
       .map(j => s"strpos('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1 AS v$j")
       .mkString(",\n         ")
-    val voteExprs = (0 until 16).map { b =>
+    val voteExprs = (0 until SIMHASH_BITS).map { b =>
       s"sum(CASE WHEN (v${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n         ")
-    val bitsExpr = (0 until 16)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+    val bitsExpr = (0 until SIMHASH_BITS)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""WITH ${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},

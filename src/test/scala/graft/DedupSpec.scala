@@ -49,7 +49,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))
     val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
-    assert(hamming <= 6, s"hamming=$hamming") // 1-token edit on a 16-bit sketch
+    // 1-token edit on a 56-bit sketch (measured 7); an unrelated doc sits ~28
+    assert(hamming <= Dedup.SIMHASH_MAX_HAMMING, s"hamming=$hamming")
+  }
+
+  test("simhash banded pairs find the near-dup and nothing involving the unrelated doc") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "dup big small fast slow the a customer data order sort key line")
+    val pairs = Dedup.simhashPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
   test("ngram jaccard: planted pair above threshold with exact score") {

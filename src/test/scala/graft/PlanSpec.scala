@@ -43,4 +43,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"))
     assert(p.contains("vec_dot"))
   }
+
+  test("dedup_simhash_pairs: banded LSH plan, no cross/nested-loop join") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banding must bound the pair space — an all-pairs join is a 100 TB bug")
+  }
 }
