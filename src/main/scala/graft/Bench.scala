@@ -21,14 +21,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count() catch { case _: Throwable => () }
     }
-    // operators that cache intermediates (LSH bands, shingles) would pile
-    // up storage across 2×N query materializations — drop it between runs
-    spark.catalog.clearCache()
+    // No clearCache between queries: operators own their intermediate
+    // storage (localCheckpoint, reclaimed by the context cleaner) — the
+    // bench must not paper over a leaky operator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
       name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

