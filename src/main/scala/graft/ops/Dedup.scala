@@ -321,20 +321,74 @@ object Dedup {
        |JOIN sz s2 ON i.d2 = s2.doc_id
        |WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD""".stripMargin
 
-  /** Embedding-cosine near-dup: for every vector, its nearest same-label
-    * neighbor by cosine (label acts as the blocking cell, keeping the join
-    * quadratic only within a cell), flagged when above 0.9. Norms are
-    * precomputed per vector (once, narrow) — never inside the pair loop.
+  /** Hyperplane-LSH geometry for embedding near-dup. Each of
+    * [[HYP_TABLES]] hash tables assigns a vector a [[HYP_BITS]]-bit bucket:
+    * bit i is the sign of the projection onto a fixed Rademacher (±1
+    * component) hyperplane. Sign-random-projection preserves angles in
+    * expectation (Charikar '02); ±1 components make each projection a pure
+    * left-associated add/subtract chain over `CAST(embedding[j] AS
+    * DOUBLE)` — the SAME textual expression runs in Spark and DuckDB, so
+    * bucket assignment is bit-identical across engines (no float-reorder
+    * hazard; there is no sum() in the bucket path at all). Bits-per-table
+    * tunes bucket occupancy (≈ N / 2^bits per table): the fixture uses
+    * 2×4 so every vector has bucket-mates at sf0.01; a 100 TB corpus
+    * raises bits to log2(N / target_bucket) and adds tables for recall.
     */
-  def embeddingNearDup(emb: DataFrame): DataFrame = {
-    val base = Similarity.withNorm(emb)
-    val a = base.select(col("vec_id"), col("label"), col("embedding").as("ea"), col("nm").as("na"))
-    val b = base.select(col("vec_id").as("nn_id"), col("label"),
+  val HYP_TABLES = 2
+  val HYP_BITS = 4
+  val EMB_DIM = 64
+
+  /** Deterministic ±1 sign for hyperplane component (t, i, j) — a
+    * splitmix-style integer mix, reproduced identically in the Spark and
+    * DuckDB expression builders below (the constants are baked into both
+    * generated strings, so no RNG needs to exist in either engine).
+    */
+  private def hypSign(t: Int, i: Int, j: Int): Int = {
+    var x = ((t.toLong * HYP_BITS + i) * EMB_DIM + j) * 6364136223846793005L +
+      1442695040888963407L
+    x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 29)
+    if (((x >>> 17) & 1L) == 1L) 1 else -1
+  }
+
+  /** SQL text of the t-th table's bucket id over an `embedding` column;
+    * `base` is the array base index (0 = Spark, 1 = DuckDB).
+    */
+  private def bucketExprSql(t: Int, base: Int, dim: Int = EMB_DIM): String =
+    (0 until HYP_BITS).map { i =>
+      val proj = (0 until dim).map { j =>
+        val op = if (hypSign(t, i, j) > 0) "+" else "-"
+        s"$op CAST(embedding[${j + base}] AS DOUBLE)"
+      }.mkString("CAST(0 AS DOUBLE) ", " ", "")
+      s"(CASE WHEN ($proj) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
+    * sharing any (table, bucket) cell; each vector reports its best
+    * candidate by cosine, flagged ≥ 0.9. Pair fan-out is bounded by bucket
+    * occupancy (2^bits tunable), never by corpus or label-cell size — the
+    * old `label` blocking was quadratic per label cell. Norms are computed
+    * once per vector, never inside the pair loop; the candidate join is a
+    * plain codegen'd equi-join on (table, bucket).
+    */
+  def embeddingNearDup(emb: DataFrame, dim: Int = EMB_DIM): DataFrame = {
+    val base = Similarity.withNorm(emb).localCheckpoint()
+    val buckets = base.select(
+      col("vec_id"),
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), expr(bucketExprSql(t, 0, dim)).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nn_id"))
+      .distinct()
+    val a = base.select(col("vec_id"), col("label"),
+      col("embedding").as("ea"), col("nm").as("na"))
+    val b = base.select(col("vec_id").as("nn_id"),
       col("embedding").as("eb"), col("nm").as("nb"))
     val cosine = round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_id") =!= col("nn_id"))
+    cand.join(a, Seq("vec_id")).join(b, Seq("nn_id"))
       .withColumn("cosine", cosine)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -345,16 +399,26 @@ object Dedup {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDup(Tables.embeddings(spark, sfDir))
 
-  val dedupEmbeddingSql: String =
+  val dedupEmbeddingSql: String = {
+    val bucketUnion = (0 until HYP_TABLES)
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t, 1)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
     s"""WITH ${Similarity.UNNEST_CTE},
        |${Similarity.NORM_CTE},
+       |buckets AS (
+       |  $bucketUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nn_id
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |dots AS (
-       |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
-       |         sum(a.x * b.x) AS dot
-       |  FROM u a JOIN u b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
-       |  GROUP BY 1, 2, 3),
+       |  SELECT c.vec_id, c.nn_id, sum(a.x * b.x) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.vec_id
+       |  JOIN u b ON b.vec_id = c.nn_id AND a.i = b.i
+       |  GROUP BY 1, 2),
        |cos AS (
-       |  SELECT d.vec_id, d.label, d.nn_id,
+       |  SELECT d.vec_id, d.nn_id,
        |         round(d.dot / (n1.nm * n2.nm), 6) AS cosine
        |  FROM dots d
        |  JOIN nrm n1 ON d.vec_id = n1.vec_id
@@ -363,6 +427,8 @@ object Dedup {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY cosine DESC, nn_id) AS rn
        |  FROM cos)
-       |SELECT vec_id, label, nn_id, cosine, cosine >= 0.9 AS is_near_dup
-       |FROM ranked WHERE rn = 1""".stripMargin
+       |SELECT r.vec_id, e.label, r.nn_id, r.cosine, r.cosine >= 0.9 AS is_near_dup
+       |FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+       |WHERE r.rn = 1""".stripMargin
+  }
 }

@@ -83,12 +83,13 @@ class DedupSpec extends SparkSpec {
     val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
     val emb = Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 0))
       .toDF("vec_id", "embedding", "label")
-    val nn = Dedup.embeddingNearDup(emb)
+    val nn = Dedup.embeddingNearDup(emb, dim = 8)
       .select("vec_id", "nn_id", "cosine", "is_near_dup")
       .as[(Long, Long, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(nn(1L)._2 == 2L && nn(1L)._3 == 1.0 && nn(1L)._4)
     assert(nn(2L)._2 == 1L && nn(2L)._4)
-    assert(!nn(3L)._4)
+    // the unrelated vector either shares no LSH bucket (absent) or is unflagged
+    assert(nn.get(3L).forall(!_._4))
   }
 }
