@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,11 +15,12 @@ import graft.pipeline.Tables
   * in |left|+|right|, versus the quadratic blowup of the naive range-join
   * formulation.
   *
-  * Scale note: the window serializes per key. With fine-grained keys
-  * (instrument id, user id) this scales flat; for very-low-cardinality
-  * keys at 100 TB the next step is time-bucketing the partition key and
-  * carrying a per-bucket seed value in (or a custom SparkPlan, ladder
-  * step (c)).
+  * Two variants: [[asofJoin]] partitions the window by the key alone —
+  * right for fine-grained keys (instrument id, user id), where per-key
+  * serialization is already parallel. [[asofJoinBucketed]] partitions by
+  * (key, time-bucket) and seeds each bucket with the latest right value
+  * from earlier buckets — the shape for LOW-cardinality keys at 100 TB,
+  * where a key-only window would funnel everything through |keys| tasks.
   */
 object AsofJoin {
 
@@ -52,16 +53,83 @@ object AsofJoin {
         valueCols.map(col): _*)
   }
 
+  /** As-of join partitioned by (key, time-bucket): identical semantics to
+    * [[asofJoin]], but the carry-forward window never sees more than one
+    * bucket's rows. `bucketOf` maps a time to its bucket START, in the same
+    * type and order as the time column (e.g. `date_trunc("DAY", _)`):
+    * the bucket value doubles as the seed row's sort position.
+    *
+    * Seeding: the latest right row of each (key, bucket) is summarized
+    * (one row per key×bucket), and a key-partitioned window over those
+    * summaries carries the latest prior-bucket value onto each bucket that
+    * contains left rows. That window still partitions by the bare key, but
+    * over key×bucket-granularity rows — thousands of bytes per key at any
+    * corpus size — while the row-level window runs on (key, bucket), so no
+    * task ever sorts more than one bucket of real data.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      bucketOf: Column => Column): DataFrame = {
+    val leftOther = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
+    val kCols = keys.map(col)
+    val l2 = left.select(
+      kCols ++ Seq(col(leftTime).as("_t"), lit(0).as("_prio")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftOther.map(col): _*)
+      .withColumn("_bkt", bucketOf(col("_t")))
+    val r2 = right.select(
+      kCols ++ Seq(col(rightTime).as("_t"), lit(1).as("_prio")) ++
+        valueCols.map(col): _*)
+      .withColumn("_bkt", bucketOf(col("_t")))
+    // one summary row per (key, bucket): the bucket's latest right values
+    val sw = Window.partitionBy(kCols :+ col("_bkt"): _*).orderBy(col("_t").desc)
+    val summaries = r2
+      .withColumn("_rn", row_number().over(sw)).filter(col("_rn") === 1)
+      .select(kCols ++ (col("_bkt") +: valueCols.map(col)) :+ lit(1).as("_is_sum"): _*)
+    // buckets that contain left rows need a seed from strictly-earlier
+    // buckets: markers sort before the same bucket's summary, so the
+    // carried value excludes in-bucket rights (the row window handles those)
+    val markers = l2.select(kCols :+ col("_bkt"): _*).distinct()
+      .withColumn("_is_sum", lit(0))
+    val cw = Window.partitionBy(kCols: _*)
+      .orderBy(col("_bkt").asc, col("_is_sum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = summaries.unionByName(markers, allowMissingColumns = true)
+      .select(kCols ++ Seq(col("_bkt"), col("_is_sum")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(cw).as(c)): _*)
+      .filter(col("_is_sum") === 0)
+      .select(kCols ++ Seq(col("_bkt").as("_t"), lit(2).as("_prio")) ++
+        valueCols.map(col) :+ col("_bkt"): _*)
+      .select(l2.columns.filterNot(leftOther.contains).map(col) ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // seed (prio 2) sorts before a coincident right row (1), which sorts
+    // before a coincident left row (0) — tie semantics match asofJoin
+    val w = Window.partitionBy(kCols :+ col("_bkt"): _*)
+      .orderBy(col("_t").asc, col("_prio").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2, allowMissingColumns = true).unionByName(seeds)
+      .select(
+        kCols ++ Seq(col("_t"), col("_prio")) ++ leftOther.map(col) ++
+          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("_prio") === 0)
+      .select(kCols ++ Seq(col("_t").as(leftTime)) ++ leftOther.map(col) ++
+        valueCols.map(col): _*)
+  }
+
   /** tx enrichment via as-of semantics: each transaction takes the most
     * recent daily price at-or-before its timestamp (vs. the reference's
     * strict same-day bucket, updatescript.py:66-67 — as-of also covers
     * gap days). Inner semantics: transactions before the first price drop.
+    * Uses the bucketed variant: `chain` has TWO values, so the plain
+    * key-partitioned window would sort the whole fact table in 2 tasks;
+    * day buckets give (chain × day) parallelism.
     */
   def txEnrichAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.txSince(spark, sfDir, Tables.WM)
     val p = Tables.dailyPrice(spark, sfDir)
       .select(col("chain"), col("price_date").cast("timestamp").as("pts"), col("price"))
-    asofJoin(t, p, Seq("chain"), "createdAt", "pts", Seq("price"))
+    asofJoinBucketed(t, p, Seq("chain"), "createdAt", "pts", Seq("price"),
+      date_trunc("DAY", _))
       .filter(col("price").isNotNull)
       .select(col("_id"), col("createdAt"), col("chain"), col("stake"),
         col("price").as("asof_price"))

@@ -37,4 +37,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() == 100)
     assert(out.select("id").distinct().count() == 100)
   }
+
+  test("bucketed asof join matches the plain variant row for row") {
+    // gap days, multi-event days, coincident timestamps, pre-history rows —
+    // the seed/carry logic must reproduce the key-window result exactly
+    val left = (1 to 200).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:30:00"), i % 2L)
+    }.toDF("id", "t", "k")
+    // unique (k, pt) per right row — coincident right rows have undefined
+    // tie-winners in ANY asof formulation
+    val right = (0 to 27).filter(d => d % 3 != 1).map { d =>
+      (d % 2L, ts(f"2024-01-${d + 1}%02d 00:00:00"), d * 1.5)
+    }.toDF("k", "pt", "v")
+    val plain = AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val bucketed = AsofJoin.asofJoinBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+        org.apache.spark.sql.functions.date_trunc("DAY", _))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(bucketed == plain)
+  }
+
+  test("bucketed asof: seed carries across empty buckets; tie at bucket start matches in-bucket right") {
+    val left = Seq(
+      (1L, ts("2024-03-10 00:00:00"), 1L), // right row exactly at bucket start -> 7.0, not the seed
+      (2L, ts("2024-03-09 12:00:00"), 1L), // empty-bucket gap since 03-01 -> 3.0
+      (3L, ts("2024-02-28 00:00:00"), 1L)) // before any right -> null
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-03-01 08:00:00"), 3.0),
+      (1L, ts("2024-03-10 00:00:00"), 7.0))
+      .toDF("k", "pt", "v")
+    val got = AsofJoin.asofJoinBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+        org.apache.spark.sql.functions.date_trunc("DAY", _))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(7.0), 2L -> Some(3.0), 3L -> None))
+  }
 }
