@@ -14,60 +14,82 @@ import graft.pipeline.Tables
   */
 object TextAnalysis {
 
-  /** Deterministic per-language marker-word profiles (the n-gram-profile
-    * heuristic of langid, shrunk to word unigrams over the synthetic
-    * vocabulary so every language has live evidence in the fixture data).
+  /** Per-language character-trigram profiles — the head of each language's
+    * most-frequent char-trigram list (Cavnar–Trenkle n-gram profiling).
+    * These are properties of the LANGUAGES (function words and affixes:
+    * "the"/"ing", "de "/"ent", "os "/"que", "der"/"sch"), not of any test
+    * corpus — the operator works on arbitrary text.
     */
-  val LANG_PROFILES: Seq[(String, String)] = Seq(
-    "en" -> "the", "en" -> "a", "en" -> "table", "en" -> "row",
-    "fr" -> "query", "fr" -> "scan", "fr" -> "fast", "fr" -> "line",
-    "es" -> "value", "es" -> "part", "es" -> "slow", "es" -> "data",
-    "de" -> "join", "de" -> "hash", "de" -> "order", "de" -> "batch",
-    "zh" -> "spark", "zh" -> "key", "zh" -> "agg", "zh" -> "window")
+  val CHAR_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en ", "er ", "der", "ie ", "die", "ein", "ich", "sch",
+      "und", " un", "ung", "ch "),
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      "ing", "ng ", " to", "ion"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ent",
+      "que", " qu", "ue ", "ado"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ",
+      " et", "et ", "que", "les"))
 
-  private val PROFILE_VALUES: String =
-    LANG_PROFILES.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+  private val PROFILE_LANGS: Seq[String] = CHAR_PROFILES.map(_._1)
 
-  /** Language ID: count marker-word hits per candidate language (broadcast
-    * join to the tiny profile table), pick the argmax (hit count desc, then
-    * language asc), default 'unknown' when no marker fires.
+  /** Occurrence-count sum of `lang`'s profile trigrams over a `padded`
+    * column, via replace-scan arithmetic — pure string/integer ops with
+    * identical semantics in Spark and DuckDB (each term is an exact
+    * multiple of the trigram length, so the fractional divide is exact).
+    */
+  private def scoreExprSql(lang: String): String =
+    CHAR_PROFILES.toMap.apply(lang).map { g =>
+      s"(length(padded) - length(replace(padded, '$g', ''))) / ${g.length}"
+    }.mkString("(", " + ", ")")
+
+  /** Language ID: score each candidate language as the total occurrence
+    * count of its profile trigrams in the lower-cased, space-padded text;
+    * pick the argmax (ties broken language-ascending), 'unknown' when no
+    * trigram fires. One codegen'd projection — no explode, no join, no
+    * shuffle: the per-document scan cost and nothing else, at any corpus
+    * size.
     */
   def langid(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profiles = broadcast(LANG_PROFILES.toDF("cand_lang", "word"))
-    val hits = Tables.tokens(docs)
-      .join(profiles, col("tok") === col("word"))
-      .groupBy(col("doc_id"), col("cand_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))
-    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    docs
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val scored = docs
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .select(col("doc_id") +: col("lang") +:
+        PROFILE_LANGS.map(l => expr(scoreExprSql(l)).cast("long").as(s"score_$l")): _*)
+    val g = greatest(PROFILE_LANGS.map(l => col(s"score_$l")): _*)
+    val chain = PROFILE_LANGS.tail.foldLeft(
+      when(col(s"score_${PROFILE_LANGS.head}") === g, PROFILE_LANGS.head)) {
+      (acc, l) => acc.when(col(s"score_$l") === g, l)
+    }
+    scored.select(col("doc_id"), col("lang"),
+      when(g === 0L, lit("unknown")).otherwise(chain).as("predicted_lang"),
+      g.as("hits"))
   }
 
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
     langid(Tables.documents(spark, sfDir))
 
-  val textLangidSql: String =
-    s"""WITH ${Tables.TOK_CTE},
-       |profiles(cand_lang, word) AS (VALUES $PROFILE_VALUES),
-       |hits AS (
-       |  SELECT t.doc_id, p.cand_lang, count(*) AS hits
-       |  FROM tok t JOIN profiles p ON t.tok = p.word
-       |  GROUP BY 1, 2),
-       |best AS (
-       |  SELECT *, row_number() OVER (PARTITION BY doc_id
-       |                               ORDER BY hits DESC, cand_lang) AS rn
-       |  FROM hits)
-       |SELECT d.doc_id, d.lang,
-       |       coalesce(b.cand_lang, 'unknown') AS predicted_lang,
-       |       coalesce(b.hits, 0) AS hits
-       |FROM documents d
-       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin
+  val textLangidSql: String = {
+    val scoreCols = PROFILE_LANGS
+      .map(l => s"CAST(${scoreExprSql(l)} AS BIGINT) AS score_$l")
+      .mkString(",\n         ")
+    val caseArms = PROFILE_LANGS.init
+      .map(l => s"WHEN score_$l = hits THEN '$l'")
+      .mkString("\n            ")
+    s"""WITH padded AS (
+       |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM padded),
+       |g AS (
+       |  SELECT *, greatest(${PROFILE_LANGS.map("score_" + _).mkString(", ")}) AS hits
+       |  FROM scored)
+       |SELECT doc_id, lang,
+       |       CASE WHEN hits = 0 THEN 'unknown'
+       |            $caseArms
+       |            ELSE '${PROFILE_LANGS.last}' END AS predicted_lang,
+       |       hits
+       |FROM g""".stripMargin
+  }
 
   /** Quality scoring: token count, type-token ratio, mean token length,
     * short-token ratio, and a composite score — the length/ratio heuristics

@@ -8,17 +8,29 @@ class TextMultimodalSpec extends SparkSpec {
   private def docs(rows: (Long, String, String, String)*) =
     rows.toSeq.toDF("doc_id", "text", "lang", "source")
 
-  test("langid picks argmax profile, unknown when no marker fires") {
+  test("langid: char-trigram profiles classify real sentences; unknown when nothing fires") {
     val d = docs(
-      (1L, "the a table row row", "en", "s"),   // 5 en hits
-      (2L, "query scan fast the", "fr", "s"),   // 3 fr vs 1 en
-      (3L, "dup dup dup", "zh", "s"))           // no markers
+      (1L, "the king and the queen of england are going to the north", "en", "s"),
+      (2L, "les enfants et les parents de la ville sont dans le jardin", "fr", "s"),
+      (3L, "die kinder und die eltern sind in der schule und singen ein lied", "de", "s"),
+      (4L, "los perros y los gatos de la casa que esta en el campo", "es", "s"),
+      (5L, "zzzz qqqq wwww", "zz", "s"))
     val got = TextAnalysis.langid(d)
       .select("doc_id", "predicted_lang", "hits")
       .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(got(1L) == ("en", 5L))
-    assert(got(2L) == ("fr", 3L))
-    assert(got(3L) == ("unknown", 0L))
+    assert(got(1L)._1 == "en")
+    assert(got(2L)._1 == "fr")
+    assert(got(3L)._1 == "de")
+    assert(got(4L)._1 == "es")
+    assert(got(5L) == ("unknown", 0L))
+  }
+
+  test("langid: exact trigram occurrence counting (replace-scan arithmetic)") {
+    // padded " the the " holds ' th'x2, 'the'x2, 'he 'x2 -> 6 en hits, 0 elsewhere
+    val d = docs((1L, "the the", "en", "s"))
+    val r = TextAnalysis.langid(d)
+      .select("predicted_lang", "hits").as[(String, Long)].collect().head
+    assert(r == (("en", 6L)))
   }
 
   test("quality ratios are exact integer arithmetic") {
