@@ -54,6 +54,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_bpe_tokens" -> (TextAnalysis.textBpeTokens _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_bpe_tokens" -> TextAnalysis.textBpeTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,

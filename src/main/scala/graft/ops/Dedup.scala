@@ -77,20 +77,30 @@ object Dedup {
       |       min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** MinHash signature per document: H independent permutations simulated as
-    * min(md5(shingle || '#' || h)) over the document's distinct word 3-gram
-    * shingles. One aggregation computes all H minima (no H-way row blowup).
+  /** MinHash signature per document: H permutations via the
+    * Kirsch–Mitzenmacher construction g_i = (h1 + i·h2) mod 2^56 over ONE
+    * md5 per shingle (h1/h2 = the digest's two 56-bit halves) — preserves
+    * MinHash's collision analysis (K–M '06) at 1/12th the hashing cost of
+    * independent salted digests. One aggregation computes all H minima (no
+    * H-way row blowup); no term overflows: h1 + 11·h2 < 2^60.
     */
-  def signatures(docs: DataFrame): DataFrame =
-    Tables.shingles(docs)
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(col("shingle"), lit("#0")))).as("mh0"),
-        (1 until NUM_HASHES).map(h =>
-          min(md5(concat(col("shingle"), lit(s"#$h")))).as(s"mh$h")): _*)
+  val MINHASH_MASK: Long = (1L << 56) - 1
+
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = Tables.shingles(docs).select(
+      col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 15, 14), 16, 10).cast("long").as("h2"))
+    hashed.groupBy(col("doc_id")).agg(
+      min(expr(s"(h1 + 0 * h2) & $MINHASH_MASK")).as("mh0"),
+      (1 until NUM_HASHES).map(h =>
+        min(expr(s"(h1 + $h * h2) & $MINHASH_MASK")).as(s"mh$h")): _*)
+  }
 
   private val sigSqlCols: String =
-    (0 until NUM_HASHES).map(h => s"min(md5(shingle || '#$h')) AS mh$h").mkString(",\n         ")
+    (0 until NUM_HASHES)
+      .map(h => s"min((h1 + $h * h2) & $MINHASH_MASK) AS mh$h")
+      .mkString(",\n         ")
 
   /** MinHash + LSH banding: hash each band of the signature to a bucket key,
     * self-join per band bucket, count agreeing bands per candidate pair.
@@ -103,7 +113,7 @@ object Dedup {
     val sig = signatures(docs)
     val bandCols = (0 until NUM_BANDS).map { b =>
       val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
-      md5(concat(parts: _*)).as(s"b$b")
+      md5(concat_ws("|", parts: _*)).as(s"b$b")
     }
     // One row per document after the signature agg — locally checkpoint it
     // so the three band projections read it once instead of re-running the
@@ -125,7 +135,9 @@ object Dedup {
 
   val dedupMinhashSql: String = {
     val bandExprs = (0 until NUM_BANDS).map { b =>
-      val parts = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(" || ")
+      val parts = (0 until ROWS_PER_BAND)
+        .map(r => s"CAST(mh${b * ROWS_PER_BAND + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"md5($parts) AS b$b"
     }.mkString(",\n         ")
     val bandUnion = (0 until NUM_BANDS)
@@ -133,10 +145,15 @@ object Dedup {
       .mkString("\n  UNION ALL ")
     s"""WITH ${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
+       |hashed AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h1,
+       |         CAST(('0x' || substr(md5(shingle), 15, 14)) AS BIGINT) AS h2
+       |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |         $sigSqlCols
-       |  FROM sh GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id,
        |         $bandExprs

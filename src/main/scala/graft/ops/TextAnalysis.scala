@@ -168,6 +168,76 @@ object TextAnalysis {
       |       CAST(sum(est_bpe_tokens) AS BIGINT) AS total_est_bpe
       |FROM per_doc GROUP BY 1, 2""".stripMargin
 
+  /** Ordered BPE merge table (a demo vocabulary learned over common
+    * English pairs — at production scale this is the learned merge list of
+    * the target tokenizer, applied unchanged). Each entry merges the
+    * symbol pair (x, y) into xy.
+    */
+  val BPE_MERGES: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "e" -> "s", "s" -> "t", "a" -> "r", "o" -> "u",
+    "in" -> "g", "t" -> "o", "i" -> "s", "i" -> "t", "a" -> "l",
+    "l" -> "e", "c" -> "h", "s" -> "h", "u" -> "n", "o" -> "f",
+    "q" -> "u", "d" -> "e", "s" -> "e", "l" -> "a", "h" -> "e")
+
+  /** SQL expression counting the BPE tokens of a word column: the word is
+    * encoded as `|`-delimited symbols (`|c|a|t|`), each merge rule rewrites
+    * `|x|y|` → `|xy|` in one left-to-right non-overlapping replace pass
+    * (identical replace semantics in Spark and DuckDB; the delimiters make
+    * symbol boundaries unambiguous, so a merged `|aa|` can never be
+    * re-read as `|a|a|`), and the token count is #delimiters − 1.
+    * `duck` switches the regexp_replace capture-group syntax ($1 vs \1).
+    */
+  private def bpeCountSql(wordExpr: String, duck: Boolean): String = {
+    val interspersed =
+      if (duck) s"'|' || regexp_replace($wordExpr, '(.)', '\\1|', 'g')"
+      else s"'|' || regexp_replace($wordExpr, '(.)', '$$1|')"
+    val chain = BPE_MERGES.foldLeft(interspersed) { case (acc, (x, y)) =>
+      s"replace($acc, '|$x|$y|', '|$x$y|')"
+    }
+    s"(length($chain) - length(replace($chain, '|', ''))) - 1"
+  }
+
+  /** Real BPE token accounting per (lang, source): greedy merge-table
+    * tokenization of every whitespace word, rolled up doc-wise then
+    * slice-wise (two-level aggregation — no count-distinct shuffle). The
+    * per-word merge chain is a fixed cascade of replace() calls inside one
+    * codegen'd projection: linear in corpus size, no joins, no UDF.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("lang"), col("source"), col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("w"))
+    val perDoc = words
+      .withColumn("n_toks", expr(bpeCountSql("w", duck = false)).cast("long"))
+      .groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(sum(col("n_toks")).as("doc_toks"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_toks")).as("bpe_tokens"),
+        round(avg(col("doc_toks").cast("double")), 6).as("avg_doc_tokens"))
+  }
+
+  def textBpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTokenStats(Tables.documents(spark, sfDir))
+
+  val textBpeTokensSql: String =
+    s"""WITH words AS (
+       |  SELECT lang, source, doc_id,
+       |         unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |per_word AS (
+       |  SELECT lang, source, doc_id,
+       |         CAST(${bpeCountSql("w", duck = true)} AS BIGINT) AS n_toks
+       |  FROM words),
+       |per_doc AS (
+       |  SELECT lang, source, doc_id, CAST(sum(n_toks) AS BIGINT) AS doc_toks
+       |  FROM per_word GROUP BY 1, 2, 3)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(doc_toks) AS BIGINT) AS bpe_tokens,
+       |       round(avg(CAST(doc_toks AS DOUBLE)), 6) AS avg_doc_tokens
+       |FROM per_doc GROUP BY 1, 2""".stripMargin
+
   /** Document fingerprinting: (a) a canonical content fingerprint — md5 of
     * the sorted distinct token set (catches shuffled/reordered copies that
     * exact dedup misses); (b) a winnowing-style min-shingle fingerprint —

@@ -41,6 +41,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r == ((4L, 4L, 1.0, 2.5, 0.5)))
   }
 
+  test("bpe tokenizer: merge cascade produces known tokenizations") {
+    // "the" -> |t|h|e| -> |th|e| -> |the|           = 1 token
+    // "and" -> |a|n|d| -> |an|d| -> |and|           = 1 token
+    // "thin" -> |th|i|n| -> |th|in|                 = 2 tokens
+    // "cat"  -> |c|a|t| -> (a,t) -> |c|at|          = 2 tokens
+    // "zzz"  -> no merges                           = 3 tokens
+    val d = docs(
+      (1L, "the and", "en", "s"),  // 2 tokens
+      (2L, "thin cat", "en", "s"), // 4 tokens
+      (3L, "zzz", "en", "s"))      // 3 tokens
+    val r = TextAnalysis.bpeTokenStats(d)
+      .select("n_docs", "bpe_tokens").as[(Long, Long)].collect().head
+    assert(r == ((3L, 2L + 4L + 3L)))
+  }
+
   test("token stats: BPE estimate is ceil(chars/4)") {
     val d = docs((1L, "abcdefgh", "en", "s0"), (2L, "abcdefghi", "en", "s0"))
     val r = TextAnalysis.tokenStats(d)
