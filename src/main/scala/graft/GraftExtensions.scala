@@ -2,20 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, SortedLongIntersectCount}
 
-/** Session-extension hook: `--conf spark.sql.extensions=graft.GraftExtensions`
-  * registers the engine's custom functions in every session of the cluster,
-  * so SQL users get `vec_dot` without calling VectorFunctions.register.
+/** Library entry point for Spark's extension mechanism: install with
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or, with no code change on the user side:
+  * //   --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Registers the engine's native expressions (`vec_dot`,
+  * `sorted_intersect_count`) at session build time, so they resolve in
+  * `spark.sql(...)` text and `expr(...)` columns everywhere — including
+  * executors-side plan fragments — without any imperative
+  * `FunctionRegistry` call. The operators in `graft.ops` still
+  * self-register lazily (idempotent), so either path works.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
   }
 }

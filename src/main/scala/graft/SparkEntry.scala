@@ -55,6 +55,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_bpe_tokens" -> (TextAnalysis.textBpeTokens _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
+    "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
@@ -93,6 +95,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_bpe_tokens" -> TextAnalysis.textBpeTokensSql,
+    "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,

@@ -238,6 +238,85 @@ object TextAnalysis {
        |       round(avg(CAST(doc_toks AS DOUBLE)), 6) AS avg_doc_tokens
        |FROM per_doc GROUP BY 1, 2""".stripMargin
 
+  /** Repetition statistics per document (the Gopher-style repetition
+    * filter): duplicate-3-gram fraction and top-3-gram fraction over RAW
+    * (multiplicity-preserving) shingles, plus a keep flag at dup_ratio ≤
+    * 0.2. Two hash aggregations, both partial-agg friendly; the ratios are
+    * exact integer divisions, so both engines agree bit-for-bit.
+    */
+  val MAX_DUP_3GRAM_RATIO = 0.2
+
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val counts = Tables.rawShingles(docs)
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    val dupRatio = lit(1.0) -
+      col("distinct_3grams").cast("double") / col("total_3grams").cast("double")
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_3grams"),
+        count(lit(1)).as("distinct_3grams"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("total_3grams"), col("distinct_3grams"),
+        round(dupRatio, 6).as("dup_ratio"),
+        round(col("top_count").cast("double") / col("total_3grams").cast("double"), 6)
+          .as("top_ratio"),
+        (dupRatio <= MAX_DUP_3GRAM_RATIO).as("keep"))
+  }
+
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, sfDir))
+
+  val textRepetitionSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_RAW_CTE},
+       |counts AS (
+       |  SELECT doc_id, shingle, count(*) AS c FROM shr GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_3grams,
+       |         count(*) AS distinct_3grams, max(c) AS top_count
+       |  FROM counts GROUP BY 1)
+       |SELECT doc_id, total_3grams, distinct_3grams,
+       |       round(CAST(1 AS DOUBLE) - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE), 6) AS dup_ratio,
+       |       round(CAST(top_count AS DOUBLE) / CAST(total_3grams AS DOUBLE), 6) AS top_ratio,
+       |       (CAST(1 AS DOUBLE) - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE)) <= $MAX_DUP_3GRAM_RATIO AS keep
+       |FROM per_doc""".stripMargin
+
+  /** PII scrubbing: redact email addresses, then standalone long digit
+    * runs (≥9 digits — phone/account numbers), and report counts plus the
+    * scrubbed text's fingerprint and length. Redaction order matters
+    * (emails contain digits); patterns stay in the RE2 ∩ java.util.regex
+    * common subset so Spark and DuckDB match identically. One codegen'd
+    * projection — no shuffle.
+    */
+  val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LONGNUM_RE = "[0-9]{9,}"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val noEmail = regexp_replace(lowered, EMAIL_RE, "<email>")
+    val scrubbed = regexp_replace(noEmail, LONGNUM_RE, "<number>")
+    docs.select(col("doc_id"),
+      regexp_count(lowered, lit(EMAIL_RE)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(LONGNUM_RE)).cast("long").as("n_long_numbers"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      md5(scrubbed).as("scrubbed_fp"))
+  }
+
+  def textPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrub(Tables.documents(spark, sfDir))
+
+  val textPiiScrubSql: String =
+    s"""WITH s1 AS (
+       |  SELECT doc_id, lower(text) AS t,
+       |         regexp_replace(lower(text), '$EMAIL_RE', '<email>', 'g') AS t1
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$EMAIL_RE')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(t1, '$LONGNUM_RE')) AS BIGINT) AS n_long_numbers,
+       |       CAST(length(regexp_replace(t1, '$LONGNUM_RE', '<number>', 'g')) AS BIGINT) AS scrubbed_len,
+       |       md5(regexp_replace(t1, '$LONGNUM_RE', '<number>', 'g')) AS scrubbed_fp
+       |FROM s1""".stripMargin
+
   /** Document fingerprinting: (a) a canonical content fingerprint — md5 of
     * the sorted distinct token set (catches shuffled/reordered copies that
     * exact dedup misses); (b) a winnowing-style min-shingle fingerprint —

@@ -182,4 +182,23 @@ object Tables {
       |  FROM tok a
       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  /** Raw (multiplicity-preserving) word 3-gram shingles — the repetition
+    * statistics unit: a doc repeating one phrase must count it every time.
+    */
+  def rawShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+          .stripMargin)).as("shingle"))
+
+  val SHINGLE_RAW_CTE: String =
+    """shr AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
 }

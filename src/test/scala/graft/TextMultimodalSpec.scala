@@ -56,6 +56,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r == ((3L, 2L + 4L + 3L)))
   }
 
+  test("repetition stats: duplicated phrase raises dup ratio; varied text keeps") {
+    // "a b c a b c a b c" -> 7 raw 3-grams, 3 distinct -> dup = 4/7, top = 3/7
+    val d = docs(
+      (1L, "a b c a b c a b c", "en", "s"),
+      (2L, "one two three four five", "en", "s")) // all distinct -> dup 0
+    val r = TextAnalysis.repetitionStats(d)
+      .select("doc_id", "total_3grams", "distinct_3grams", "dup_ratio", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 7L, 3L, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6, false)))
+    assert(r(2L) == ((2L, 3L, 3L, 0.0, true)))
+  }
+
+  test("pii scrub: emails then long digit runs, counted and redacted in order") {
+    val d = docs(
+      (1L, "mail Bob.Smith+x@Example.COM or call 0123456789 now", "en", "s"),
+      (2L, "no pii here just 1234 short", "en", "s"))
+    val r = TextAnalysis.piiScrub(d)
+      .select("doc_id", "n_emails", "n_long_numbers", "scrubbed_len")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == 1L && r(1L)._3 == 1L)
+    // "mail <email> or call <number> now" = 33 chars
+    assert(r(1L)._4 == 33L)
+    assert(r(2L)._2 == 0L && r(2L)._3 == 0L)
+  }
+
   test("token stats: BPE estimate is ceil(chars/4)") {
     val d = docs((1L, "abcdefgh", "en", "s0"), (2L, "abcdefghi", "en", "s0"))
     val r = TextAnalysis.tokenStats(d)
