@@ -351,8 +351,8 @@ object Dedup {
     * 2×4 so every vector has bucket-mates at sf0.01; a 100 TB corpus
     * raises bits to log2(N / target_bucket) and adds tables for recall.
     */
-  val HYP_TABLES = 2
-  val HYP_BITS = 4
+  val HYP_TABLES = 3
+  val HYP_BITS = 6
   val EMB_DIM = 64
 
   /** Deterministic ±1 sign for hyperplane component (t, i, j) — a
@@ -367,17 +367,34 @@ object Dedup {
     if (((x >>> 17) & 1L) == 1L) 1 else -1
   }
 
-  /** SQL text of the t-th table's bucket id over an `embedding` column;
-    * `base` is the array base index (0 = Spark, 1 = DuckDB).
+  /** DuckDB SQL text of the t-th table's bucket id over an `embedding`
+    * column (1-based array indexing): each projection is a left-associated
+    * add/subtract chain seeded with 0.0.
     */
-  private def bucketExprSql(t: Int, base: Int, dim: Int = EMB_DIM): String =
+  private def bucketExprSql(t: Int, dim: Int = EMB_DIM): String =
     (0 until HYP_BITS).map { i =>
       val proj = (0 until dim).map { j =>
         val op = if (hypSign(t, i, j) > 0) "+" else "-"
-        s"$op CAST(embedding[${j + base}] AS DOUBLE)"
+        s"$op CAST(embedding[${j + 1}] AS DOUBLE)"
       }.mkString("CAST(0 AS DOUBLE) ", " ", "")
       s"(CASE WHEN ($proj) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Spark Column for the same bucket id, via `vec_dot` against the
+    * constant ±1 hyperplane (folded to a literal float array): the fused
+    * codegen loop replaces an 18×dim-term inlined expression, which blows
+    * past codegen limits and falls back to interpretation (~20× slower,
+    * measured). Bit-identical to [[bucketExprSql]]: multiplying by ±1.0f
+    * is exact and vec_dot folds left from 0.0 in double, exactly like the
+    * SQL chain.
+    */
+  private def bucketCol(t: Int, dim: Int): Column =
+    (0 until HYP_BITS).map { i =>
+      val arr = (0 until dim)
+        .map(j => s"CAST(${hypSign(t, i, j)} AS FLOAT)")
+        .mkString("array(", ", ", ")")
+      when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
     * sharing any (table, bucket) cell; each vector reports its best
@@ -388,24 +405,27 @@ object Dedup {
     * plain codegen'd equi-join on (table, bucket).
     */
   def embeddingNearDup(emb: DataFrame, dim: Int = EMB_DIM): DataFrame = {
+    // Vector payloads (embedding + norm) ride along in the bucket rows, so
+    // the candidate equi-join needs no join-back to the vector table, and
+    // duplicate candidates from multi-table hits are left in place — they
+    // carry identical cosines, so the rn=1 winner is unchanged and the
+    // dedup shuffle is saved.
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val base = Similarity.withNorm(emb).localCheckpoint()
     val buckets = base.select(
-      col("vec_id"),
+      col("vec_id"), col("label"), col("embedding"), col("nm"),
       explode(array((0 until HYP_TABLES).map(t =>
-        struct(lit(t).as("t"), expr(bucketExprSql(t, 0, dim)).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nn_id"))
-      .distinct()
-    val a = base.select(col("vec_id"), col("label"),
+        struct(lit(t).as("t"), bucketCol(t, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val a = buckets.select(col("t"), col("bucket"), col("vec_id"), col("label"),
       col("embedding").as("ea"), col("nm").as("na"))
-    val b = base.select(col("vec_id").as("nn_id"),
+    val b = buckets.select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
       col("embedding").as("eb"), col("nm").as("nb"))
     val cosine = round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
-    cand.join(a, Seq("vec_id")).join(b, Seq("nn_id"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cosine", cosine)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -418,7 +438,7 @@ object Dedup {
 
   val dedupEmbeddingSql: String = {
     val bucketUnion = (0 until HYP_TABLES)
-      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t, 1)} AS bucket FROM embeddings")
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL ")
     s"""WITH ${Similarity.UNNEST_CTE},
        |${Similarity.NORM_CTE},

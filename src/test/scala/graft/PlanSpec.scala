@@ -49,4 +49,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "banding must bound the pair space — an all-pairs join is a 100 TB bug")
   }
+
+  test("dedup_embedding: hyperplane-LSH plan, no cross/nested-loop join") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_pii_scrub and text_langid: pure projections, no shuffle") {
+    assert(!plan("text_pii_scrub").contains("Exchange"))
+    assert(!plan("text_langid").contains("Exchange"))
+  }
 }
