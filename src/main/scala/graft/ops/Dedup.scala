@@ -301,11 +301,24 @@ object Dedup {
       .localCheckpoint()
     val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // rarest-first prefix of length n − ⌈t·n⌉ + 1 per doc, ranked by the
+    // global (df, h) order. Array-side sort+slice after one hash agg —
+    // cheaper than a per-doc rank window (which shuffle-sorts every
+    // shingle row) and the slice drops common shingles before the explode.
     val prefix = sh.join(dfreq, Seq("h"))
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") <= col("n") - ceil(lit(JACCARD_THRESHOLD) * col("n")) + 1)
-    val cands = coMemberPairs(prefix, Seq("h"), "doc_id").distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"), explode(expr(
+        s"""slice(ranked, 1,
+           |  CAST(size(ranked) - ceil($JACCARD_THRESHOLD * size(ranked)) + 1 AS INT))"""
+          .stripMargin)).as("r"))
+      .select(col("doc_id"), col("r.h").as("h"))
+    // candidate pairs from prefix co-membership — plain equi-join (codegen)
+    val p1 = prefix.select(col("h"), col("doc_id").as("d1"))
+    val p2 = prefix.select(col("h"), col("doc_id").as("d2"))
+    val cands = p1.join(p2, Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
     val s1 = sets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
     val s2 = sets.select(col("doc_id").as("d2"), col("shs").as("shs2"), col("n").as("n2"))
     val jacc = col("c").cast("double") /
