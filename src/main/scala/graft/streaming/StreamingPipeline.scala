@@ -78,6 +78,22 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming exact dedup — the firehose twin of `Dedup.exactGroups`:
+    * emit only the FIRST document carrying each normalized-content
+    * fingerprint. The batch operator's groupBy has no end-of-stream to
+    * wait for, so the streaming form keeps seen-fingerprint state and
+    * bounds it with the event-time watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates later than the
+    * lateness horizon age out of state instead of growing it forever —
+    * the only state policy that survives an unbounded crawl.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** First event per (chain, stashId) across the whole stream, emitted
     * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
     * matching the batch window's ordering.

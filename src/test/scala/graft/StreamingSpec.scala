@@ -56,6 +56,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(12L) == ((12L, 5L, 6.0)))
   }
 
+  test("streaming exact dedup emits first occurrence per fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.dedupStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "ts")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-11 01:00:00"), "spark table scan"),
+      (2L, ts("2024-01-11 01:05:00"), "  SPARK   table SCAN "), // dup of 1
+      (3L, ts("2024-01-11 01:10:00"), "hash join plan"))
+    q.processAllAvailable()
+    in.addData(
+      (4L, ts("2024-01-11 01:20:00"), "spark table scan"),      // dup of 1, batch 2
+      (5L, ts("2024-01-11 01:30:00"), "window agg state"))      // new
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedupstream").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L))
+  }
+
   test("daily tumbling window aggregates per (chain, day)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxRow]
