@@ -41,23 +41,6 @@ object Dedup {
   val SIMHASH_BAND_BITS: Int = SIMHASH_BITS / SIMHASH_BANDS
   val SIMHASH_MAX_HAMMING: Int = SIMHASH_BANDS - 1
 
-  /** Candidate pairs from co-membership: group rows by `groupCols`, collect
-    * the member ids, emit every ordered pair (d1 < d2). One shuffle (the
-    * groupBy) instead of a self-join's two exchanged sides, and
-    * single-member groups vanish before any pair exists. Group size bounds
-    * the fan-out — the inverted-index / LSH-bucket pairing shape. Equivalent
-    * to `x JOIN y ON keys AND x.id < y.id`.
-    */
-  private def coMemberPairs(df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(col(idCol))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS d1, y AS d2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-
   /** Exact dedup: group documents by the md5 of whitespace/case-normalized
     * text; emit one representative (min doc_id) + multiplicity per group.
     * Map-side partial agg; one shuffle on the 128-bit fingerprint.
@@ -125,7 +108,13 @@ object Dedup {
     val buckets = (0 until NUM_BANDS).map { b =>
       bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
     }.reduce(_.unionByName(_))
-    coMemberPairs(buckets, Seq("band_no", "bucket"), "doc_id")
+    // bucket-bounded pairs via a plain equi-join on (band_no, bucket):
+    // stays in WholeStageCodegen end to end (a collect_list+pair-explode
+    // lambda would run interpreted)
+    val x = buckets.select(col("band_no"), col("bucket"), col("doc_id").as("d1"))
+    val y = buckets.select(col("band_no"), col("bucket"), col("doc_id").as("d2"))
+    x.join(y, Seq("band_no", "bucket"))
+      .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).cast("long").as("n_bands"))
   }
