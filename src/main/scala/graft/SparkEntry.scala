@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
+    "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,
+    "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

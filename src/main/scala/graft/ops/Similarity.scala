@@ -114,6 +114,129 @@ object Similarity {
   def simsearchIvf(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopk(Tables.embeddings(spark, sfDir), col("vec_id") < N_QUERIES, IVF_TOP_K)
 
+  /** In-engine coarse quantizer: spherical k-means over the embedding
+    * corpus. Deterministic throughout — seeds are the first
+    * [[KMEANS_K]] vectors, assignment ranks on round(cosine, 6) with a
+    * cell-id tie-break, and recomputed centroid components are
+    * round-pinned then narrowed to float so both engines carry identical
+    * centroid bits into the next round. [[KMEANS_ITERS]] Lloyd rounds,
+    * each one broadcast-join + window (assign) and two hash aggregations
+    * (recompute): every step is a bounded shuffle — nothing iterates on
+    * the driver, and K centroids always broadcast.
+    */
+  val KMEANS_K = 8
+  val KMEANS_ITERS = 2
+
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("cos", round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  private def recomputeCents(base: DataFrame, asg: DataFrame): DataFrame = {
+    val comp = base.join(asg, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).cast("float").as("v"))
+    val arr = comp.groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").as("carr"))
+    arr.withColumn("cnorm",
+      sqrt(graft.functions.VectorFunctions.vec_norm_sq(arr.sparkSession, "carr")))
+  }
+
+  /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign;
+    * `base` must carry (vec_id, embedding, nm).
+    */
+  def kmeansCells(base: DataFrame): DataFrame = {
+    val init = base.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("carr"),
+        col("nm").as("cnorm"))
+    val finalCents = (0 until KMEANS_ITERS).foldLeft(init) { (cents, _) =>
+      recomputeCents(base, assignCells(base, cents))
+    }
+    assignCells(base, finalCents)
+  }
+
+  /** IVF top-k with the coarse quantizer computed in-engine (vs
+    * [[simsearchIvf]], which trusts a given partition label): queries scan
+    * only their own k-means cell.
+    */
+  def simsearchIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val withCell = base.join(kmeansCells(base), Seq("vec_id"))
+    val queries = withCell.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("eq"), col("nm").as("nq"))
+    val cands = withCell.select(col("vec_id").as("n_id"), col("cell"),
+      col("embedding").as("ec"), col("nm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    cands.join(broadcast(queries), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("cell"), col("n_id"), col("cosine"), col("rnk"))
+  }
+
+  /** DuckDB twin of the k-means IVF: the same deterministic Lloyd rounds
+    * unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with centroid
+    * components round-pinned and float-narrowed exactly like the Spark
+    * side, then the same-cell top-k search.
+    */
+  val simsearchIvfKmeansSql: String = {
+    def cnBlock(name: String, cent: String): String =
+      s"$name AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM $cent GROUP BY 1)"
+    def asgBlock(name: String, cent: String, cn: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell,
+         |           row_number() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS rn
+         |    FROM (SELECT u.vec_id, c.cell, sum(u.x * c.x) AS dot
+         |          FROM u JOIN $cent c ON u.i = c.i GROUP BY 1, 2) d
+         |    JOIN nrm n ON d.vec_id = n.vec_id
+         |    JOIN $cn c ON d.cell = c.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def centBlock(name: String, asg: String): String =
+      s"""$name AS (
+         |  SELECT a.cell, u.i, CAST(CAST(round(avg(u.x), 6) AS FLOAT) AS DOUBLE) AS x
+         |  FROM u JOIN $asg a ON u.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val iterBlocks = (0 until KMEANS_ITERS).flatMap { r =>
+      Seq(cnBlock(s"cn$r", s"cent$r"),
+        asgBlock(s"asg${r + 1}", s"cent$r", s"cn$r"),
+        centBlock(s"cent${r + 1}", s"asg${r + 1}"))
+    }
+    val last = KMEANS_ITERS
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |cent0 AS (SELECT vec_id AS cell, i, x FROM u WHERE vec_id < $KMEANS_K),
+       |${iterBlocks.mkString(",\n")},
+       |${cnBlock(s"cn$last", s"cent$last")},
+       |${asgBlock("asgf", s"cent$last", s"cn$last")},
+       |qdots AS (
+       |  SELECT q.vec_id AS q_id, q.cell, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM asgf q
+       |  JOIN asgf a2 ON a2.cell = q.cell AND a2.vec_id <> q.vec_id
+       |  JOIN u ua ON ua.vec_id = q.vec_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  WHERE q.vec_id < $N_QUERIES
+       |  GROUP BY 1, 2, 3),
+       |qcos AS (
+       |  SELECT d.q_id, d.cell, d.n_id, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM qdots d
+       |  JOIN nrm n1 ON d.q_id = n1.vec_id
+       |  JOIN nrm n2 ON d.n_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cosine DESC, n_id) AS rnk
+       |  FROM qcos)
+       |SELECT q_id, cell, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+  }
+
   val simsearchIvfSql: String =
     s"""WITH ${UNNEST_CTE},
        |${NORM_CTE},

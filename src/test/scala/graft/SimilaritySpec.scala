@@ -35,4 +35,21 @@ class SimilaritySpec extends SparkSpec {
       .select("n_id").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("k-means cells: every vector assigned exactly once, directions cluster together") {
+    // two tight direction clusters; 16 vectors, K=8 seeds
+    val emb = (0 until 16).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.01f * i) else Array(0.01f * i, 1.0f)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val base = Similarity.withNorm(emb)
+    val cells = Similarity.kmeansCells(base)
+      .as[(Long, Long)].collect().toMap
+    assert(cells.size == 16)
+    // k-means never merges seeds, so each direction family may spread over
+    // several cells — but no cell may MIX the two families
+    val evens = (0 until 16 by 2).map(i => cells(i.toLong)).toSet
+    val odds = (1 until 16 by 2).map(i => cells(i.toLong)).toSet
+    assert(evens.intersect(odds).isEmpty)
+  }
 }
