@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup _),
     "purchasers_no_error" -> (Relational.purchasersNoError _),
     "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
+    "tx_enrich_asof_native" -> (AsofJoin.txEnrichAsofNative _),
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "agg_rollup" -> Relational.aggRollupSql,
     "purchasers_no_error" -> Relational.purchasersNoErrorSql,
     "tx_enrich_asof" -> AsofJoin.txEnrichAsofSql,
+    "tx_enrich_asof_native" -> AsofJoin.txEnrichAsofSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

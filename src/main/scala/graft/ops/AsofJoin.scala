@@ -116,6 +116,33 @@ object AsofJoin {
         valueCols.map(col): _*)
   }
 
+  /** Native as-of join via the custom operator (ladder step (c) —
+    * graft.plans.AsofJoinPlan/Exec): same semantics as [[asofJoin]], but
+    * executed as one forward merge per co-partition instead of a
+    * union+window. Installs [[graft.plans.AsofJoinStrategy]] into the
+    * session's extra strategies (idempotent; `GraftExtensions` users get
+    * it at session build).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsofJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      valueCols.map(attr(rPlan, _)))
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, node)
+  }
+
   /** tx enrichment via as-of semantics: each transaction takes the most
     * recent daily price at-or-before its timestamp (vs. the reference's
     * strict same-day bucket, updatescript.py:66-67 — as-of also covers
@@ -130,6 +157,20 @@ object AsofJoin {
       .select(col("chain"), col("price_date").cast("timestamp").as("pts"), col("price"))
     asofJoinBucketed(t, p, Seq("chain"), "createdAt", "pts", Seq("price"),
       date_trunc("DAY", _))
+      .filter(col("price").isNotNull)
+      .select(col("_id"), col("createdAt"), col("chain"), col("stake"),
+        col("price").as("asof_price"))
+  }
+
+  /** The same tx enrichment through the NATIVE operator — same oracle as
+    * [[txEnrichAsof]] (the semantics are identical; only the physical
+    * plan differs: merge exec instead of union+window).
+    */
+  def txEnrichAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.txSince(spark, sfDir, Tables.WM)
+    val p = Tables.dailyPrice(spark, sfDir)
+      .select(col("chain"), col("price_date").cast("timestamp").as("pts"), col("price"))
+    asofJoinNative(t, p, Seq("chain"), "createdAt", "pts", Seq("price"))
       .filter(col("price").isNotNull)
       .select(col("_id"), col("createdAt"), col("chain"), col("stake"),
         col("price").as("asof_price"))

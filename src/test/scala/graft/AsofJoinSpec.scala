@@ -57,6 +57,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("native asof exec matches the composed variant on edge cases and random data") {
+    // edge cases from the first test
+    val left1 = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L), (2L, ts("2024-01-03 00:00:00"), 1L),
+      (3L, ts("2024-01-04 00:00:00"), 1L), (4L, ts("2023-12-31 00:00:00"), 1L),
+      (5L, ts("2024-01-05 00:00:00"), 2L)).toDF("id", "t", "k")
+    val right1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0), (1L, ts("2024-01-03 00:00:00"), 20.0),
+      (2L, ts("2024-01-01 00:00:00"), 99.0)).toDF("k", "pt", "v")
+    val got1 = AsofJoin.asofJoinNative(left1, right1, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got1 == Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> Some(20.0),
+      4L -> None, 5L -> Some(99.0)))
+    // randomized equivalence against the composed variant
+    val left2 = (1 to 200).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:30:00"), i % 3L)
+    }.toDF("id", "t", "k")
+    val right2 = (0 to 27).filter(d => d % 4 != 1).map { d =>
+      (d % 3L, ts(f"2024-01-${d + 1}%02d 00:00:00"), d * 1.5)
+    }.toDF("k", "pt", "v")
+    val plain = AsofJoin.asofJoin(left2, right2, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val native = AsofJoin.asofJoinNative(left2, right2, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(native == plain)
+  }
+
+  test("native asof exec plan contains the custom operator and sorted exchanges") {
+    val left = Seq((1L, ts("2024-01-02 00:00:00"), 1L)).toDF("id", "t", "k")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 10.0)).toDF("k", "pt", "v")
+    val df = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "pt", Seq("v"))
+    assert(df.count() == 1)
+    // AQE shows the final physical tree only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p)
+  }
+
   test("bucketed asof: seed carries across empty buckets; tie at bucket start matches in-bucket right") {
     val left = Seq(
       (1L, ts("2024-03-10 00:00:00"), 1L), // right row exactly at bucket start -> 7.0, not the seed
