@@ -43,6 +43,7 @@ object SparkEntry {
     "purchasers_no_error" -> (Relational.purchasersNoError _),
     "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
     "tx_enrich_asof_native" -> (AsofJoin.txEnrichAsofNative _),
+    "tx_enrich_range" -> (AsofJoin.txEnrichRange _),
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "purchasers_no_error" -> Relational.purchasersNoErrorSql,
     "tx_enrich_asof" -> AsofJoin.txEnrichAsofSql,
     "tx_enrich_asof_native" -> AsofJoin.txEnrichAsofSql,
+    "tx_enrich_range" -> AsofJoin.txEnrichRangeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

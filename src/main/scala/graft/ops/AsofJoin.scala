@@ -176,6 +176,64 @@ object AsofJoin {
         col("price").as("asof_price"))
   }
 
+  /** Range (interval) join: left rows matched to the right interval
+    * [start, end) of the same key that contains their time. Spark plans a
+    * raw inequality join as BroadcastNestedLoopJoin — quadratic. This
+    * composition is exact and equi-join-shaped: every right interval is
+    * exploded into the `bucketWidth`-sized buckets it covers, the join key
+    * is (key, bucket(t)), and the residual range predicate filters inside
+    * the bucket. No dedup is needed — t lies in exactly one bucket, so
+    * each (left row, interval) pair meets exactly once. Bucket fan-out =
+    * interval span / bucketWidth (cap open intervals before calling).
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val lb = (unix_timestamp(col(leftTime)) / bucketSeconds).cast("long")
+    val rStart = (unix_timestamp(col(startCol)) / bucketSeconds).cast("long")
+    // end is exclusive: a bucket is covered iff start_bkt <= b <= bkt(end - 1s)
+    val rEnd = ((unix_timestamp(col(endCol)) - 1) / bucketSeconds).cast("long")
+    val r2 = right
+      .withColumn("_bkt", explode(sequence(rStart, rEnd)))
+    left.withColumn("_bkt", lb)
+      .join(r2, keys :+ "_bkt")
+      .filter(col(leftTime) >= col(startCol) && col(leftTime) < col(endCol))
+      .drop("_bkt")
+  }
+
+  /** tx enrichment as a range join: each daily price row becomes the
+    * interval [price_date, next price_date) (the last one capped at the
+    * fixture horizon), and transactions join the interval containing
+    * their timestamp — same result set as the as-of enrichment, exercised
+    * through the interval path. The DuckDB oracle uses the raw
+    * inequality join.
+    */
+  def txEnrichRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.txSince(spark, sfDir, Tables.WM)
+    val nextDay = Window.partitionBy(col("chain")).orderBy(col("pts"))
+    val p = Tables.dailyPrice(spark, sfDir)
+      .select(col("chain"), col("price_date").cast("timestamp").as("pts"), col("price"))
+      .withColumn("pend", coalesce(lead(col("pts"), 1).over(nextDay),
+        lit(Tables.ASOF_DATE).cast("timestamp") + expr("INTERVAL 1 DAY")))
+    rangeJoinBucketed(t, p, Seq("chain"), "createdAt", "pts", "pend", 86400L)
+      .select(col("_id"), col("createdAt"), col("chain"), col("stake"),
+        col("price").as("range_price"))
+  }
+
+  val txEnrichRangeSql: String =
+    s"""WITH ${Tables.TX_CTE},
+       |${Tables.PRICE_CTE},
+       |p2 AS (
+       |  SELECT chain, CAST(price_date AS TIMESTAMP) AS pts, price,
+       |         coalesce(lead(CAST(price_date AS TIMESTAMP), 1)
+       |                    OVER (PARTITION BY chain ORDER BY price_date),
+       |                  TIMESTAMP '${Tables.ASOF_DATE} 00:00:00' + INTERVAL 1 DAY) AS pend
+       |  FROM price),
+       |t AS (SELECT * FROM tx WHERE createdAt > TIMESTAMP '${Tables.WM}')
+       |SELECT t._id, t.createdAt, t.chain, t.stake, p.price AS range_price
+       |FROM t JOIN p2 p ON t.chain = p.chain
+       |               AND t.createdAt >= p.pts AND t.createdAt < p.pend""".stripMargin
+
   val txEnrichAsofSql: String =
     s"""WITH ${Tables.TX_CTE},
        |${Tables.PRICE_CTE},

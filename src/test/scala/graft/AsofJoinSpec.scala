@@ -94,6 +94,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(p.contains("AsofJoin"), p)
   }
 
+  test("range join: interval membership with exclusive end, no nested-loop plan") {
+    val left = Seq(
+      (1L, ts("2024-01-02 12:00:00"), 1L), // inside [01, 04)
+      (2L, ts("2024-01-04 00:00:00"), 1L), // exactly at end -> next interval
+      (3L, ts("2024-01-09 00:00:00"), 1L), // in no interval
+      (4L, ts("2024-01-01 00:00:00"), 1L)) // exactly at start -> matches
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00"), 10.0),
+      (1L, ts("2024-01-04 00:00:00"), ts("2024-01-06 00:00:00"), 20.0))
+      .toDF("k", "s", "e", "v")
+    val df = AsofJoin.rangeJoinBucketed(left, right, Seq("k"), "t", "s", "e", 86400L)
+    val got = df.select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 4L -> 10.0)) // id 3 drops (inner)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed asof: seed carries across empty buckets; tie at bucket start matches in-bucket right") {
     val left = Seq(
       (1L, ts("2024-03-10 00:00:00"), 1L), // right row exactly at bucket start -> 7.0, not the seed
