@@ -40,6 +40,7 @@ object SparkEntry {
     "props_parse" -> (Relational.propsParse _),
     "user_sessions" -> (Relational.userSessions _),
     "agg_rollup" -> (Relational.aggRollup _),
+    "event_quantiles" -> (Relational.eventQuantiles _),
     "purchasers_no_error" -> (Relational.purchasersNoError _),
     "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
     "tx_enrich_asof_native" -> (AsofJoin.txEnrichAsofNative _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "props_parse" -> Relational.propsParseSql,
     "user_sessions" -> Relational.userSessionsSql,
     "agg_rollup" -> Relational.aggRollupSql,
+    "event_quantiles" -> Relational.eventQuantilesSql,
     "purchasers_no_error" -> Relational.purchasersNoErrorSql,
     "tx_enrich_asof" -> AsofJoin.txEnrichAsofSql,
     "tx_enrich_asof_native" -> AsofJoin.txEnrichAsofSql,

@@ -147,6 +147,26 @@ object Relational {
       |EXCEPT
       |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin
 
+  /** Exact interpolated percentiles per event_type — Spark `percentile`
+    * and DuckDB `quantile_cont` share the type-7 definition (interpolate
+    * at rank (n−1)·p over the sorted values), so the results agree
+    * bit-for-bit under the usual round-pin. Exact percentile is a
+    * sort-based aggregate; at 100 TB the same query shape swaps in
+    * `approx_percentile` (t-digest) with no plan change.
+    */
+  def eventQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_value"))
+
+  val eventQuantilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.5), 6) AS median_value,
+      |       round(quantile_cont(value, 0.95), 6) AS p95_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** F8 (SURVEY.md §2.8): structured JSON parsing — `from_json` with a
     * declared schema (not regex), then typed aggregation over the extracted
     * field. The parse happens once per row inside codegen; only `props` and
