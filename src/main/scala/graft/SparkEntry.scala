@@ -41,6 +41,7 @@ object SparkEntry {
     "user_sessions" -> (Relational.userSessions _),
     "agg_rollup" -> (Relational.aggRollup _),
     "event_quantiles" -> (Relational.eventQuantiles _),
+    "approx_stats" -> (Relational.approxStats _),
     "purchasers_no_error" -> (Relational.purchasersNoError _),
     "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
     "tx_enrich_asof_native" -> (AsofJoin.txEnrichAsofNative _),

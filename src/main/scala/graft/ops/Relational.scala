@@ -167,6 +167,21 @@ object Relational {
       |       round(quantile_cont(value, 0.95), 6) AS p95_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Approximate sketch aggregates — the shapes that replace their exact
+    * twins at 100 TB: HyperLogLog++ distinct counts (fixed-size sketch,
+    * mergeable map-side) and t-digest percentiles (no global sort). No
+    * DuckDB oracle: sketch implementations differ across engines by
+    * design, so the driver records a rows-only check; the spec instead
+    * bounds the estimates against the exact values on the fixture.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy((col("event_id") % 2).as("chain"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("approx_median"),
+        count(lit(1)).as("n"))
+
   /** F8 (SURVEY.md §2.8): structured JSON parsing — `from_json` with a
     * declared schema (not regex), then typed aggregation over the extracted
     * field. The parse happens once per row inside codegen; only `props` and
