@@ -143,8 +143,11 @@ object Similarity {
       .agg(round(avg(col("col").cast("double")), 6).cast("float").as("v"))
     val arr = comp.groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").as("carr"))
+    // K rows — checkpoint so iteration k's plan doesn't re-execute every
+    // previous assign/recompute round (lineage depth grows per iteration)
     arr.withColumn("cnorm",
       sqrt(graft.functions.VectorFunctions.vec_norm_sq(arr.sparkSession, "carr")))
+      .localCheckpoint()
   }
 
   /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign;
