@@ -94,6 +94,22 @@ object StreamingPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming sessionization — the stateful twin of the batch
+    * lag+running-sum `Relational.userSessions`: `session_window` merges
+    * events into per-user sessions that close after `gap` of silence,
+    * with state finalized (and emitted, in append mode) once the
+    * watermark passes the session end. One shuffle on the session key;
+    * session state lives in the state store, never on the driver.
+    */
+  def userSessionsStream(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("session_events"))
+
   /** First event per (chain, stashId) across the whole stream, emitted
     * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
     * matching the batch window's ordering.

@@ -76,6 +76,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L))
   }
 
+  test("streaming sessionization merges events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingPipeline.userSessionsStream(
+        in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    in.addData(
+      (1L, ts("2024-01-11 01:00:00")),
+      (1L, ts("2024-01-11 01:10:00")),  // within 30min gap: same session
+      (1L, ts("2024-01-11 03:00:00")),  // >30min later: new session
+      (2L, ts("2024-01-11 01:05:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "session_events").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) == Seq(1L, 2L)) // one 2-event session + one 1-event session
+    assert(got(2L) == Seq(1L))
+  }
+
   test("daily tumbling window aggregates per (chain, day)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxRow]
