@@ -32,9 +32,18 @@ object PipelineRunner {
 
   private def sinkPath(c: Config, name: String) = s"${c.sinkDir}/$name"
 
+  /** Hadoop-FS existence probe — works on any scheme the cluster mounts
+    * (file://, hdfs://, s3a://); a java.io.File check would silently
+    * report "missing" for every non-local sink.
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def readSink(spark: SparkSession, c: Config, name: String): Option[DataFrame] = {
-    val p = new java.io.File(sinkPath(c, name))
-    if (p.exists()) Some(spark.read.parquet(p.getPath)) else None
+    val p = sinkPath(c, name)
+    if (pathExists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   /** Idempotent append: anti-join on `key` against current sink content,

@@ -67,7 +67,7 @@ object StreamingPipeline {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val delta =
-          if (new java.io.File(sinkDir).exists()) {
+          if (graft.pipeline.PipelineRunner.pathExists(spark, sinkDir)) {
             val existing = spark.read.parquet(sinkDir)
             batch.join(existing.select(key.map(col): _*).distinct(), key, "left_anti")
           } else batch.toDF()
