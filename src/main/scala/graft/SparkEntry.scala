@@ -42,6 +42,8 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup _),
     "event_quantiles" -> (Relational.eventQuantiles _),
     "approx_stats" -> (Relational.approxStats _),
+    "top_users_per_chain" -> (Relational.topUsersPerChain _),
+    "salted_user_volume" -> (Relational.saltedUserVolume _),
     "purchasers_no_error" -> (Relational.purchasersNoError _),
     "tx_enrich_asof" -> (AsofJoin.txEnrichAsof _),
     "tx_enrich_asof_native" -> (AsofJoin.txEnrichAsofNative _),
@@ -87,6 +89,8 @@ object SparkEntry {
     "user_sessions" -> Relational.userSessionsSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "event_quantiles" -> Relational.eventQuantilesSql,
+    "top_users_per_chain" -> Relational.topUsersPerChainSql,
+    "salted_user_volume" -> Relational.saltedUserVolumeSql,
     "purchasers_no_error" -> Relational.purchasersNoErrorSql,
     "tx_enrich_asof" -> AsofJoin.txEnrichAsofSql,
     "tx_enrich_asof_native" -> AsofJoin.txEnrichAsofSql,

@@ -167,6 +167,46 @@ object Relational {
       |       round(quantile_cont(value, 0.95), 6) AS p95_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Top-k per group (vs [[topCustomers]]' global top-k): rank inside each
+    * (chain) partition and keep the 3 highest-volume users. The window
+    * shuffles once on the group key; per-group state is a running rank,
+    * never a global sort. Sums are round-pinned, ranking is on the pinned
+    * value with an id tie-break — both engines rank identically.
+    */
+  def topUsersPerChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val volume = Tables.events(spark, sfDir)
+      .groupBy((col("event_id") % 2).as("chain"), col("user_id"))
+      .agg(round(sum(col("value")), 4).as("volume"))
+    val w = Window.partitionBy(col("chain")).orderBy(col("volume").desc, col("user_id"))
+    volume.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("chain"), col("user_id"), col("volume"), col("rnk"))
+  }
+
+  val topUsersPerChainSql: String =
+    """WITH volume AS (
+      |  SELECT event_id % 2 AS chain, user_id, round(sum(value), 4) AS volume
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY chain
+      |                               ORDER BY volume DESC, user_id) AS rnk
+      |  FROM volume)
+      |SELECT chain, user_id, volume, rnk FROM ranked WHERE rnk <= 3""".stripMargin
+
+  /** Hot-key aggregation through the two-phase salted path — the oracle is
+    * the PLAIN group-by (salting is result-identical by construction), so
+    * the driver's exact-hash compare proves the skew mitigation changes
+    * bytes nowhere.
+    */
+  def saltedUserVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedSumCount(Tables.events(spark, sfDir),
+        Seq("user_id"), "value", "event_id")
+      .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+
+  val saltedUserVolumeSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Approximate sketch aggregates — the shapes that replace their exact
     * twins at 100 TB: HyperLogLog++ distinct counts (fixed-size sketch,
     * mergeable map-side) and t-digest percentiles (no global sort). No
