@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,

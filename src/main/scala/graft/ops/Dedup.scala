@@ -398,6 +398,50 @@ object Dedup {
       when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Shared-long-span detection — substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"), in the
+    * span-hash form: two documents are span-duplicates when they share a
+    * contiguous run of [[SPAN_WORDS]] words. Every position's span is
+    * hashed (rolling w-gram), the inverted index on the span hash yields
+    * candidate pairs, and the pair count = number of shared span
+    * positions. Span-hash frequency bounds the fan-out exactly like the
+    * shingle index; a true suffix-array dedup replaces this at the point
+    * where spans must be maximal rather than fixed-width.
+    */
+  val SPAN_WORDS = 10
+
+  def substringSpanPairs(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SPAN_WORDS)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
+           |  i -> md5(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+          .stripMargin)).as("h"))
+      .distinct()
+    val a = spans.select(col("h"), col("doc_id").as("d1"))
+    val b = spans.select(col("h"), col("doc_id").as("d2"))
+    a.join(b, Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("long").as("n_shared_spans"))
+  }
+
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpanPairs(Tables.documents(spark, sfDir))
+
+  val dedupSubstringSql: String =
+    s"""WITH spans AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(array_to_string(list_slice(toks, i, i + ${SPAN_WORDS - 1}), ' ')) AS h
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SPAN_WORDS - 1})) AS i
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= $SPAN_WORDS))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared_spans
+       |FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
     * sharing any (table, bucket) cell; each vector reports its best
     * candidate by cosine, flagged ≥ 0.9. Pair fan-out is bounded by bucket

@@ -77,6 +77,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 15.0 / 21.0) < 1e-4)
   }
 
+  test("substring spans: docs sharing a 10-word run pair up; shorter overlap does not") {
+    val run = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"$run alpha beta",
+      2L -> s"gamma $run delta",            // shares the 10-word run
+      3L -> "one two three four five x y z w q") // only a 5-word overlap
+    val pairs = Dedup.substringSpanPairs(d)
+      .select("d1", "d2", "n_shared_spans").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
   test("embedding near-dup: planted duplicate vector is mutual nearest neighbor with cosine 1") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(_ * 2.0f) // same direction -> cosine 1
