@@ -414,9 +414,12 @@ object Dedup {
     val spans = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= SPAN_WORDS)
+      // the hash never reaches the output (pairs + counts only), so the
+      // engines need not agree on hash VALUES — only on span equality.
+      // xxhash64 here; the oracle hashes the same spans with md5.
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
-           |  i -> md5(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+           |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
           .stripMargin)).as("h"))
       .distinct()
     val a = spans.select(col("h"), col("doc_id").as("d1"))
