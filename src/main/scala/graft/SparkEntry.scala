@@ -59,6 +59,7 @@ object SparkEntry {
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
     "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
+    "simsearch_ivf_probe" -> (Similarity.simsearchIvfProbe _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,
     "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
+    "simsearch_ivf_probe" -> Similarity.simsearchIvfProbeSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

@@ -150,18 +150,22 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign;
+  /** Fitted quantizer: final centroids (cell, carr, cnorm) and the
+    * (vec_id, cell) assignment after [[KMEANS_ITERS]] Lloyd rounds;
     * `base` must carry (vec_id, embedding, nm).
     */
-  def kmeansCells(base: DataFrame): DataFrame = {
+  def kmeansFit(base: DataFrame): (DataFrame, DataFrame) = {
     val init = base.filter(col("vec_id") < KMEANS_K)
       .select(col("vec_id").cast("long").as("cell"), col("embedding").as("carr"),
         col("nm").as("cnorm"))
     val finalCents = (0 until KMEANS_ITERS).foldLeft(init) { (cents, _) =>
       recomputeCents(base, assignCells(base, cents))
     }
-    assignCells(base, finalCents)
+    (finalCents, assignCells(base, finalCents))
   }
+
+  /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign. */
+  def kmeansCells(base: DataFrame): DataFrame = kmeansFit(base)._2
 
   /** IVF top-k with the coarse quantizer computed in-engine (vs
     * [[simsearchIvf]], which trusts a given partition label): queries scan
@@ -185,12 +189,46 @@ object Similarity {
       .select(col("q_id"), col("cell"), col("n_id"), col("cosine"), col("rnk"))
   }
 
-  /** DuckDB twin of the k-means IVF: the same deterministic Lloyd rounds
-    * unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with centroid
-    * components round-pinned and float-narrowed exactly like the Spark
-    * side, then the same-cell top-k search.
+  /** Multi-probe IVF (the ANN recall lever): each query ranks ALL K
+    * centroids by cosine and scans its [[NPROBE]] best cells instead of
+    * only its own — the standard recall/latency dial of IVF indexes. A
+    * candidate belongs to exactly one cell, so probing n cells can never
+    * duplicate a pair. Centroid ranking is a K-row broadcast per query;
+    * candidate fan-out is NPROBE/K of the corpus per query.
     */
-  val simsearchIvfKmeansSql: String = {
+  val NPROBE = 2
+
+  def simsearchIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val (cents, cells) = kmeansFit(base)
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", round(dotExpr("eq", "carr") / (col("nq") * col("cnorm")), 6))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= NPROBE)
+      .select(col("q_id"), col("cell"), col("eq"), col("nq"))
+    val cands = base.join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("cell"),
+        col("embedding").as("ec"), col("nm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    cands.join(broadcast(probed), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
+    * Lloyd rounds unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with
+    * centroid components round-pinned and float-narrowed exactly like the
+    * Spark side; ends with the final centroids (cent/cn `last`) and
+    * assignment `asgf`.
+    */
+  private lazy val kmeansCtePrefix: String = {
     def cnBlock(name: String, cent: String): String =
       s"$name AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM $cent GROUP BY 1)"
     def asgBlock(name: String, cent: String, cn: String): String =
@@ -219,7 +257,11 @@ object Similarity {
        |cent0 AS (SELECT vec_id AS cell, i, x FROM u WHERE vec_id < $KMEANS_K),
        |${iterBlocks.mkString(",\n")},
        |${cnBlock(s"cn$last", s"cent$last")},
-       |${asgBlock("asgf", s"cent$last", s"cn$last")},
+       |${asgBlock("asgf", s"cent$last", s"cn$last")}""".stripMargin
+  }
+
+  val simsearchIvfKmeansSql: String =
+    s"""$kmeansCtePrefix,
        |qdots AS (
        |  SELECT q.vec_id AS q_id, q.cell, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
        |  FROM asgf q
@@ -238,6 +280,41 @@ object Similarity {
        |                               ORDER BY cosine DESC, n_id) AS rnk
        |  FROM qcos)
        |SELECT q_id, cell, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  /** Multi-probe twin: rank all centroids per query, scan the best
+    * [[NPROBE]] cells, then the usual top-k.
+    */
+  val simsearchIvfProbeSql: String = {
+    val last = KMEANS_ITERS
+    s"""$kmeansCtePrefix,
+       |qprobe AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS pr
+       |    FROM (SELECT u.vec_id AS q_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM u JOIN cent$last c ON u.i = c.i
+       |          WHERE u.vec_id < $N_QUERIES GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.q_id = n.vec_id
+       |    JOIN cn$last c ON d.cell = c.cell)
+       |  WHERE pr <= $NPROBE),
+       |qdots AS (
+       |  SELECT p.q_id, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM qprobe p
+       |  JOIN asgf a2 ON a2.cell = p.cell AND a2.vec_id <> p.q_id
+       |  JOIN u ua ON ua.vec_id = p.q_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |qcos AS (
+       |  SELECT d.q_id, d.n_id, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM qdots d
+       |  JOIN nrm n1 ON d.q_id = n1.vec_id
+       |  JOIN nrm n2 ON d.n_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cosine DESC, n_id) AS rnk
+       |  FROM qcos)
+       |SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
   }
 
   val simsearchIvfSql: String =
