@@ -65,6 +65,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_bpe_tokens" -> (TextAnalysis.textBpeTokens _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
+    "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_bpe_tokens" -> TextAnalysis.textBpeTokensSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "text_unigram_logprob" -> TextAnalysis.textUnigramLogprobSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,

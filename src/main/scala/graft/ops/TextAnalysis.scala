@@ -238,6 +238,40 @@ object TextAnalysis {
        |       round(avg(CAST(doc_toks AS DOUBLE)), 6) AS avg_doc_tokens
        |FROM per_doc GROUP BY 1, 2""".stripMargin
 
+  /** Unigram log-probability scoring — the perplexity-filter shape of LM
+    * quality filtering, with the LM being the corpus's own unigram
+    * distribution: score(doc) = mean(−ln p(tok)), p from corpus token
+    * frequencies. Two hash aggregations + one broadcast-friendly join of
+    * the frequency table; the corpus total rides along as a literal-sized
+    * singleton cross join. High scores = improbable token streams (noise,
+    * boilerplate, other-language text); at production scale the frequency
+    * table comes from a reference corpus instead of self-training.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = Tables.tokens(docs)
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).as("total"))
+    val scored = toks
+      .join(freqs, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("neg_lp", -log(col("cnt").cast("double") / col("total").cast("double")))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("neg_lp")), 6).as("avg_neg_logprob"))
+  }
+
+  def textUnigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    unigramLogprob(Tables.documents(spark, sfDir))
+
+  val textUnigramLogprobSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |freqs AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freqs)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |       round(avg(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))), 6) AS avg_neg_logprob
+       |FROM tok t JOIN freqs f ON t.tok = f.tok, tot
+       |GROUP BY 1""".stripMargin
+
   /** Repetition statistics per document (the Gopher-style repetition
     * filter): duplicate-3-gram fraction and top-3-gram fraction over RAW
     * (multiplicity-preserving) shingles, plus a keep flag at dup_ratio ≤

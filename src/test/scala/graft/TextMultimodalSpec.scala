@@ -56,6 +56,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r == ((3L, 2L + 4L + 3L)))
   }
 
+  test("unigram logprob: rarer tokens score higher surprise") {
+    // corpus: tokens a a b c -> p(a)=1/2, p(b)=p(c)=1/4
+    val d = docs((1L, "a a b", "en", "s"), (2L, "c", "en", "s"))
+    val r = TextAnalysis.unigramLogprob(d)
+      .select("doc_id", "n_tokens", "avg_neg_logprob")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    val ln2 = math.log(2)
+    assert(r(1L)._2 == 3L)
+    assert(math.abs(r(1L)._3 - (2 * ln2 + 2 * ln2) / 3) < 1e-6) // (ln2+ln2+2ln2)/3
+    assert(math.abs(r(2L)._3 - 2 * ln2) < 1e-6)                 // -ln(1/4)
+    assert(r(2L)._3 > r(1L)._3)
+  }
+
   test("repetition stats: duplicated phrase raises dup ratio; varied text keeps") {
     // "a b c a b c a b c" -> 7 raw 3-grams, 3 distinct -> dup = 4/7, top = 3/7
     val d = docs(
