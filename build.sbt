@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Pass the forked run's stdout through verbatim (no "[info] " prefix):
 // the bench/verify harness greps stdout for a bare JSON line.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
