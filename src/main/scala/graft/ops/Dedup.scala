@@ -7,17 +7,20 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Tables
 
 /** Deduplication operators over the `documents` table — the core of any
-  * 100 TB training-data pipeline. Five flavors, cheapest to richest:
-  * exact (hash group-by), MinHash+LSH (shingle → signature → band →
-  * bucket join), SimHash (bitwise signature), exact n-gram Jaccard
-  * (set-similarity join), and embedding-cosine near-dup.
+  * 100 TB training-data pipeline. Six flavors, cheapest to richest:
+  * exact (hash group-by), MinHash+LSH (Kirsch–Mitzenmacher signature →
+  * band → bucket join), banded SimHash (bitwise signature), prefix-filtered
+  * exact n-gram Jaccard (AllPairs set-similarity join), shared-long-span
+  * substring dedup, and hyperplane-LSH embedding-cosine near-dup.
   *
-  * All hashing is md5 — identical bits in Spark and DuckDB, so every
-  * operator here is oracle-checkable end to end (xxhash64 would be faster
-  * but has no DuckDB twin; at scale swap the hash behind the same shape).
-  * Scale shape: everything is one groupBy/self-join on a key whose
-  * cardinality the shingling/banding controls — no driver-side loops, no
-  * quadratic all-pairs except where banding has already bounded the bucket.
+  * Hashing discipline: md5 wherever the hash value shapes the RESULT
+  * (signatures, fingerprints — identical bits in Spark and DuckDB, so the
+  * oracle replays them exactly); xxhash64 where the hash is internal-only
+  * plumbing (set elements, span keys — the engines need only agree on
+  * equality, and the oracle hashes the same objects its own way).
+  * Scale shape: every pair space is bounded by a bucket key the
+  * banding/prefixing controls — equi-joins only, no driver-side loops, no
+  * cross join anywhere (PlanSpec-asserted).
   */
 object Dedup {
 

@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (`Array[Float]`, dim 64). Two tiers:
+  * (`Array[Float]`, dim 64). Four tiers:
   *
   *  - [[simsearchTopk]]: brute-force cosine top-k — the exact baseline.
-  *    Queries are broadcast; candidates stream; per-partition the work is a
-  *    codegen'd higher-order fold (zip_with + aggregate), no UDF.
-  *  - [[simsearchIvf]]: IVF-style — the `label` column plays the coarse
-  *    quantizer cell (at scale: a k-means assignment computed upstream),
-  *    so each query only scans its own cell ≈ 1/nlist of the corpus.
+  *    Queries are broadcast; candidates stream; the per-pair work is the
+  *    fused codegen'd `vec_dot`, no UDF.
+  *  - [[simsearchIvf]]: IVF with a GIVEN partition label as the coarse
+  *    quantizer cell — each query scans ≈ 1/nlist of the corpus.
+  *  - [[simsearchIvfKmeans]]: the quantizer computed IN-ENGINE — a
+  *    deterministic spherical k-means ([[kmeansFit]]).
+  *  - [[simsearchIvfProbe]]: multi-probe search over the k-means cells —
+  *    the recall/latency dial of real IVF indexes.
   *
   * Dot products fold left-to-right over the array in both engines; the
   * residual reorder noise (≤1e-15) is pinned by round(.,6), and ranking
