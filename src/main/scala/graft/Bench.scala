@@ -17,23 +17,29 @@ object Bench {
     // differ), so this pre-pays Janino compilation and JIT — per-query
     // first-run overhead (measured up to 10s on trivial queries) is session
     // setup, not query cost. Standard JMH-style warmup iteration.
+    // noop sink: materializes EVERY output column and discards the rows.
+    // A count() would let Catalyst prune unused columns — projection-heavy
+    // queries would bench as little more than parquet row counts.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     val warmupDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      try run(fn, warmupDir) catch { case _: Throwable => () }
     }
     // No clearCache between queries: operators own their intermediate
     // storage (localCheckpoint, reclaimed by the context cleaner) — the
     // bench must not paper over a leaky operator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write-full-materialization","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
