@@ -11,7 +11,9 @@ object BenchOne {
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // noop sink = full output materialization, same method as Bench
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
         println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }
