@@ -27,6 +27,11 @@ object AsofJoin {
   /** Left rows + `valueCols` from the as-of matching right row (null where
     * no right row precedes). Ties (equal timestamps) match, like DuckDB's
     * `ASOF JOIN ... ON l.t >= r.t`.
+    *
+    * Null-key caveat (all three variants): rows whose key is null group
+    * together and can match each other — window/clustering semantics, not
+    * SQL join equality (where null keys never match). Filter null keys
+    * upstream when SQL-join behavior is required.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {

@@ -62,14 +62,15 @@ class AsofJoinSpec extends SparkSpec {
     val left1 = Seq(
       (1L, ts("2024-01-02 00:00:00"), 1L), (2L, ts("2024-01-03 00:00:00"), 1L),
       (3L, ts("2024-01-04 00:00:00"), 1L), (4L, ts("2023-12-31 00:00:00"), 1L),
-      (5L, ts("2024-01-05 00:00:00"), 2L)).toDF("id", "t", "k")
+      (5L, ts("2024-01-05 00:00:00"), 2L),
+      (6L, ts("2024-01-05 00:00:00"), 9L)).toDF("id", "t", "k") // key absent on right
     val right1 = Seq(
       (1L, ts("2024-01-01 00:00:00"), 10.0), (1L, ts("2024-01-03 00:00:00"), 20.0),
       (2L, ts("2024-01-01 00:00:00"), 99.0)).toDF("k", "pt", "v")
     val got1 = AsofJoin.asofJoinNative(left1, right1, Seq("k"), "t", "pt", Seq("v"))
       .select("id", "v").as[(Long, Option[Double])].collect().toMap
     assert(got1 == Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> Some(20.0),
-      4L -> None, 5L -> Some(99.0)))
+      4L -> None, 5L -> Some(99.0), 6L -> None))
     // randomized equivalence against the composed variant
     val left2 = (1 to 200).map { i =>
       (i.toLong, ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:30:00"), i % 3L)
