@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.Tables
 
@@ -28,7 +29,14 @@ object AsofJoin {
     * no right row precedes). Ties (equal timestamps) match, like DuckDB's
     * `ASOF JOIN ... ON l.t >= r.t`.
     *
-    * Null-key caveat (all three variants): rows whose key is null group
+    * Matched-row semantics (all variants, aligned with DuckDB ASOF and the
+    * native exec): the matched right row is taken WHOLE — the carry is a
+    * single `last(struct(valueCols), ignoreNulls)` so a null inside a
+    * matched row is NOT backfilled from an older right row, and all value
+    * columns come from the same right row. Right rows with a null time
+    * match nothing and are dropped up front.
+    *
+    * Null-key caveat (all variants): rows whose key is null group
     * together and can match each other — window/clustering semantics, not
     * SQL join equality (where null keys never match). Filter null keys
     * upstream when SQL-join behavior is required.
@@ -36,13 +44,14 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
+    val rvType = StructType(valueCols.map(c => right.schema(c)))
     val l2 = left.select(
-      keys.map(col) ++ Seq(col(leftTime).as("_t"), lit(0).as("_is_r")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      keys.map(col) ++ Seq(col(leftTime).as("_t"), lit(0).as("_is_r"),
+        lit(null).cast(rvType).as("_rv")) ++
         leftOther.map(col): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(1).as("_is_r")) ++
-        valueCols.map(col) ++
+    val r2 = right.filter(col(rightTime).isNotNull).select(
+      keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(1).as("_is_r"),
+        struct(valueCols.map(col): _*).as("_rv")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // right rows sort before left rows at the same instant, so an
     // exactly-coincident right value is visible to the left row
@@ -51,11 +60,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .select(
-        keys.map(col) ++ Seq(col("_t"), col("_is_r")) ++ leftOther.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        keys.map(col) ++ Seq(col("_t"), col("_is_r")) ++ leftOther.map(col) :+
+          last(col("_rv"), ignoreNulls = true).over(w).as("_rv"): _*)
       .filter(col("_is_r") === 0)
       .select(keys.map(col) ++ Seq(col("_t").as(leftTime)) ++ leftOther.map(col) ++
-        valueCols.map(col): _*)
+        valueCols.map(c => col("_rv").getField(c).as(c)): _*)
   }
 
   /** As-of join partitioned by (key, time-bucket): identical semantics to
@@ -72,40 +81,51 @@ object AsofJoin {
     * corpus size — while the row-level window runs on (key, bucket), so no
     * task ever sorts more than one bucket of real data.
     */
+  /** One seed row per (key, bucket) that contains left rows: the latest
+    * right `_rv` struct from STRICTLY-earlier buckets (null `_rv` when no
+    * earlier right row exists). `r2` must carry (keys, `_t`, `_rv`,
+    * `_bkt`); `lBkts` the distinct (keys, `_bkt`) of the left side. The
+    * carry window partitions by the bare key, but over key×bucket-
+    * granularity SUMMARY rows — kilobytes per key at any corpus size.
+    */
+  private def bucketSeeds(lBkts: DataFrame, r2: DataFrame,
+      kCols: Seq[Column]): DataFrame = {
+    // one summary row per (key, bucket): the bucket's latest right row
+    val sw = Window.partitionBy(kCols :+ col("_bkt"): _*).orderBy(col("_t").desc)
+    val summaries = r2
+      .withColumn("_rn", row_number().over(sw)).filter(col("_rn") === 1)
+      .select(kCols ++ Seq(col("_bkt"), col("_rv")) :+ lit(1).as("_is_sum"): _*)
+    // markers sort before the same bucket's summary, so the carried value
+    // excludes in-bucket rights (the row-level pass handles those)
+    val markers = lBkts.withColumn("_is_sum", lit(0))
+    val cw = Window.partitionBy(kCols: _*)
+      .orderBy(col("_bkt").asc, col("_is_sum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    summaries.unionByName(markers, allowMissingColumns = true)
+      .select(kCols ++ Seq(col("_bkt"), col("_is_sum")) :+
+        last(col("_rv"), ignoreNulls = true).over(cw).as("_rv"): _*)
+      .filter(col("_is_sum") === 0)
+      .select(kCols ++ Seq(col("_bkt"), col("_rv")): _*)
+  }
+
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       bucketOf: Column => Column): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val kCols = keys.map(col)
+    val rvType = StructType(valueCols.map(c => right.schema(c)))
     val l2 = left.select(
-      kCols ++ Seq(col(leftTime).as("_t"), lit(0).as("_prio")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      kCols ++ Seq(col(leftTime).as("_t"), lit(0).as("_prio"),
+        lit(null).cast(rvType).as("_rv")) ++
         leftOther.map(col): _*)
       .withColumn("_bkt", bucketOf(col("_t")))
-    val r2 = right.select(
-      kCols ++ Seq(col(rightTime).as("_t"), lit(1).as("_prio")) ++
-        valueCols.map(col): _*)
+    val r2 = right.filter(col(rightTime).isNotNull).select(
+      kCols ++ Seq(col(rightTime).as("_t"), lit(1).as("_prio"),
+        struct(valueCols.map(col): _*).as("_rv")): _*)
       .withColumn("_bkt", bucketOf(col("_t")))
-    // one summary row per (key, bucket): the bucket's latest right values
-    val sw = Window.partitionBy(kCols :+ col("_bkt"): _*).orderBy(col("_t").desc)
-    val summaries = r2
-      .withColumn("_rn", row_number().over(sw)).filter(col("_rn") === 1)
-      .select(kCols ++ (col("_bkt") +: valueCols.map(col)) :+ lit(1).as("_is_sum"): _*)
-    // buckets that contain left rows need a seed from strictly-earlier
-    // buckets: markers sort before the same bucket's summary, so the
-    // carried value excludes in-bucket rights (the row window handles those)
-    val markers = l2.select(kCols :+ col("_bkt"): _*).distinct()
-      .withColumn("_is_sum", lit(0))
-    val cw = Window.partitionBy(kCols: _*)
-      .orderBy(col("_bkt").asc, col("_is_sum").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seeds = summaries.unionByName(markers, allowMissingColumns = true)
-      .select(kCols ++ Seq(col("_bkt"), col("_is_sum")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(cw).as(c)): _*)
-      .filter(col("_is_sum") === 0)
-      .select(kCols ++ Seq(col("_bkt").as("_t"), lit(2).as("_prio")) ++
-        valueCols.map(col) :+ col("_bkt"): _*)
-      .select(l2.columns.filterNot(leftOther.contains).map(col) ++
+    val seeds = bucketSeeds(l2.select(kCols :+ col("_bkt"): _*).distinct(), r2, kCols)
+      .select(kCols ++ Seq(col("_bkt").as("_t"), lit(2).as("_prio"), col("_rv"),
+        col("_bkt")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // seed (prio 2) sorts before a coincident right row (1), which sorts
     // before a coincident left row (0) — tie semantics match asofJoin
@@ -114,11 +134,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2, allowMissingColumns = true).unionByName(seeds)
       .select(
-        kCols ++ Seq(col("_t"), col("_prio")) ++ leftOther.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        kCols ++ Seq(col("_t"), col("_prio")) ++ leftOther.map(col) :+
+          last(col("_rv"), ignoreNulls = true).over(w).as("_rv"): _*)
       .filter(col("_prio") === 0)
       .select(kCols ++ Seq(col("_t").as(leftTime)) ++ leftOther.map(col) ++
-        valueCols.map(col): _*)
+        valueCols.map(c => col("_rv").getField(c).as(c)): _*)
   }
 
   /** Native as-of join via the custom operator (ladder step (c) —
@@ -148,6 +168,44 @@ object AsofJoin {
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, node)
   }
 
+  /** Native as-of join partitioned by (key, time-bucket) — the scale-safe
+    * mode for LOW-cardinality keys. [[asofJoinNative]] clusters on the bare
+    * key, so a 2-value key merges the whole fact table in 2 tasks no
+    * matter the cluster size; here the merge exec is keyed on
+    * (key, bucket), giving key×bucket parallelism.
+    *
+    * The cross-bucket carry is hoisted out of the exec: one seed row per
+    * (key, bucket)-with-left-rows holds the latest right row of
+    * strictly-earlier buckets ([[bucketSeeds]], shared with
+    * [[asofJoinBucketed]] — key×bucket-granularity summaries, kilobytes
+    * per key). Seeds join the right side timestamped at bucket start minus
+    * 1 microsecond — Spark timestamps are micros, so the seed sorts before
+    * any real in-bucket right row (earliest possible is the bucket start
+    * itself) and after everything in earlier buckets, which live under
+    * different (key, bucket) join keys anyway. `bucketOf` must return the
+    * bucket START as a timestamp (e.g. `date_trunc("DAY", _)`).
+    */
+  def asofJoinNativeBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      bucketOf: Column => Column): DataFrame = {
+    val kCols = keys.map(col)
+    val r2 = right.filter(col(rightTime).isNotNull).select(
+      kCols ++ Seq(col(rightTime).as("_t"),
+        struct(valueCols.map(col): _*).as("_rv")): _*)
+      .withColumn("_bkt", bucketOf(col("_t")))
+    val l2 = left.withColumn("_bkt", bucketOf(col(leftTime)))
+    val seedRows = bucketSeeds(l2.select(kCols :+ col("_bkt"): _*).distinct(), r2, kCols)
+      .filter(col("_rv").isNotNull)
+      .select(kCols ++ Seq(col("_bkt"),
+        (col("_bkt") - expr("INTERVAL 1 MICROSECOND")).as("_t"), col("_rv")): _*)
+    val rAll = r2.select(kCols ++ Seq(col("_bkt"), col("_t"), col("_rv")): _*)
+      .unionByName(seedRows)
+      .select(kCols ++ Seq(col("_bkt"), col("_t")) ++
+        valueCols.map(c => col("_rv").getField(c).as(c)): _*)
+    asofJoinNative(l2, rAll, keys :+ "_bkt", leftTime, "_t", valueCols)
+      .drop("_bkt")
+  }
+
   /** tx enrichment via as-of semantics: each transaction takes the most
     * recent daily price at-or-before its timestamp (vs. the reference's
     * strict same-day bucket, updatescript.py:66-67 — as-of also covers
@@ -169,13 +227,17 @@ object AsofJoin {
 
   /** The same tx enrichment through the NATIVE operator — same oracle as
     * [[txEnrichAsof]] (the semantics are identical; only the physical
-    * plan differs: merge exec instead of union+window).
+    * plan differs: merge exec instead of union+window). Uses the BUCKETED
+    * native mode: `chain` has two values, so the bare-key exec would merge
+    * in 2 tasks at any scale; (chain, day) clustering keeps the merge
+    * parallel.
     */
   def txEnrichAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.txSince(spark, sfDir, Tables.WM)
     val p = Tables.dailyPrice(spark, sfDir)
       .select(col("chain"), col("price_date").cast("timestamp").as("pts"), col("price"))
-    asofJoinNative(t, p, Seq("chain"), "createdAt", "pts", Seq("price"))
+    asofJoinNativeBucketed(t, p, Seq("chain"), "createdAt", "pts", Seq("price"),
+        date_trunc("DAY", _))
       .filter(col("price").isNotNull)
       .select(col("_id"), col("createdAt"), col("chain"), col("stake"),
         col("price").as("asof_price"))
@@ -194,11 +256,22 @@ object AsofJoin {
   def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, startCol: String, endCol: String,
       bucketSeconds: Long): DataFrame = {
-    val lb = (unix_timestamp(col(leftTime)) / bucketSeconds).cast("long")
-    val rStart = (unix_timestamp(col(startCol)) / bucketSeconds).cast("long")
-    // end is exclusive: a bucket is covered iff start_bkt <= b <= bkt(end - 1s)
-    val rEnd = ((unix_timestamp(col(endCol)) - 1) / bucketSeconds).cast("long")
+    // Bucket index = floorDiv(micros, width) at FULL timestamp precision.
+    // unix_timestamp() truncates sub-second digits, which would compute
+    // the last covered bucket of an end like `boundary + 0.5s` as the
+    // bucket BEFORE the boundary and silently drop left rows in
+    // [boundary, end). floorDiv via pmod stays in integer space (a long/
+    // long `/` detours through double) and floors correctly pre-1970.
+    val width = bucketSeconds * 1000000L
+    def bkt(us: Column): Column =
+      ((us - pmod(us, lit(width))) / width).cast("long")
+    val lb = bkt(unix_micros(col(leftTime)))
+    val rStart = bkt(unix_micros(col(startCol)))
+    // end is exclusive: the last covered bucket holds the largest instant
+    // strictly below end — end minus one microsecond (Spark's quantum)
+    val rEnd = bkt(unix_micros(col(endCol)) - 1)
     val r2 = right
+      .filter(col(endCol) > col(startCol)) // degenerate [s, e<=s) holds nothing
       .withColumn("_bkt", explode(sequence(rStart, rEnd)))
     left.withColumn("_bkt", lb)
       .join(r2, keys :+ "_bkt")

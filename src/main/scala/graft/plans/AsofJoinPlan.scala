@@ -110,7 +110,14 @@ case class AsofJoinExec(
                 done = true
               } else {
                 val rT = rTimeBound.eval(pendingRight)
-                if (lT != null && rT != null && timeOrd.lteq(rT, lT)) {
+                if (rT == null) {
+                  // null-time right rows match nothing (the asof predicate
+                  // rT <= lT is never true). Ascending order puts them at
+                  // the HEAD of their key group — they must be discarded,
+                  // not buffered, or they'd block every later right row of
+                  // the key.
+                  pendingRight = null
+                } else if (lT != null && timeOrd.lteq(rT, lT)) {
                   lastKey = rKey.copy()
                   lastVals = valProj(pendingRight).copy()
                   pendingRight = null
@@ -120,8 +127,13 @@ case class AsofJoinExec(
               }
             }
           }
-          if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) joined(lRow, lastVals)
-          else joined(lRow, nullRow)
+          // null-time left rows match nothing (DuckDB ASOF: a null probe
+          // time satisfies no inequality); the sort already puts them
+          // before any right application for their key, the guard makes
+          // the semantics explicit
+          if (lT != null && lastKey != null && keyOrd.compare(lastKey, lKey) == 0) {
+            joined(lRow, lastVals)
+          } else joined(lRow, nullRow)
         }
       }
     }

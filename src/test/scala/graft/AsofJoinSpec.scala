@@ -113,6 +113,98 @@ class AsofJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("null-time right rows match nothing and never block the key (all variants)") {
+    // the null-time right row heads its key group under Ascending order —
+    // the native merge must DISCARD it, or every later right row of key 1
+    // is blocked and all of key 1 enriches as null
+    val left = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L),
+      (2L, ts("2024-01-04 00:00:00"), 1L),
+      (3L, ts("2023-12-31 00:00:00"), 1L))
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, None, 666.0), // null time: matches nothing
+      (1L, Some(ts("2024-01-01 00:00:00")), 10.0),
+      (1L, Some(ts("2024-01-03 00:00:00")), 20.0))
+      .toDF("k", "pt", "v")
+    val want = Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> None)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(res(AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))) == want)
+    assert(res(AsofJoin.asofJoinBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+      org.apache.spark.sql.functions.date_trunc("DAY", _))) == want)
+    assert(res(AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "pt", Seq("v"))) == want)
+    assert(res(AsofJoin.asofJoinNativeBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+      org.apache.spark.sql.functions.date_trunc("DAY", _))) == want)
+  }
+
+  test("matched right row is taken whole: nulls inside it are not backfilled (all variants)") {
+    // left row at 01-04 matches the 01-03 right row whose v2 is null; the
+    // old per-column carry would splice v2=1.5 from the 01-01 row — the
+    // struct carry takes the matched row verbatim, like DuckDB ASOF
+    val left = Seq((1L, ts("2024-01-04 00:00:00"), 1L)).toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(10.0), Some(1.5)),
+      (1L, ts("2024-01-03 00:00:00"), Some(20.0), Option.empty[Double]))
+      .toDF("k", "pt", "v", "v2")
+    val want = Map(1L -> ((Some(20.0), Option.empty[Double])))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "v2").as[(Long, Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(res(AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v", "v2"))) == want)
+    assert(res(AsofJoin.asofJoinBucketed(left, right, Seq("k"), "t", "pt", Seq("v", "v2"),
+      org.apache.spark.sql.functions.date_trunc("DAY", _))) == want)
+    assert(res(AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "pt", Seq("v", "v2"))) == want)
+    assert(res(AsofJoin.asofJoinNativeBucketed(left, right, Seq("k"), "t", "pt", Seq("v", "v2"),
+      org.apache.spark.sql.functions.date_trunc("DAY", _))) == want)
+  }
+
+  test("bucketed native asof matches the composed variants; merge clusters on (key, bucket)") {
+    // low-cardinality key (2 values) — the scenario the bucketed mode is
+    // for. Gap days, multi-event days, coincident timestamps, pre-history.
+    val left = (1 to 200).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:30:00"), i % 2L)
+    }.toDF("id", "t", "k")
+    val right = (0 to 27).filter(d => d % 3 != 1).map { d =>
+      (d % 2L, ts(f"2024-01-${d + 1}%02d 00:00:00"), d * 1.5)
+    }.toDF("k", "pt", "v")
+    val plain = AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val df = AsofJoin.asofJoinNativeBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+      org.apache.spark.sql.functions.date_trunc("DAY", _))
+    val native = df.select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(native == plain)
+    // scale assertion: the merge exec's exchanges hash on BOTH key and
+    // bucket with the full partition count — not 2 tasks for 2 keys.
+    // (AdaptiveSparkPlanExec is a leaf — unwrap to the final plan.)
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val asof = p.collect { case e: graft.plans.AsofJoinExec => e }
+    assert(asof.nonEmpty, p.toString)
+    val exec = asof.head
+    assert(exec.leftKeys.length == 2, exec.leftKeys)
+    val parts = exec.children.map(_.outputPartitioning.numPartitions)
+    assert(parts.forall(_ > 2), s"merge tasks per side: $parts")
+  }
+
+  test("range join covers sub-second interval ends exactly") {
+    // end = boundary + 0.5s: the bucket holding [boundary, end) must be
+    // generated — second-truncating bucket math missed it
+    val left = Seq(
+      (1L, Timestamp.valueOf("2024-01-04 00:00:00.2"), 1L), // in [s, e) tail
+      (2L, Timestamp.valueOf("2024-01-04 00:00:00.5"), 1L)) // exactly at e -> no match
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-04 00:00:00.5"), 10.0))
+      .toDF("k", "s", "e", "v")
+    val got = AsofJoin.rangeJoinBucketed(left, right, Seq("k"), "t", "s", "e", 86400L)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0))
+  }
+
   test("bucketed asof: seed carries across empty buckets; tie at bucket start matches in-bucket right") {
     val left = Seq(
       (1L, ts("2024-03-10 00:00:00"), 1L), // right row exactly at bucket start -> 7.0, not the seed
