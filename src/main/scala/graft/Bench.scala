@@ -30,16 +30,34 @@ object Bench {
     // No clearCache between queries: operators own their intermediate
     // storage (localCheckpoint, reclaimed by the context cleaner) — the
     // bench must not paper over a leaky operator.
+    //
+    // Failed queries must be VISIBLE: a swallowed exception benches as ~0 s
+    // and silently shrinks the total, so one regression could pass the
+    // within-2× gate on a broken engine. Every failure lands in "errors".
+    def jsonStr(s: String): String =
+      s.map {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => ' '
+        case c => c
+      }.mkString
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
+      try run(fn, sfDir) catch {
+        case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"${jsonStr(k)}\":\"${jsonStr(v)}\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write-full-materialization","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write-full-materialization","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, SortedLongIntersectCount}
+import graft.functions.{FloatVecDot, NgramStats, SimhashFromTokens, SortedLongIntersectCount}
 
 /** Library entry point for Spark's extension mechanism: install with
   *
@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash56"),
+      new ExpressionInfo(classOf[SimhashFromTokens].getName, "simhash56"),
+      (exprs: Seq[Expression]) => SimhashFromTokens(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+      (exprs: Seq[Expression]) => NgramStats(exprs(0))))
   }
 }

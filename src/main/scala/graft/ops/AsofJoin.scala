@@ -40,9 +40,18 @@ object AsofJoin {
     * together and can match each other — window/clustering semantics, not
     * SQL join equality (where null keys never match). Filter null keys
     * upstream when SQL-join behavior is required.
+    *
+    * Duplicate right timestamps (composed variants): among right rows of
+    * one key at the same instant, the matched row is the one with the
+    * GREATEST value struct (field-lexicographic over `valueCols`) — a
+    * deterministic tiebreak applied identically in the row-level windows
+    * and the bucket-seed summary, so plain and bucketed never diverge.
+    * Requires orderable value types; the native exec instead keeps input
+    * order — give it unique right times per key for determinism.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val leftOther = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val rvType = StructType(valueCols.map(c => right.schema(c)))
     val l2 = left.select(
@@ -54,9 +63,12 @@ object AsofJoin {
         struct(valueCols.map(col): _*).as("_rv")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // right rows sort before left rows at the same instant, so an
-    // exactly-coincident right value is visible to the left row
+    // exactly-coincident right value is visible to the left row; the final
+    // `_rv` key makes the pick among duplicate right timestamps
+    // deterministic (greatest value struct wins — last() takes the last
+    // non-null in sort order)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_is_r").desc)
+      .orderBy(col("_t").asc, col("_is_r").desc, col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .select(
@@ -67,20 +79,19 @@ object AsofJoin {
         valueCols.map(c => col("_rv").getField(c).as(c)): _*)
   }
 
-  /** As-of join partitioned by (key, time-bucket): identical semantics to
-    * [[asofJoin]], but the carry-forward window never sees more than one
-    * bucket's rows. `bucketOf` maps a time to its bucket START, in the same
-    * type and order as the time column (e.g. `date_trunc("DAY", _)`):
-    * the bucket value doubles as the seed row's sort position.
-    *
-    * Seeding: the latest right row of each (key, bucket) is summarized
-    * (one row per key×bucket), and a key-partitioned window over those
-    * summaries carries the latest prior-bucket value onto each bucket that
-    * contains left rows. That window still partitions by the bare key, but
-    * over key×bucket-granularity rows — thousands of bytes per key at any
-    * corpus size — while the row-level window runs on (key, bucket), so no
-    * task ever sorts more than one bucket of real data.
+  /** Internal scratch columns of the composed variants — inputs must not
+    * use these names (they would be silently overwritten and dropped).
     */
+  private val ReservedCols =
+    Set("_t", "_rv", "_prio", "_is_r", "_bkt", "_is_sum", "_rn")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val bad = df.columns.filter(ReservedCols.contains)
+    require(bad.isEmpty,
+      s"$side input uses reserved as-of join column name(s) " +
+        s"${bad.mkString(", ")} — rename them before the join")
+  }
+
   /** One seed row per (key, bucket) that contains left rows: the latest
     * right `_rv` struct from STRICTLY-earlier buckets (null `_rv` when no
     * earlier right row exists). `r2` must carry (keys, `_t`, `_rv`,
@@ -90,8 +101,11 @@ object AsofJoin {
     */
   private def bucketSeeds(lBkts: DataFrame, r2: DataFrame,
       kCols: Seq[Column]): DataFrame = {
-    // one summary row per (key, bucket): the bucket's latest right row
-    val sw = Window.partitionBy(kCols :+ col("_bkt"): _*).orderBy(col("_t").desc)
+    // one summary row per (key, bucket): the bucket's latest right row;
+    // `_rv` desc breaks duplicate-timestamp ties exactly like the
+    // row-level windows (greatest value struct wins)
+    val sw = Window.partitionBy(kCols :+ col("_bkt"): _*)
+      .orderBy(col("_t").desc, col("_rv").desc)
     val summaries = r2
       .withColumn("_rn", row_number().over(sw)).filter(col("_rn") === 1)
       .select(kCols ++ Seq(col("_bkt"), col("_rv")) :+ lit(1).as("_is_sum"): _*)
@@ -108,9 +122,24 @@ object AsofJoin {
       .select(kCols ++ Seq(col("_bkt"), col("_rv")): _*)
   }
 
+  /** As-of join partitioned by (key, time-bucket): identical semantics to
+    * [[asofJoin]], but the carry-forward window never sees more than one
+    * bucket's rows. `bucketOf` maps a time to its bucket START, in the same
+    * type and order as the time column (e.g. `date_trunc("DAY", _)`):
+    * the bucket value doubles as the seed row's sort position.
+    *
+    * Seeding: the latest right row of each (key, bucket) is summarized
+    * (one row per key×bucket), and a key-partitioned window over those
+    * summaries carries the latest prior-bucket value onto each bucket that
+    * contains left rows. That window still partitions by the bare key, but
+    * over key×bucket-granularity rows — thousands of bytes per key at any
+    * corpus size — while the row-level window runs on (key, bucket), so no
+    * task ever sorts more than one bucket of real data.
+    */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       bucketOf: Column => Column): DataFrame = {
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val leftOther = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
     val kCols = keys.map(col)
     val rvType = StructType(valueCols.map(c => right.schema(c)))
@@ -128,9 +157,10 @@ object AsofJoin {
         col("_bkt")) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // seed (prio 2) sorts before a coincident right row (1), which sorts
-    // before a coincident left row (0) — tie semantics match asofJoin
+    // before a coincident left row (0) — tie semantics match asofJoin,
+    // including the greatest-value-struct pick among duplicate right times
     val w = Window.partitionBy(kCols :+ col("_bkt"): _*)
-      .orderBy(col("_t").asc, col("_prio").desc)
+      .orderBy(col("_t").asc, col("_prio").desc, col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2, allowMissingColumns = true).unionByName(seeds)
       .select(
@@ -188,6 +218,7 @@ object AsofJoin {
   def asofJoinNativeBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
       bucketOf: Column => Column): DataFrame = {
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val kCols = keys.map(col)
     val r2 = right.filter(col(rightTime).isNotNull).select(
       kCols ++ Seq(col(rightTime).as("_t"),
@@ -260,8 +291,10 @@ object AsofJoin {
     // unix_timestamp() truncates sub-second digits, which would compute
     // the last covered bucket of an end like `boundary + 0.5s` as the
     // bucket BEFORE the boundary and silently drop left rows in
-    // [boundary, end). floorDiv via pmod stays in integer space (a long/
-    // long `/` detours through double) and floors correctly pre-1970.
+    // [boundary, end). pmod (not %) floors correctly pre-1970; subtracting
+    // it makes the numerator an exact multiple of width, so although
+    // Spark's long `/` detours through double, it divides two exactly-
+    // representable values (|µs| < 2^53) into an exact integer quotient.
     val width = bucketSeconds * 1000000L
     def bkt(us: Column): Column =
       ((us - pmod(us, lit(width))) / width).cast("long")

@@ -58,6 +58,28 @@ object Dedup {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     exactGroups(Tables.documents(spark, sfDir))
 
+  /** Documents restricted to one representative per exact-duplicate group
+    * (the group's min doc_id). LSH pair generation runs on THIS view: K
+    * byte-identical copies of a document have identical signatures, so
+    * they land K rows in every band bucket and generate K²/2 candidate
+    * pairs that exact dedup already catches for free — the classic
+    * quadratic trap of running near-dup before exact dedup. One
+    * fingerprint group-by + a semi join, both shuffling far less than the
+    * pair blowup they prevent. The oracle mirrors the restriction.
+    */
+  private def exactReps(docs: DataFrame): DataFrame =
+    docs.join(exactGroups(docs).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** DuckDB twin of [[exactReps]]'s keep-set (min doc_id per normalized
+    * fingerprint group).
+    */
+  private val KEEP_CTE: String =
+    """keep AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |        FROM documents) GROUP BY fp)""".stripMargin
+
   val dedupExactSql: String =
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
       |       min(doc_id) AS keep_id, count(*) AS dup_count
@@ -96,7 +118,7 @@ object Dedup {
     * point of LSH at 100 TB.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = signatures(docs)
+    val sig = signatures(exactReps(docs))
     val bandCols = (0 until NUM_BANDS).map { b =>
       val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
       md5(concat_ws("|", parts: _*)).as(s"b$b")
@@ -137,11 +159,13 @@ object Dedup {
       .mkString("\n  UNION ALL ")
     s"""WITH ${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
+       |$KEEP_CTE,
        |hashed AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h1,
        |         CAST(('0x' || substr(md5(shingle), 15, 14)) AS BIGINT) AS h2
-       |  FROM sh),
+       |  FROM sh
+       |  WHERE doc_id IN (SELECT doc_id FROM keep)),
        |sig AS (
        |  SELECT doc_id,
        |         $sigSqlCols
@@ -161,29 +185,25 @@ object Dedup {
 
   /** SimHash: [[SIMHASH_BITS]]-bit signature per document. Each distinct
     * word-3-gram shingle votes ±1 on every bit of its (md5-derived) hash;
-    * the signature sets bit b iff the vote sum is positive. Narrow map +
-    * one groupBy — the classic near-dup sketch at crawl scale. Features
+    * the signature sets bit b iff the vote sum is positive. Features
     * are shingles, not tokens: token sets barely differ across documents
     * of a shared vocabulary, while shingle sets carry word order and
     * separate near-duplicates from the rest.
+    *
+    * Computed ARRAY-SIDE: one codegen'd projection runs the whole
+    * pipeline (shingle → distinct → md5 → 56 bit votes → threshold) per
+    * document via the [[graft.functions.SimhashFromTokens]] kernel — zero
+    * shuffle, versus the exploded formulation (one row per shingle
+    * shuffled to a 56-sum-column aggregate) the oracle still states the
+    * semantics with. Docs with < 3 tokens have no shingles and are
+    * excluded, exactly like the exploded group-by.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    // One 56-bit hash per shingle (single md5 + hex-parse per row), then
-    // per-bit set-counts c_b via shift/mask sums — pure long arithmetic in
-    // the aggregate's update loop, fully codegen'd. Signature bit b is set
-    // iff set-votes outnumber clear-votes: 2·c_b > count.
-    val hashed = Tables.shingles(docs).select(
-      col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, SIMHASH_BITS / 4), 16, 10)
-        .cast("long").as("h"))
-    val votes = hashed.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("cnt"),
-      (0 until SIMHASH_BITS).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b")): _*)
-    val simhash = (0 until SIMHASH_BITS)
-      .map(b => when(col(s"c$b") * 2 > col("cnt"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("simhash56(toks)").as("simhash"))
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -208,7 +228,7 @@ object Dedup {
     // whole pair loop (xor + bit_count + threshold) inside
     // WholeStageCodegen; the collect_list+pair-explode alternative runs
     // the pair lambda interpreted, which measures ~3× slower.
-    val bands = simhashSignatures(docs).select(
+    val bands = simhashSignatures(exactReps(docs)).select(
       col("doc_id"), col("simhash"),
       explode(expr(s"sequence(0, ${SIMHASH_BANDS - 1})")).as("band_no"))
       .withColumn("band_val",
@@ -235,10 +255,12 @@ object Dedup {
   // dedupSimhashSql, which is declared later in this object.
   lazy val dedupSimhashPairsSql: String = {
     val sigSql = dedupSimhashSql
-    s"""WITH sig AS ($sigSql)
+    s"""WITH sig AS ($sigSql),
+       |$KEEP_CTE,
+       |sigk AS (SELECT s.* FROM sig s JOIN keep k ON s.doc_id = k.doc_id)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |FROM sigk a JOIN sigk b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_MAX_HAMMING""".stripMargin
   }
 
@@ -413,18 +435,47 @@ object Dedup {
     */
   val SPAN_WORDS = 10
 
+  /** Document-frequency cap on span hashes: a span shared by MORE than
+    * this many documents is dropped before pairing. A boilerplate span
+    * (license header, disclaimer) shared by K documents would put K rows
+    * in one inverted-index bucket → K²/2 pairs plus a hot-key shuffle
+    * skew — and carries no dedup signal anyway (it flags boilerplate, not
+    * copied documents). Same discipline as the Jaccard prefix filter:
+    * fan-out tracks discriminative spans, never raw corpus size. The
+    * oracle mirrors the cap, so the result stays exact at any SF.
+    */
+  val SPAN_DF_CAP = 16
+
+  /** Per-document distinct span hashes (doc_id, h) — one xxhash64 per
+    * rolling [[SPAN_WORDS]]-word window. The hash never reaches the output
+    * (pairs + counts only), so the engines need not agree on hash VALUES —
+    * only on span equality. xxhash64 here; the oracle hashes the same
+    * spans with md5.
+    */
+  private def spanHashes(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    .filter(size(col("toks")) >= SPAN_WORDS)
+    .select(col("doc_id"), explode(expr(
+      s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
+         |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+        .stripMargin)).as("h"))
+    .distinct()
+
+  /** Span hashes surviving the [[SPAN_DF_CAP]] document-frequency cap —
+    * one extra hash aggregation on the span hash, the key the index join
+    * shuffles on anyway.
+    */
+  private def cappedSpanHashes(docs: DataFrame): DataFrame = {
+    val spans = spanHashes(docs)
+    val rare = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SPAN_DF_CAP)
+      .select(col("h"))
+    spans.join(rare, Seq("h"))
+  }
+
   def substringSpanPairs(docs: DataFrame): DataFrame = {
-    val spans = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= SPAN_WORDS)
-      // the hash never reaches the output (pairs + counts only), so the
-      // engines need not agree on hash VALUES — only on span equality.
-      // xxhash64 here; the oracle hashes the same spans with md5.
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
-           |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
-          .stripMargin)).as("h"))
-      .distinct()
+    val spans = cappedSpanHashes(docs)
     val a = spans.select(col("h"), col("doc_id").as("d1"))
     val b = spans.select(col("h"), col("doc_id").as("d2"))
     a.join(b, Seq("h"))
@@ -436,16 +487,25 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
     substringSpanPairs(Tables.documents(spark, sfDir))
 
-  val dedupSubstringSql: String =
-    s"""WITH spans AS (
+  /** DuckDB CTE text for the capped span index (spans → rare → kept). */
+  private val SPAN_CTES: String =
+    s"""spans AS (
        |  SELECT DISTINCT doc_id,
        |         md5(array_to_string(list_slice(toks, i, i + ${SPAN_WORDS - 1}), ' ')) AS h
        |  FROM (
        |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SPAN_WORDS - 1})) AS i
        |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
-       |    WHERE len(toks) >= $SPAN_WORDS))
+       |    WHERE len(toks) >= $SPAN_WORDS)),
+       |rare AS (
+       |  SELECT h FROM (SELECT h, count(*) AS df FROM spans GROUP BY 1)
+       |  WHERE df <= $SPAN_DF_CAP),
+       |kept AS (
+       |  SELECT s.doc_id, s.h FROM spans s JOIN rare r ON s.h = r.h)""".stripMargin
+
+  val dedupSubstringSql: String =
+    s"""WITH $SPAN_CTES
        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared_spans
-       |FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors

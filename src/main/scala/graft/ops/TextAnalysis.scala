@@ -275,21 +275,28 @@ object TextAnalysis {
   /** Repetition statistics per document (the Gopher-style repetition
     * filter): duplicate-3-gram fraction and top-3-gram fraction over RAW
     * (multiplicity-preserving) shingles, plus a keep flag at dup_ratio ≤
-    * 0.2. Two hash aggregations, both partial-agg friendly; the ratios are
-    * exact integer divisions, so both engines agree bit-for-bit.
+    * 0.2. The ratios are exact integer divisions, so both engines agree
+    * bit-for-bit.
+    *
+    * Computed ARRAY-SIDE: the 3-gram multiset statistics come from one
+    * hash-map walk per document ([[graft.functions.NgramStats]]) inside a
+    * codegen'd projection — zero shuffle, versus the exploded formulation
+    * (the full shingle stream shuffled on (doc_id, shingle) twice) the
+    * oracle still states the semantics with.
     */
   val MAX_DUP_3GRAM_RATIO = 0.2
 
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val counts = Tables.rawShingles(docs)
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("c"))
+    graft.functions.TextFunctions.register(docs.sparkSession)
     val dupRatio = lit(1.0) -
       col("distinct_3grams").cast("double") / col("total_3grams").cast("double")
-    counts.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("total_3grams"),
-        count(lit(1)).as("distinct_3grams"),
-        max(col("c")).as("top_count"))
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("ngram_stats(toks)").as("s"))
+      .select(col("doc_id"), col("s.total_3grams").as("total_3grams"),
+        col("s.distinct_3grams").as("distinct_3grams"),
+        col("s.top_count").as("top_count"))
       .select(col("doc_id"), col("total_3grams"), col("distinct_3grams"),
         round(dupRatio, 6).as("dup_ratio"),
         round(col("top_count").cast("double") / col("total_3grams").cast("double"), 6)

@@ -35,11 +35,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
-  test("identical docs agree on all bands; signature is text-determined") {
+  test("signature is text-determined; exact copies collapse to one rep before pair-gen") {
     val d = docs(1L -> base, 2L -> base)
-    val row = Dedup.minhashPairs(d).select("d1", "d2", "n_bands")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(row == Seq((1L, 2L, Dedup.NUM_BANDS.toLong)))
+    // identical text -> identical signature (asserted on the signature table)
+    assert(Dedup.signatures(d).drop("doc_id").distinct().count() == 1L)
+    // the (1,2) pair is exact dedup's catch, not LSH's: the representative
+    // guard leaves nothing for the band join to pair
+    assert(Dedup.minhashPairs(d).count() == 0L)
+  }
+
+  test("planted 50-copy exact cluster: LSH pair count linear, no quadratic bucket blowup") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val copies = (10L until 60L).map(i => i -> base)
+    val d = docs(Seq(1L -> base, 2L -> nearDup) ++ copies: _*)
+    // 51 byte-identical copies collapse to representative doc 1; the band
+    // buckets see ONE row per distinct content, so the only candidate pair
+    // is (rep, near-dup) — not the 51·50/2 intra-cluster pairs
+    val pairs = Dedup.minhashPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val spairs = Dedup.simhashPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(spairs == Set((1L, 2L)))
   }
 
   test("simhash: identical text -> identical signature; near-dup within small hamming distance") {
