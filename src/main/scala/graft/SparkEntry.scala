@@ -55,11 +55,13 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "dedup_substring_maximal" -> (Dedup.dedupSubstringMaximal _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
     "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
     "simsearch_ivf_probe" -> (Similarity.simsearchIvfProbe _),
+    "simsearch_recall" -> (Similarity.simsearchRecall _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -104,11 +106,13 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
+    "dedup_substring_maximal" -> Dedup.dedupSubstringMaximalSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,
     "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
     "simsearch_ivf_probe" -> Similarity.simsearchIvfProbeSql,
+    "simsearch_recall" -> Similarity.simsearchRecallSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

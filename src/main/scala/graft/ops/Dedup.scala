@@ -508,6 +508,73 @@ object Dedup {
        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** MAXIMAL shared-span length per candidate pair — the fixed-width span
+    * index upgraded toward Lee et al.'s suffix-array dedup: a shared run
+    * of L consecutive span positions (same diagonal i−j) means the
+    * documents share a contiguous passage of L + [[SPAN_WORDS]] − 1 words,
+    * so the output reports the longest shared passage, not just the count
+    * of overlapping windows. Shape: positioned span index (one row per
+    * position, DF-capped like [[substringSpanPairs]]) → equi-join on the
+    * span hash → per-(pair, diagonal) consecutive-run detection via the
+    * i − row_number() trick (one bounded window over matched positions) →
+    * max over diagonals. Every stage is an equi-join or a hash agg; the
+    * window partitions on (pair, diagonal), whose size the DF cap bounds.
+    */
+  def substringMaximalSpans(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SPAN_WORDS)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
+           |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val rare = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SPAN_DF_CAP).select(col("h"))
+    val kept = pos.join(rare, Seq("h"))
+    val a = kept.select(col("h"), col("doc_id").as("d1"), col("i"))
+    val b = kept.select(col("h"), col("doc_id").as("d2"), col("i").as("j"))
+    // for a fixed diagonal each left position matches at most one right
+    // position, so (d1, d2, diag, i) rows are unique — no dedup needed
+    val m = a.join(b, Seq("h")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("i"), (col("i") - col("j")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("i"))
+    m.withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("run")) + lit(SPAN_WORDS - 1)).cast("long").as("max_span_words"),
+        count(lit(1)).cast("long").as("n_runs"))
+  }
+
+  def dedupSubstringMaximal(spark: SparkSession, sfDir: String): DataFrame =
+    substringMaximalSpans(Tables.documents(spark, sfDir))
+
+  val dedupSubstringMaximalSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i,
+       |         md5(array_to_string(list_slice(toks, i, i + ${SPAN_WORDS - 1}), ' ')) AS h
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SPAN_WORDS - 1})) AS i
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= $SPAN_WORDS)),
+       |rare AS (
+       |  SELECT h FROM (SELECT h, count(*) AS df FROM pos GROUP BY 1)
+       |  WHERE df <= $SPAN_DF_CAP),
+       |kept AS (SELECT p.doc_id, p.i, p.h FROM pos p JOIN rare r ON p.h = r.h),
+       |m AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.i AS i, a.i - b.i AS diag
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT d1, d2, diag,
+       |         i - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY i) AS grp
+       |  FROM m),
+       |runlen AS (
+       |  SELECT d1, d2, diag, grp, count(*) AS run FROM runs GROUP BY 1, 2, 3, 4)
+       |SELECT d1, d2, CAST(max(run) + ${SPAN_WORDS - 1} AS BIGINT) AS max_span_words,
+       |       CAST(count(*) AS BIGINT) AS n_runs
+       |FROM runlen GROUP BY 1, 2""".stripMargin
+
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
     * sharing any (table, bucket) cell; each vector reports its best
     * candidate by cosine, flagged ≥ 0.9. Pair fan-out is bounded by bucket

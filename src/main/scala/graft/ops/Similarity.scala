@@ -201,17 +201,20 @@ object Similarity {
     */
   val NPROBE = 2
 
-  def simsearchIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val (cents, cells) = kmeansFit(base)
+  /** Probed IVF top-k against a fitted quantizer: each query ranks all K
+    * centroids by cosine (K-row broadcast), scans its best `nprobe` cells,
+    * and keeps [[IVF_TOP_K]] — shared by the fixed-[[NPROBE]] query and the
+    * recall sweep. `base` must carry (vec_id, embedding, nm).
+    */
+  private def probeTopk(base: DataFrame, cents: DataFrame, cells: DataFrame,
+      nprobe: Int): DataFrame = {
     val queries = base.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
     val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("qcos", round(dotExpr("eq", "carr") / (col("nq") * col("cnorm")), 6))
       .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= NPROBE)
+      .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("cell"), col("eq"), col("nq"))
     val cands = base.join(cells, Seq("vec_id"))
       .select(col("vec_id").as("n_id"), col("cell"),
@@ -223,6 +226,53 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= IVF_TOP_K)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rnk"))
+  }
+
+  def simsearchIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val (cents, cells) = kmeansFit(base)
+    probeTopk(base, cents, cells, NPROBE)
+  }
+
+  /** The recall sweep's probe widths — 1 (own cell only) to half the
+    * [[KMEANS_K]] cells.
+    */
+  val RECALL_NPROBES: Seq[Int] = Seq(1, 2, 4)
+
+  /** ANN quality as a MEASURED number: recall@[[IVF_TOP_K]] of multi-probe
+    * IVF against the brute-force baseline, per nprobe ∈ [[RECALL_NPROBES]].
+    * One k-means fit is shared across the sweep (checkpointed base +
+    * centroids); the truth set is the exact top-k from one brute-force
+    * pass. recall = |IVF top-k ∩ exact top-k| / (N_QUERIES · k) — the
+    * denominator is the full truth-set size, a constant both engines bake
+    * in. This is the query a user runs before trusting an nprobe setting
+    * at corpus scale.
+    */
+  def simsearchRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val (cents, cells) = kmeansFit(base)
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    val cands = base.select(col("vec_id").as("n_id"),
+      col("embedding").as("ec"), col("nm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val truth = cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    RECALL_NPROBES.map { np =>
+      probeTopk(base, cents, cells, np)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
@@ -318,6 +368,68 @@ object Similarity {
        |                               ORDER BY cosine DESC, n_id) AS rnk
        |  FROM qcos)
        |SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+  }
+
+  /** Per-nprobe CTE chain for the recall twin: probed cells → candidate
+    * dots → IVF top-k pair set, suffixed by the probe width.
+    */
+  private def recallProbeBlocks(np: Int): String = {
+    val last = KMEANS_ITERS
+    s"""qprobe$np AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS pr
+       |    FROM (SELECT u.vec_id AS q_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM u JOIN cent$last c ON u.i = c.i
+       |          WHERE u.vec_id < $N_QUERIES GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.q_id = n.vec_id
+       |    JOIN cn$last c ON d.cell = c.cell)
+       |  WHERE pr <= $np),
+       |qdots$np AS (
+       |  SELECT p.q_id, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM qprobe$np p
+       |  JOIN asgf a2 ON a2.cell = p.cell AND a2.vec_id <> p.q_id
+       |  JOIN u ua ON ua.vec_id = p.q_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |ivf$np AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM qdots$np d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |hits$np AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ivf$np i JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id)""".stripMargin
+  }
+
+  val simsearchRecallSql: String = {
+    val denom = N_QUERIES * IVF_TOP_K
+    val selects = RECALL_NPROBES.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+         |FROM hits$np""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$kmeansCtePrefix,
+       |bfdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM bfdots d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |${RECALL_NPROBES.map(recallProbeBlocks).mkString(",\n")}
+       |$selects""".stripMargin
   }
 
   val simsearchIvfSql: String =

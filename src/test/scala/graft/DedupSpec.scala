@@ -105,6 +105,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("maximal span: longest shared passage length is recovered exactly") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20-word passage
+    val d = docs(
+      1L -> s"alpha beta gamma $shared delta epsilon",
+      2L -> s"one two three four five $shared six seven",
+      // shares only the 10-word prefix w1..w10 of the passage
+      3L -> ((1 to 10).map(i => s"w$i").mkString(" ") +
+        " unrelated tail words here again now"),
+      4L -> "totally different content with no overlap at all whatsoever in any way")
+    val m = Dedup.substringMaximalSpans(d)
+      .select("d1", "d2", "max_span_words").as[(Long, Long, Long)]
+      .collect().map { case (a, b, l) => (a, b) -> l }.toMap
+    assert(m == Map((1L, 2L) -> 20L, (1L, 3L) -> 10L, (2L, 3L) -> 10L))
+  }
+
   test("embedding near-dup: planted duplicate vector is mutual nearest neighbor with cosine 1") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(_ * 2.0f) // same direction -> cosine 1
