@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_substring_maximal" -> (Dedup.dedupSubstringMaximal _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
     "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "text_bpe_tokens" -> (TextAnalysis.textBpeTokens _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
+    "text_tfidf" -> (TextAnalysis.textTfidf _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_substring_maximal" -> Dedup.dedupSubstringMaximalSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,
     "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
@@ -119,6 +122,7 @@ object SparkEntry {
     "text_bpe_tokens" -> TextAnalysis.textBpeTokensSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_unigram_logprob" -> TextAnalysis.textUnigramLogprobSql,
+    "text_tfidf" -> TextAnalysis.textTfidfSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,

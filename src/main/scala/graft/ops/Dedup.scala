@@ -575,6 +575,88 @@ object Dedup {
        |       CAST(count(*) AS BIGINT) AS n_runs
        |FROM runlen GROUP BY 1, 2""".stripMargin
 
+  /** Convergence cap for [[duplicateClusters]] — with path halving the
+    * round count is O(log component-diameter), so 25 covers components of
+    * astronomical diameter; the loop exits as soon as a round changes
+    * nothing.
+    */
+  val MAX_CC_ROUNDS = 25
+
+  /** Duplicate-cluster assignment: connected components over the near-dup
+    * pair graph ([[ngramJaccardPairs]]), labeling every document with the
+    * MINIMUM doc_id reachable through pairs — the keep/drop list a user
+    * derives after any pair-generating dedup. Min-label propagation with
+    * path halving: each round a node takes the min of its own label, its
+    * neighbors' labels, and its label's label (pointer jumping), which
+    * converges in O(log diameter) rounds instead of O(diameter). Every
+    * round is two equi-joins + a hash agg over (node, label) rows —
+    * nothing driver-side but the per-round changed COUNT, and each round
+    * is localCheckpoint'ed so lineage stays flat (the k-means lesson).
+    * The result is the unique per-component fixpoint, so the round count
+    * never shows in the output; the oracle replays the same fixpoint as a
+    * recursive CTE.
+    */
+  def duplicateClusters(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs).select(col("d1"), col("d2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < MAX_CC_ROUNDS) {
+      // neighbor min: every node offers its current label across each edge
+      val offers = edges.join(labels.withColumnRenamed("doc_id", "d2"), Seq("d2"))
+        .select(col("d1").as("doc_id"), col("rep"))
+      val viaNeighbors = labels.unionByName(offers)
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+      // path halving: jump to the representative's representative
+      val repOf = labels.select(col("doc_id").as("r_key"), col("rep").as("rep2"))
+      val next = viaNeighbors
+        .join(repOf, viaNeighbors("rep") === repOf("r_key"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("doc_id"))
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("rep"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, Seq("rep"))
+      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+  }
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    duplicateClusters(Tables.documents(spark, sfDir))
+
+  /** The oracle states the fixpoint directly: transitive reachability over
+    * the symmetric pair graph (recursive CTE, UNION set semantics
+    * terminates it), min reachable id per document.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN szs s1 ON i.d1 = s1.doc_id JOIN szs s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD),
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jp),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.r FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |rep AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+       |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1)
+       |SELECT r.doc_id, r.rep_id, s.cluster_size
+       |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
+
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
     * sharing any (table, bucket) cell; each vector reports its best
     * candidate by cosine, flagged ≥ 0.9. Pair fan-out is bounded by bucket

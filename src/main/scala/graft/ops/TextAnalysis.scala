@@ -322,6 +322,52 @@ object TextAnalysis {
        |       (CAST(1 AS DOUBLE) - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE)) <= $MAX_DUP_3GRAM_RATIO AS keep
        |FROM per_doc""".stripMargin
 
+  /** Top [[TFIDF_TOP_K]] terms per document by tf·idf — keyword extraction
+    * for corpus exploration and topic tagging. tf = in-document term count,
+    * idf = ln(N / document-frequency); ranking happens on the ROUNDED score
+    * with a term tie-break so both engines rank identically. Shapes: two
+    * hash aggregations (tf, then df over the tf table — distinct-free),
+    * one vocabulary-sized join (broadcastable at any corpus size), a
+    * 1-row corpus count riding along broadcast, and a per-document top-k
+    * window. The frequency side scales with VOCABULARY, not corpus.
+    */
+  val TFIDF_TOP_K = 3
+
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    val tf = Tables.tokens(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TFIDF_TOP_K)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, sfDir))
+
+  val textTfidfSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.tok, t.tf, d.df,
+       |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf t JOIN dfq d ON t.tok = d.tok, nd n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tfidf DESC, tok) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, tok, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $TFIDF_TOP_K""".stripMargin
+
   /** PII scrubbing: redact email addresses, then standalone long digit
     * runs (≥9 digits — phone/account numbers), and report counts plus the
     * scrubbed text's fingerprint and length. Redaction order matters

@@ -105,6 +105,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("duplicate clusters: transitive near-dups collapse to one component") {
+    // 1~2 (one edit, J≈0.714) and 2~3 (two more edits, J=0.5) pair up;
+    // 1~3 (three edits, J=0.333) does NOT — doc 3 joins doc 1's cluster
+    // only through transitivity
+    val d2 = base.replaceFirst("window", "vector")
+    val d3 = d2.replaceFirst("scan", "probe").replaceFirst("value", "weight")
+    val d = docs(1L -> base, 2L -> d2, 3L -> d3,
+      4L -> "totally different content with no overlap at all whatsoever in any way")
+    val direct = Dedup.ngramJaccardPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(direct == Set((1L, 2L), (2L, 3L)), s"pair sanity failed: $direct")
+    val m = Dedup.duplicateClusters(d)
+      .select("doc_id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
+  }
+
   test("maximal span: longest shared passage length is recovered exactly") {
     val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20-word passage
     val d = docs(

@@ -59,4 +59,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan("text_pii_scrub").contains("Exchange"))
     assert(!plan("text_langid").contains("Exchange"))
   }
+
+  test("dedup_simhash: array-side kernel — single projection, zero shuffle") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("Exchange"),
+      "simhash56 kernel must not explode/shuffle the shingle stream")
+    assert(p.contains("simhash56"))
+  }
+
+  test("text_repetition: array-side kernel — single projection, zero shuffle") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"),
+      "ngram_stats kernel must not explode/shuffle the shingle stream")
+    assert(p.contains("ngram_stats"))
+  }
+
+  test("dedup_substring and maximal variant: bucket-bounded, no cross/nested-loop join") {
+    Seq("dedup_substring", "dedup_substring_maximal").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join on the capped span index")
+    }
+  }
 }

@@ -113,6 +113,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val d = docs(
+      (1L, "alpha alpha beta", "en", "web"),
+      (2L, "beta gamma", "en", "web"),
+      (3L, "beta delta", "en", "web"))
+    val top1 = TextAnalysis.tfidfTopTerms(d)
+      .filter($"rnk" === 1L)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // beta appears in every doc -> idf = ln(1) = 0; the unique term wins
+    assert(top1 == Map(1L -> "alpha", 2L -> "gamma", 3L -> "delta"))
+    val betaScores = TextAnalysis.tfidfTopTerms(d)
+      .filter($"tok" === "beta").select("tfidf").as[Double].collect()
+    assert(betaScores.nonEmpty && betaScores.forall(_ == 0.0))
+  }
+
   test("multimodal: mapPartitions decoder matches the relational metadata query") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),
