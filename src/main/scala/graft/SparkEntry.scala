@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_substring_maximal" -> (Dedup.dedupSubstringMaximal _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_containment" -> (Dedup.dedupContainment _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
     "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
+    "text_sample" -> (TextAnalysis.textSample _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
@@ -111,6 +113,7 @@ object SparkEntry {
     "dedup_substring_maximal" -> Dedup.dedupSubstringMaximalSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,
     "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
@@ -123,6 +126,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_unigram_logprob" -> TextAnalysis.textUnigramLogprobSql,
     "text_tfidf" -> TextAnalysis.textTfidfSql,
+    "text_sample" -> TextAnalysis.textSampleSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,

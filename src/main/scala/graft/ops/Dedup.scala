@@ -423,6 +423,72 @@ object Dedup {
       when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Asymmetric set-containment threshold: containment(A in B) =
+    * |A∩B| / |A| — how much of A's shingle set lives inside B's.
+    */
+  val CONTAINMENT_THRESHOLD = 0.8
+
+  /** Set-containment join: ordered pairs with containment(A in B) ≥
+    * [[CONTAINMENT_THRESHOLD]] — catches a short document whose content
+    * sits INSIDE a longer one, which symmetric Jaccard misses by design
+    * (its length filter prunes size-mismatched pairs, and the union in
+    * the denominator dilutes the score). Candidate generation is exact:
+    * overlap ≥ ⌈t·|A|⌉ forces A's rarest-first prefix (length
+    * |A| − ⌈t·|A|⌉ + 1, same global (df, h) order as the Jaccard join)
+    * to intersect B, so probing the FULL inverted index of the container
+    * side with only prefix rows of the contained side misses nothing.
+    * The container index shuffle is linear in corpus shingles; pair
+    * fan-out tracks the document frequency of PREFIX (rare-leaning)
+    * shingles. Verification is the codegen'd sorted-merge intersect.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    val sets = Tables.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .localCheckpoint()
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"), explode(expr(
+        s"""slice(ranked, 1,
+           |  CAST(size(ranked) - ceil($CONTAINMENT_THRESHOLD * size(ranked)) + 1 AS INT))"""
+          .stripMargin)).as("r"))
+      .select(col("doc_id"), col("r.h").as("h"))
+    val pa = prefix.select(col("h"), col("doc_id").as("d1"))
+    val full = sh.select(col("h"), col("doc_id").as("d2"))
+    val cands = pa.join(full, Seq("h"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val s1 = sets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("shs").as("shs2"))
+    val cont = col("c").cast("double") / col("n1").cast("double")
+    cands.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
+      .filter(cont >= CONTAINMENT_THRESHOLD)
+      .select(col("d1"), col("d2"), round(cont, 6).as("containment"))
+  }
+
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, sfDir))
+
+  val dedupContainmentSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.d1, i.d2,
+       |       round(CAST(i.c AS DOUBLE) / CAST(s1.n AS DOUBLE), 6) AS containment
+       |FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+       |WHERE CAST(i.c AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $CONTAINMENT_THRESHOLD""".stripMargin
+
   /** Shared-long-span detection — substring dedup (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"), in the
     * span-hash form: two documents are span-duplicates when they share a

@@ -404,6 +404,35 @@ object TextAnalysis {
        |       md5(regexp_replace(t1, '$LONGNUM_RE', '<number>', 'g')) AS scrubbed_fp
        |FROM s1""".stripMargin
 
+  /** Deterministic hash sampling rate, percent. */
+  val SAMPLE_PCT = 20
+
+  /** Consistent [[SAMPLE_PCT]]% document sample via a content-stable hash
+    * bucket: keep a document iff its md5(doc_id)-derived bucket falls
+    * under the rate. This is how sampling works at 100 TB — `rand()` is
+    * neither repeatable across runs nor consistent across tables, while a
+    * key hash gives the SAME sample every run and, applied to a shared
+    * key, samples consistently across joined tables (the same users
+    * everywhere). One codegen'd projection, zero shuffle; the oracle
+    * replays the identical md5 arithmetic, so the sampled id set is
+    * bit-identical across engines.
+    */
+  def hashSample(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .filter(col("bucket") < SAMPLE_PCT)
+  }
+
+  def textSample(spark: SparkSession, sfDir: String): DataFrame =
+    hashSample(Tables.documents(spark, sfDir))
+
+  val textSampleSql: String =
+    s"""SELECT doc_id, lang, source,
+       |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $SAMPLE_PCT""".stripMargin
+
   /** Document fingerprinting: (a) a canonical content fingerprint — md5 of
     * the sorted distinct token set (catches shuffled/reordered copies that
     * exact dedup misses); (b) a winnowing-style min-shingle fingerprint —

@@ -57,6 +57,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
+  test("duplicate right timestamps: deterministic greatest-value pick, plain == bucketed") {
+    val left = Seq(
+      (1L, ts("2024-01-02 12:00:00"), 1L), // after the duplicate pair -> greater value
+      (2L, ts("2024-01-05 00:00:00"), 1L), // after a bucket-final duplicate pair
+      (3L, ts("2024-01-02 00:00:00"), 1L)) // exactly AT the duplicate instant (tie matches)
+      .toDF("id", "t", "k")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 10.0), // duplicate instant, smaller value
+      (1L, ts("2024-01-02 00:00:00"), 30.0), // duplicate instant, greater value — must win
+      (1L, ts("2024-01-03 23:59:59"), 5.0),  // bucket-final duplicates: seed pass must
+      (1L, ts("2024-01-03 23:59:59"), 7.0))  // agree with the row-level pass
+      .toDF("k", "pt", "v")
+    val expect = Map(1L -> Some(30.0), 2L -> Some(7.0), 3L -> Some(30.0))
+    val plain = AsofJoin.asofJoin(left, right, Seq("k"), "t", "pt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val bucketed = AsofJoin.asofJoinBucketed(left, right, Seq("k"), "t", "pt", Seq("v"),
+        org.apache.spark.sql.functions.date_trunc("DAY", _))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(plain == expect)
+    assert(bucketed == expect)
+  }
+
+  test("reserved internal column names are rejected with a clear error") {
+    val left = Seq((1L, ts("2024-01-02 00:00:00"), 1L)).toDF("id", "_t", "k")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "pt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("k"), "_t", "pt", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("native asof exec matches the composed variant on edge cases and random data") {
     // edge cases from the first test
     val left1 = Seq(

@@ -105,6 +105,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("containment: a document embedded in a longer one is caught; jaccard misses it") {
+    val inner = base.split(" ").slice(4, 12).mkString(" ") // 8 tokens of base
+    val d = docs(1L -> base, 2L -> inner,
+      3L -> "totally different content with no overlap at all whatsoever in any way")
+    val cpairs = Dedup.containmentPairs(d)
+      .select("d1", "d2", "containment").as[(Long, Long, Double)].collect().toSet
+    // all 6 of doc 2's shingles live in doc 1 -> containment 1.0, one direction
+    assert(cpairs == Set((2L, 1L, 1.0)))
+    // symmetric jaccard = 6/18 = 0.33 — below threshold, pair invisible
+    assert(Dedup.ngramJaccardPairs(d).count() == 0L)
+  }
+
   test("duplicate clusters: transitive near-dups collapse to one component") {
     // 1~2 (one edit, J≈0.714) and 2~3 (two more edits, J=0.5) pair up;
     // 1~3 (three edits, J=0.333) does NOT — doc 3 joins doc 1's cluster
