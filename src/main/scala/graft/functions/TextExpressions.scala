@@ -67,6 +67,76 @@ object TextKernels {
     sig
   }
 
+  /** Sorted distinct 64-bit shingle hashes of a token array (first 8 md5
+    * bytes per DISTINCT word-3-gram, big-endian) — the per-document set
+    * representation of the Jaccard/containment joins, built in one pass.
+    * Replaces explode → distinct → collect_set, whose two shuffles move
+    * the entire shingle stream across the cluster just to land back on
+    * doc_id. Hash values are engine-internal (the oracle intersects the
+    * shingle STRINGS), so only injectivity matters: collision odds over D
+    * distinct shingles are ~D²/2⁶⁵. Caller guarantees ≥ 3 tokens.
+    */
+  def shingleHashes(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[String]()
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    val md = md5Local.get()
+    var i = 0
+    while (i <= n - 3) {
+      val s = shingleAt(toks, i)
+      if (seen.add(s)) {
+        md.reset()
+        val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        hs.add(h)
+      }
+      i += 1
+    }
+    val out = new Array[Long](hs.size)
+    val it = hs.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** MinHash signature of a token array: the Kirsch–Mitzenmacher minima
+    * min((h1 + k·h2) & 2⁵⁶−1) for k = 0..nHashes−1, where h1/h2 are the
+    * first/second 7 bytes of each DISTINCT shingle's md5 — bit-identical
+    * to the exploded substr(md5)/conv formulation the DuckDB oracle runs
+    * (hex chars 1–14 are digest bytes 0–6, chars 15–28 are bytes 7–13),
+    * computed in one pass with no shingle explode and no 12-min shuffle.
+    * Caller guarantees ≥ 3 tokens.
+    */
+  def minhashSig(toks: ArrayData, nHashes: Int): ArrayData = {
+    val mask = (1L << 56) - 1
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(nHashes)(java.lang.Long.MAX_VALUE)
+    val md = md5Local.get()
+    var i = 0
+    while (i <= n - 3) {
+      val s = shingleAt(toks, i)
+      if (seen.add(s)) {
+        md.reset()
+        val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+        var h1 = 0L; var h2 = 0L
+        var b = 0
+        while (b < 7) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+        while (b < 14) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+        var k = 0
+        while (k < nHashes) {
+          val v = (h1 + k * h2) & mask
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Word-3-gram multiset statistics of a token array:
     * (total_3grams, distinct_3grams, top_count) — the Gopher repetition
     * filter's inputs, computed in one hash-map walk. Caller guarantees
@@ -113,6 +183,57 @@ case class SimhashFromTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_hashes(tokens)` → sorted distinct `array<bigint>` of 64-bit
+  * shingle hashes — the set representation consumed by
+  * `sorted_intersect_count`, built without exploding the shingle stream.
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextKernels.shingleHashes(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.shingleHashes($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(tokens, nHashes)` → `array<bigint>` of the K–M MinHash
+  * minima (nHashes must be a foldable integer literal).
+  */
+case class MinhashSig(child: Expression, nHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if nHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects (array<string>, positive int literal), got " +
+        s"${other.simpleString} with nHashes=$nHashes")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextKernels.minhashSig(toks.asInstanceOf[ArrayData], nHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernels.minhashSig($a, $nHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 /** `ngram_stats(tokens)` → struct(total_3grams, distinct_3grams,
   * top_count): the repetition filter's per-document statistics without
   * exploding the shingle stream.
@@ -155,6 +276,16 @@ object TextFunctions {
     if (!registry.functionExists(FunctionIdentifier("ngram_stats"))) {
       registry.createOrReplaceTempFunction(
         "ngram_stats", exprs => NgramStats(exprs(0)), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("shingle_hashes"))) {
+      registry.createOrReplaceTempFunction(
+        "shingle_hashes", exprs => ShingleHashes(exprs(0)), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("minhash_sig"))) {
+      registry.createOrReplaceTempFunction(
+        "minhash_sig",
+        exprs => MinhashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 }

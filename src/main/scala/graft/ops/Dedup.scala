@@ -89,20 +89,22 @@ object Dedup {
     * Kirsch–Mitzenmacher construction g_i = (h1 + i·h2) mod 2^56 over ONE
     * md5 per shingle (h1/h2 = the digest's two 56-bit halves) — preserves
     * MinHash's collision analysis (K–M '06) at 1/12th the hashing cost of
-    * independent salted digests. One aggregation computes all H minima (no
-    * H-way row blowup); no term overflows: h1 + 11·h2 < 2^60.
+    * independent salted digests. No term overflows: h1 + 11·h2 < 2^60.
+    *
+    * Computed ARRAY-SIDE by the [[graft.functions.MinhashSig]] kernel —
+    * one codegen'd projection per document, zero shuffle; bit-identical
+    * to the exploded substr(md5)/conv formulation the oracle still runs
+    * (hex chars 1–14 = digest bytes 0–6, chars 15–28 = bytes 7–13).
     */
   val MINHASH_MASK: Long = (1L << 56) - 1
 
   def signatures(docs: DataFrame): DataFrame = {
-    val hashed = Tables.shingles(docs).select(
-      col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("shingle")), 15, 14), 16, 10).cast("long").as("h2"))
-    hashed.groupBy(col("doc_id")).agg(
-      min(expr(s"(h1 + 0 * h2) & $MINHASH_MASK")).as("mh0"),
-      (1 until NUM_HASHES).map(h =>
-        min(expr(s"(h1 + $h * h2) & $MINHASH_MASK")).as(s"mh$h")): _*)
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(s"minhash_sig(toks, $NUM_HASHES)").as("sig"))
+      .select(col("doc_id") +:
+        (0 until NUM_HASHES).map(h => element_at(col("sig"), h + 1).as(s"mh$h")): _*)
   }
 
   private val sigSqlCols: String =
@@ -302,15 +304,19 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
+    graft.functions.TextFunctions.register(docs.sparkSession)
     // Shingles are 64-bit-hashed once at the source: every downstream
     // stage (index, prefix rank, verification) works on sorted bigint
     // arrays instead of strings. Collision odds over D distinct shingles
     // are ~D²/2⁶⁵ (≈1e-11 here; at trillions of shingles swap in a 128-bit
-    // hash behind the same shape).
-    val sets = Tables.shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("shs"))
+    // hash behind the same shape). The set is built by the single-pass
+    // shingle_hashes kernel — the old explode → distinct → collect_set
+    // route shuffled the whole shingle stream twice just to land back on
+    // doc_id.
+    val sets = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .localCheckpoint()
     val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
@@ -443,10 +449,11 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
-    val sets = Tables.shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("shs"))
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .localCheckpoint()
     val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
