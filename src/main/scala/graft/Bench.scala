@@ -1,6 +1,35 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** Runs each query through the `noop` sink and times it. The noop sink
+    * materializes EVERY output column and discards the rows — a count()
+    * would let Catalyst prune unused columns, so projection-heavy queries
+    * would bench as little more than parquet row counts.
+    *
+    * Failed queries must be VISIBLE: a swallowed exception benches as
+    * ~0 s and silently shrinks the total, so one regression could pass
+    * the within-2× gate on a broken engine. Every failure lands in the
+    * returned error map (name → "ExceptionClass: message").
+    */
+  def runAll(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String): (Map[String, Double], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    (results, errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,23 +46,11 @@ object Bench {
     // differ), so this pre-pays Janino compilation and JIT — per-query
     // first-run overhead (measured up to 10s on trivial queries) is session
     // setup, not query cost. Standard JMH-style warmup iteration.
-    // noop sink: materializes EVERY output column and discards the rows.
-    // A count() would let Catalyst prune unused columns — projection-heavy
-    // queries would bench as little more than parquet row counts.
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Unit =
-      fn(spark, dir).write.mode("overwrite").format("noop").save()
-    val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn, warmupDir) catch { case _: Throwable => () }
-    }
+    runAll(spark, SparkEntry.queries, "/root/testdata/sf0.001")
     // No clearCache between queries: operators own their intermediate
     // storage (localCheckpoint, reclaimed by the context cleaner) — the
     // bench must not paper over a leaky operator.
-    //
-    // Failed queries must be VISIBLE: a swallowed exception benches as ~0 s
-    // and silently shrinks the total, so one regression could pass the
-    // within-2× gate on a broken engine. Every failure lands in "errors".
+    val (results, errors) = runAll(spark, SparkEntry.queries, sfDir)
     def jsonStr(s: String): String =
       s.map {
         case '"' => "\\\""
@@ -41,20 +58,10 @@ object Bench {
         case c if c < ' ' => ' '
         case c => c
       }.mkString
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn, sfDir) catch {
-        case e: Throwable =>
-          errors(name) =
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      name -> elapsed
-    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"${jsonStr(k)}\":\"${jsonStr(v)}\"" }
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"${jsonStr(k)}\":\"${jsonStr(v)}\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write-full-materialization","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
