@@ -76,6 +76,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_frames" -> (Multimodal.multimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +132,6 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "multimodal_frames" -> Multimodal.multimodalFramesSql,
   )
 }

@@ -95,4 +95,76 @@ object Multimodal {
       |       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
       |       CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
       |FROM documents""".stripMargin
+
+  /** Frame-sampling stride and resize target (fit the longest side to
+    * [[FRAME_TARGET]], preserving aspect ratio in pure integer math so
+    * both engines agree bit-for-bit).
+    */
+  val FRAME_TARGET = 224
+  val FRAME_STRIDE = 2
+
+  /** One row per SAMPLED frame (every [[FRAME_STRIDE]]-th, 1-based) with
+    * the resize-plan dimensions and a per-frame fingerprint — the
+    * frame-sample + resize stage of a video/image preprocessing pipeline.
+    * The decode being stubbed, the per-frame fingerprint is a
+    * deterministic function of (checksum, frame_no); the table-generating
+    * shape (`sequence` + `explode`, no shuffle, fan-out = frames/stride)
+    * and the integer resize arithmetic are the real contract.
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = multimodalMeta(spark, sfDir)
+    m.withColumn("out_w",
+        when(col("width") >= col("height"), lit(FRAME_TARGET))
+          .otherwise(expr(s"(width * $FRAME_TARGET) DIV height")).cast("int"))
+      .withColumn("out_h",
+        when(col("width") >= col("height"),
+          expr(s"(height * $FRAME_TARGET) DIV width"))
+          .otherwise(lit(FRAME_TARGET)).cast("int"))
+      .select(col("media_id"), col("kind"), col("checksum"),
+        col("out_w"), col("out_h"),
+        explode(expr(s"sequence(1, n_frames, $FRAME_STRIDE)")).as("frame_no"))
+      .select(col("media_id"), col("kind"), col("frame_no").cast("long").as("frame_no"),
+        col("out_w"), col("out_h"),
+        md5(concat_ws(":", col("checksum"), col("frame_no"))).as("frame_fp"))
+  }
+
+  val multimodalFramesSql: String =
+    s"""WITH meta AS (
+       |$multimodalMetaSql),
+       |fr AS (
+       |  SELECT media_id, kind, checksum,
+       |         CAST(CASE WHEN width >= height THEN $FRAME_TARGET
+       |                   ELSE (width * $FRAME_TARGET) // height END AS INTEGER) AS out_w,
+       |         CAST(CASE WHEN width >= height THEN (height * $FRAME_TARGET) // width
+       |                   ELSE $FRAME_TARGET END AS INTEGER) AS out_h,
+       |         unnest(generate_series(1, n_frames, $FRAME_STRIDE)) AS frame_no
+       |  FROM meta)
+       |SELECT media_id, kind, CAST(frame_no AS BIGINT) AS frame_no, out_w, out_h,
+       |       md5(checksum || ':' || CAST(frame_no AS VARCHAR)) AS frame_fp
+       |FROM fr""".stripMargin
+
+  /** A sampled, resize-planned frame from the typed decoder path. */
+  case class FrameRow(media_id: Long, kind: String, frame_no: Long,
+      out_w: Int, out_h: Int, frame_fp: String)
+
+  /** The typed twin of [[multimodalFrames]]: frame sampling + resize
+    * planning as a `flatMap` over decoded features — where a real decoder
+    * would emit actual frame tensors, batched per partition. Asserted
+    * row-identical to the relational query in the spec.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures]): Dataset[FrameRow] = {
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val (ow, oh) =
+        if (f.width >= f.height) (FRAME_TARGET, f.height * FRAME_TARGET / f.width)
+        else (f.width * FRAME_TARGET / f.height, FRAME_TARGET)
+      (1 to f.n_frames by FRAME_STRIDE).map { fn =>
+        val fp = md.digest(s"${f.checksum}:$fn".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        md.reset()
+        FrameRow(f.media_id, f.kind, fn.toLong, ow, oh, fp)
+      }
+    }
+  }
 }

@@ -149,4 +149,19 @@ class TextMultimodalSpec extends SparkSpec {
       .select("media_id", "byte_len", "checksum", "n_frames")
     assert(viaDecoder.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaDecoder).isEmpty)
   }
+
+  test("multimodal: typed frame sampler matches the relational frames query") {
+    val sf = "/root/testdata/sf0.001"
+    val viaDecoder = Multimodal.sampleFrames(
+        Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf)))
+      .toDF("media_id", "kind", "frame_no", "out_w", "out_h", "frame_fp")
+    val viaSql = Multimodal.multimodalFrames(spark, sf)
+      .select("media_id", "kind", "frame_no", "out_w", "out_h", "frame_fp")
+    assert(viaDecoder.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaDecoder).isEmpty)
+    // stride 2 from 1: only odd frame numbers are sampled
+    assert(viaSql.filter($"frame_no" % 2 === 0).isEmpty)
+    // resize plan fits the longest side to 224, aspect preserved
+    assert(viaSql.filter(!($"out_w" === 224 || $"out_h" === 224)).isEmpty)
+    assert(viaSql.filter($"out_w" > 224 || $"out_h" > 224).isEmpty)
+  }
 }
