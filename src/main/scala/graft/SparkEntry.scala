@@ -70,6 +70,8 @@ object SparkEntry {
     "text_bpe_tokens" -> (TextAnalysis.textBpeTokens _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_unigram_logprob" -> (TextAnalysis.textUnigramLogprob _),
+    "text_bigram_logprob" -> (TextAnalysis.textBigramLogprob _),
+    "text_quality_model" -> (TextAnalysis.textQualityModel _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
     "text_sample" -> (TextAnalysis.textSample _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
@@ -126,6 +128,8 @@ object SparkEntry {
     "text_bpe_tokens" -> TextAnalysis.textBpeTokensSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_unigram_logprob" -> TextAnalysis.textUnigramLogprobSql,
+    "text_bigram_logprob" -> TextAnalysis.textBigramLogprobSql,
+    "text_quality_model" -> TextAnalysis.textQualityModelSql,
     "text_tfidf" -> TextAnalysis.textTfidfSql,
     "text_sample" -> TextAnalysis.textSampleSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,

@@ -238,6 +238,91 @@ object TextAnalysis {
        |       round(avg(CAST(doc_toks AS DOUBLE)), 6) AS avg_doc_tokens
        |FROM per_doc GROUP BY 1, 2""".stripMargin
 
+  /** Fixed linear-model weights for [[qualityModel]] — stand-ins for a
+    * trained quality classifier's coefficients (at production scale these
+    * load from the model artifact and broadcast; the scoring plan is
+    * identical).
+    */
+  val QM_W_TTR = 2.0
+  val QM_W_SHORT = -3.0
+  val QM_W_AVGLEN = 0.35
+  val QM_BIAS = -1.2
+
+  /** Classifier-based quality filtering — the fastText-classifier stage
+    * of a pretraining pipeline, as a FIXED linear model over the engine's
+    * own quality features: score = sigmoid(w·x + b), keep at ≥ 0.5. A
+    * pure projection on top of [[quality]] (zero extra shuffle); inputs
+    * are the already-round-pinned feature columns, so both engines feed
+    * identical doubles into the one transcendental (exp), and the output
+    * is round-pinned again.
+    */
+  def qualityModel(docs: DataFrame): DataFrame = {
+    val z = lit(QM_W_TTR) * col("ttr") +
+      lit(QM_W_SHORT) * col("short_ratio") +
+      lit(QM_W_AVGLEN) * col("avg_token_len") + lit(QM_BIAS)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    quality(docs).select(col("doc_id"), col("lang"), col("source"),
+      score.as("model_score"), (score >= 0.5).as("keep"))
+  }
+
+  def textQualityModel(spark: SparkSession, sfDir: String): DataFrame =
+    qualityModel(Tables.documents(spark, sfDir))
+
+  val textQualityModelSql: String =
+    s"""WITH q AS (
+       |$textQualitySql)
+       |SELECT doc_id, lang, source,
+       |       round(1.0 / (1.0 + exp(-($QM_W_TTR * ttr + ($QM_W_SHORT) * short_ratio
+       |                                + $QM_W_AVGLEN * avg_token_len + ($QM_BIAS)))), 6) AS model_score,
+       |       round(1.0 / (1.0 + exp(-($QM_W_TTR * ttr + ($QM_W_SHORT) * short_ratio
+       |                                + $QM_W_AVGLEN * avg_token_len + ($QM_BIAS)))), 6) >= 0.5 AS keep
+       |FROM q""".stripMargin
+
+  /** Bigram-LM surprise scoring: score(doc) = mean(−ln p(cur | prev))
+    * with the conditional from the corpus's own bigram/context counts —
+    * the next rung of the perplexity-filter ladder after
+    * [[unigramLogprob]] (a token stream can be unigram-plausible yet
+    * bigram-impossible: shuffled text, interleaved documents). Bigrams
+    * are built array-side (one projection, no positional self-join);
+    * the count tables scale with DISTINCT bigrams (vocabulary², not
+    * corpus) and join broadcast-friendly.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val cb = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+    val cp = cb.groupBy(col("prev")).agg(sum(col("c")).as("n"))
+    bg.join(cb, Seq("prev", "cur"))
+      .join(cp, Seq("prev"))
+      .withColumn("neg_lp", -log(col("c").cast("double") / col("n").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("neg_lp")), 6).as("avg_neg_logprob"))
+  }
+
+  def textBigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLogprob(Tables.documents(spark, sfDir))
+
+  val textBigramLogprobSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |bg AS (
+       |  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+       |cp AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY 1)
+       |SELECT g.doc_id, count(*) AS n_bigrams,
+       |       round(avg(-ln(CAST(cb.c AS DOUBLE) / CAST(cp.n AS DOUBLE))), 6) AS avg_neg_logprob
+       |FROM bg g
+       |JOIN cb ON g.prev = cb.prev AND g.cur = cb.cur
+       |JOIN cp ON g.prev = cp.prev
+       |GROUP BY 1""".stripMargin
+
   /** Unigram log-probability scoring — the perplexity-filter shape of LM
     * quality filtering, with the LM being the corpus's own unigram
     * distribution: score(doc) = mean(−ln p(tok)), p from corpus token

@@ -128,6 +128,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(betaScores.nonEmpty && betaScores.forall(_ == 0.0))
   }
 
+  test("bigram logprob: rarer continuations score higher surprise") {
+    val d = docs((1L, "x y x y x y", "en", "web"), (2L, "x y z", "en", "web"))
+    val m = TextAnalysis.bigramLogprob(d)
+      .select("doc_id", "avg_neg_logprob").as[(Long, Double)].collect().toMap
+    // doc 2 ends in the corpus-unique continuation y->z; doc 1 repeats the
+    // dominant x<->y alternation
+    assert(m(2L) > m(1L))
+  }
+
+  test("quality model: distinct-rich text outscores repetitive text; keep matches threshold") {
+    val d = docs(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "web"),
+      (2L, "a a a a a a a a", "en", "web"))
+    val rows = TextAnalysis.qualityModel(d)
+      .select("doc_id", "model_score", "keep").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L)._1 > rows(2L)._1)
+    rows.values.foreach { case (s, k) => assert(k == (s >= 0.5)) }
+  }
+
   test("multimodal: mapPartitions decoder matches the relational metadata query") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "hello world".getBytes("UTF-8")),
