@@ -94,6 +94,23 @@ object StreamingPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming corpus gate — the batch quality/sampling operators applied
+    * UNCHANGED to a document stream: [[graft.ops.TextAnalysis.quality]]
+    * and [[graft.ops.TextAnalysis.hashSample]]'s bucket predicate are
+    * stateless projections, so the same code runs in both deployment
+    * modes with zero state store — the filter a streaming ingest applies
+    * before handing documents to the (stateful) streaming dedup. Keeps
+    * documents whose quality score clears `minScore` AND whose md5 bucket
+    * falls under `samplePct`.
+    */
+  def corpusGateStream(docs: DataFrame, minScore: Double = 0.45,
+      samplePct: Int = 100): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    graft.ops.TextAnalysis.quality(docs)
+      .filter(col("quality_score") >= minScore && bucket < samplePct)
+  }
+
   /** Streaming sessionization — the stateful twin of the batch
     * lag+running-sum `Relational.userSessions`: `session_window` merges
     * events into per-user sessions that close after `gap` of silence,

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L))
   }
 
+  test("streaming corpus gate: batch quality/sample operators run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingPipeline.corpusGateStream(
+        in.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.format("memory").queryName("corpusgate")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "web"),
+      (2L, "a a a a a a a a", "en", "web"), // ttr 1/8, all short -> filtered
+      (3L, "spark table scan hash join sort merge window", "en", "web"))
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("corpusgate").select("doc_id").as[Long].collect().toSet
+    // batch run of the same gate on the same rows must agree exactly
+    val batch = StreamingPipeline.corpusGateStream(
+        rows.toDF("doc_id", "text", "lang", "source"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(!streamed.contains(2L) && streamed.contains(1L))
+  }
+
   test("streaming sessionization merges events within the gap and splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
