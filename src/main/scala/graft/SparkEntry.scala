@@ -40,6 +40,7 @@ object SparkEntry {
     "props_parse" -> (Relational.propsParse _),
     "user_sessions" -> (Relational.userSessions _),
     "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
     "event_quantiles" -> (Relational.eventQuantiles _),
     "approx_stats" -> (Relational.approxStats _),
     "top_users_per_chain" -> (Relational.topUsersPerChain _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "props_parse" -> Relational.propsParseSql,
     "user_sessions" -> Relational.userSessionsSql,
     "agg_rollup" -> Relational.aggRollupSql,
+    "agg_cube" -> Relational.aggCubeSql,
     "event_quantiles" -> Relational.eventQuantilesSql,
     "top_users_per_chain" -> Relational.topUsersPerChainSql,
     "salted_user_volume" -> Relational.saltedUserVolumeSql,

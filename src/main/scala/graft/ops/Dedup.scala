@@ -528,11 +528,13 @@ object Dedup {
   private def spanHashes(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
     .filter(size(col("toks")) >= SPAN_WORDS)
+    // per-doc distinctness is array-side (array_distinct before the
+    // explode) — a post-explode .distinct() would shuffle the entire span
+    // stream on (doc_id, h) first
     .select(col("doc_id"), explode(expr(
-      s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
-         |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+      s"""array_distinct(transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
+         |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS)))))"""
         .stripMargin)).as("h"))
-    .distinct()
 
   /** Span hashes surviving the [[SPAN_DF_CAP]] document-frequency cap —
     * one extra hash aggregation on the span hash, the key the index join

@@ -133,6 +133,29 @@ object Relational {
       |FROM events
       |GROUP BY ROLLUP (event_id % 2, event_type)""".stripMargin
 
+  /** CUBE over (chain, event_type): all four grouping sets in one pass —
+    * the full cross-dimensional rollup a metrics dashboard reads. Same
+    * partial-agg-friendly shape as ROLLUP; grouping-set expansion happens
+    * before the shuffle, so one aggregation serves every slice.
+    */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select((col("event_id") % 2).as("chain"), col("event_type"),
+        col("value").as("stake"))
+      .cube(col("chain"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("stake")), 4).as("total_stake"))
+      .select(
+        coalesce(col("chain").cast("string"), lit("ALL")).as("chain"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("total_stake"))
+
+  val aggCubeSql: String =
+    """SELECT coalesce(CAST(event_id % 2 AS VARCHAR), 'ALL') AS chain,
+      |       coalesce(event_type, 'ALL') AS event_type,
+      |       count(*) AS n, round(sum(value), 4) AS total_stake
+      |FROM events
+      |GROUP BY CUBE (event_id % 2, event_type)""".stripMargin
+
   /** Set operations: users who purchased but never errored —
     * EXCEPT (distinct) over two filtered projections of the same scan.
     */
