@@ -52,6 +52,7 @@ object SparkEntry {
     // -- LLM-data-pipeline ops (north star) --
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "tx_enrich_range" -> AsofJoin.txEnrichRangeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_pairs" -> Dedup.dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,

@@ -119,22 +119,26 @@ object Dedup {
     * population, not corpus size, bounds the pair blowup, which is the whole
     * point of LSH at 100 TB.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = signatures(exactReps(docs))
+  /** (doc_id, band_no, bucket) LSH band rows for a document set. One row
+    * per document after the signature projection — locally checkpointed
+    * so the band projections read it once. Unlike cache(), checkpoint
+    * storage is owned by the returned plan's RDD and reclaimed by the
+    * context cleaner when the result is dropped — no harness clearCache
+    * required.
+    */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val bandCols = (0 until NUM_BANDS).map { b =>
       val parts = (0 until ROWS_PER_BAND).map(r => col(s"mh${b * ROWS_PER_BAND + r}"))
       md5(concat_ws("|", parts: _*)).as(s"b$b")
     }
-    // One row per document after the signature agg — locally checkpoint it
-    // so the three band projections read it once instead of re-running the
-    // shingle+signature pipeline per band (~3 short strings/doc at any
-    // corpus size). Unlike cache(), checkpoint storage is owned by the
-    // returned plan's RDD and reclaimed by the context cleaner when the
-    // result is dropped — no harness clearCache required.
-    val bands = sig.select(col("doc_id") +: bandCols: _*).localCheckpoint()
-    val buckets = (0 until NUM_BANDS).map { b =>
+    val bands = signatures(docs).select(col("doc_id") +: bandCols: _*).localCheckpoint()
+    (0 until NUM_BANDS).map { b =>
       bands.select(col("doc_id"), lit(b).as("band_no"), col(s"b$b").as("bucket"))
     }.reduce(_.unionByName(_))
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val buckets = minhashBands(exactReps(docs))
     // bucket-bounded pairs via a plain equi-join on (band_no, bucket):
     // stays in WholeStageCodegen end to end (a collect_list+pair-explode
     // lambda would run interpreted)
@@ -146,44 +150,89 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_bands"))
   }
 
+  /** Incremental near-dup: NEW documents probed against an EXISTING
+    * (already-deduped) corpus — the nightly-crawl shape, where the self-
+    * join pair space is wrong twice over (prior×prior pairs were already
+    * resolved, and the new batch is tiny next to the corpus). Band rows
+    * are built for both sides with the same geometry, and the join is
+    * new-side × prior-side only: fan-out is bounded by bucket occupancy
+    * AND batch size, never corpus². At production scale the prior side's
+    * band table is a PERSISTED index (computed once, appended per batch),
+    * which this models by deriving both sides from the fixture corpus —
+    * odd doc_ids play the new batch, even ids the standing corpus.
+    */
+  def incrementalMinhashMatches(newDocs: DataFrame, priorDocs: DataFrame): DataFrame = {
+    val x = minhashBands(newDocs)
+      .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
+    val y = minhashBands(priorDocs)
+      .select(col("band_no"), col("bucket"), col("doc_id").as("prior_id"))
+    x.join(y, Seq("band_no", "bucket"))
+      .groupBy(col("new_id"), col("prior_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"))
+  }
+
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(Tables.documents(spark, sfDir))
 
-  val dedupMinhashSql: String = {
-    val bandExprs = (0 until NUM_BANDS).map { b =>
-      val parts = (0 until ROWS_PER_BAND)
-        .map(r => s"CAST(mh${b * ROWS_PER_BAND + r} AS VARCHAR)")
-        .mkString(" || '|' || ")
-      s"md5($parts) AS b$b"
-    }.mkString(",\n         ")
-    val bandUnion = (0 until NUM_BANDS)
-      .map(b => s"SELECT doc_id, $b AS band_no, b$b AS bucket FROM bands")
-      .mkString("\n  UNION ALL ")
-    s"""WITH ${Tables.TOK_CTE},
-       |${Tables.SHINGLE_CTE},
-       |$KEEP_CTE,
-       |hashed AS (
+  private val MINHASH_BAND_EXPRS: String = (0 until NUM_BANDS).map { b =>
+    val parts = (0 until ROWS_PER_BAND)
+      .map(r => s"CAST(mh${b * ROWS_PER_BAND + r} AS VARCHAR)")
+      .mkString(" || '|' || ")
+    s"md5($parts) AS b$b"
+  }.mkString(",\n         ")
+
+  private val MINHASH_BAND_UNION: String = (0 until NUM_BANDS)
+    .map(b => s"SELECT doc_id, $b AS band_no, b$b AS bucket FROM bands")
+    .mkString("\n  UNION ALL ")
+
+  /** Shared oracle text: hashed shingles (optionally doc-filtered) →
+    * signatures → band buckets.
+    */
+  private def minhashBucketCtes(hashedFilter: String): String =
+    s"""hashed AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h1,
        |         CAST(('0x' || substr(md5(shingle), 15, 14)) AS BIGINT) AS h2
-       |  FROM sh
-       |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+       |  FROM sh$hashedFilter),
        |sig AS (
        |  SELECT doc_id,
        |         $sigSqlCols
        |  FROM hashed GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id,
-       |         $bandExprs
+       |         $MINHASH_BAND_EXPRS
        |  FROM sig),
        |buckets AS (
-       |  $bandUnion)
+       |  $MINHASH_BAND_UNION)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |$KEEP_CTE,
+       |${minhashBucketCtes("\n  WHERE doc_id IN (SELECT doc_id FROM keep)")}
        |SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
        |FROM buckets x
        |JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
        |             AND x.doc_id < y.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalMinhashMatches(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
   }
+
+  val dedupIncrementalSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |${minhashBucketCtes("")}
+       |SELECT x.doc_id AS new_id, y.doc_id AS prior_id,
+       |       CAST(count(*) AS BIGINT) AS n_bands
+       |FROM buckets x
+       |JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+       |GROUP BY 1, 2""".stripMargin
 
   /** SimHash: [[SIMHASH_BITS]]-bit signature per document. Each distinct
     * word-3-gram shingle votes ±1 on every bit of its (md5-derived) hash;

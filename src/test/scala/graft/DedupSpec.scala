@@ -105,6 +105,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("incremental minhash probes new docs against the prior corpus only") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(
+      2L -> base, // prior side (even ids)
+      4L -> "dup big small fast slow the a customer data order sort key line",
+      3L -> nearDup, // new side (odd ids) — near-dup of prior doc 2
+      5L -> "completely disjoint vocabulary tokens everywhere nothing shared at all")
+    val m = Dedup.incrementalMinhashMatches(
+        d.filter($"doc_id" % 2 === 1), d.filter($"doc_id" % 2 === 0))
+      .select("new_id", "prior_id").as[(Long, Long)].collect().toSet
+    assert(m.contains((3L, 2L)))
+    assert(!m.exists(_._1 == 5L), "unrelated new doc must not match")
+    assert(m.forall { case (n, p) => n % 2 == 1 && p % 2 == 0 },
+      "pairs must be new-side x prior-side only")
+  }
+
   test("containment: a document embedded in a longer one is caught; jaccard misses it") {
     val inner = base.split(" ").slice(4, 12).mkString(" ") // 8 tokens of base
     val d = docs(1L -> base, 2L -> inner,
