@@ -808,14 +808,18 @@ object Dedup {
     val b = buckets.select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
       col("embedding").as("eb"), col("nm").as("nb"))
     val cosine = round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+    // best candidate per vector as min(struct(−cosine, nn_id)) — the same
+    // winner a row_number window picks (max cosine, then min nn_id), but a
+    // partial-agg-friendly hash aggregate: bucket-join fan-out combines
+    // map-side instead of sort-shuffling through a window
     a.join(b, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cosine", cosine)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("nn_id"), col("cosine"),
-        (col("cosine") >= 0.9).as("is_near_dup"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("nn_id").as("nn_id"))).as("best"))
+      .select(col("vec_id"), col("label"), col("best.nn_id").as("nn_id"),
+        (-col("best.nc")).as("cosine"),
+        (-col("best.nc") >= 0.9).as("is_near_dup"))
   }
 
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =

@@ -130,14 +130,17 @@ object Similarity {
   val KMEANS_K = 8
   val KMEANS_ITERS = 2
 
-  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
+    // argmax per vector as min(struct(−cos, cell)) — identical pick to a
+    // row_number window (max rounded cosine, then min cell) but
+    // partial-agg friendly: the N×K candidate rows combine map-side to N
+    // before the shuffle, instead of sort-shuffling all N×K through a
+    // window
     base.crossJoin(broadcast(cents))
       .withColumn("cos", round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("cell").as("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
 
   private def recomputeCents(base: DataFrame, asg: DataFrame): DataFrame = {
     val comp = base.join(asg, Seq("vec_id"))
