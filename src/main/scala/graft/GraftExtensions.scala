@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, NgramStats, SimhashFromTokens, SortedLongIntersectCount}
+import graft.functions.{FloatVecDot, MinhashSig, NgramStats, ShingleHashes,
+  SimhashFromTokens, SortedLongIntersectCount, WinnowFps}
 
 /** Library entry point for Spark's extension mechanism: install with
   *
@@ -42,5 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
       (exprs: Seq[Expression]) => NgramStats(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_substring_maximal" -> (Dedup.dedupSubstringMaximal _),
+    "dedup_winnow" -> (Dedup.dedupWinnow _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_containment" -> (Dedup.dedupContainment _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_substring_maximal" -> Dedup.dedupSubstringMaximalSql,
+    "dedup_winnow" -> Dedup.dedupWinnowSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,

@@ -137,6 +137,52 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Sorted distinct winnowing fingerprints of a token array: span hash
+    * at position i = first 7 md5 bytes (56 bits, sign-safe — identical to
+    * the oracle's substr(md5, 1, 14) parse) of the `spanWords`-word span;
+    * fingerprints are the minima of each `window`-wide span-hash run
+    * (Schleimer et al. '03). One pass, each span hashed once. Caller
+    * guarantees ≥ spanWords + window − 1 tokens.
+    */
+  def winnowFps(toks: ArrayData, spanWords: Int, window: Int): ArrayData = {
+    val n = toks.numElements()
+    val nSpans = n - spanWords + 1
+    val hs = new Array[Long](nSpans)
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nSpans) {
+      sb.setLength(0)
+      var k = 0
+      while (k < spanWords) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j <= nSpans - window) {
+      var m = hs(j)
+      var k = 1
+      while (k < window) { if (hs(j + k) < m) m = hs(j + k); k += 1 }
+      fps.add(m)
+      j += 1
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Word-3-gram multiset statistics of a token array:
     * (total_3grams, distinct_3grams, top_count) — the Gopher repetition
     * filter's inputs, computed in one hash-map walk. Caller guarantees
@@ -234,6 +280,35 @@ case class MinhashSig(child: Expression, nHashes: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow_fps(tokens, spanWords, window)` → sorted distinct
+  * `array<bigint>` of winnowing fingerprints (span sizes must be foldable
+  * integer literals).
+  */
+case class WinnowFps(child: Expression, spanWords: Int, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if spanWords > 0 && window > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects (array<string>, positive int literals), got " +
+        s"${other.simpleString} with spanWords=$spanWords window=$window")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextKernels.winnowFps(toks.asInstanceOf[ArrayData], spanWords, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernels.winnowFps($a, $spanWords, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** `ngram_stats(tokens)` → struct(total_3grams, distinct_3grams,
   * top_count): the repetition filter's per-document statistics without
   * exploding the shingle stream.
@@ -286,6 +361,13 @@ object TextFunctions {
         "minhash_sig",
         exprs => MinhashSig(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("winnow_fps"))) {
+      registry.createOrReplaceTempFunction(
+        "winnow_fps",
+        exprs => WinnowFps(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 }

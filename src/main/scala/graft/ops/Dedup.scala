@@ -781,6 +781,74 @@ object Dedup {
        |SELECT r.doc_id, r.rep_id, s.cluster_size
        |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
 
+  /** Winnowing window: each fingerprint is the minimum of
+    * [[WINNOW_WINDOW]] consecutive span hashes — guarantees any shared
+    * run of [[SPAN_WORDS]] + [[WINNOW_WINDOW]] − 1 words shares a
+    * selected fingerprint (the winnowing guarantee, Schleimer et al.
+    * '03), while storing ~2/(W+1) of the span hashes.
+    */
+  val WINNOW_WINDOW = 4
+
+  /** Selected winnowing fingerprints per document (doc_id, fp). Built
+    * ARRAY-SIDE: the rolling span-hash array, the per-window minima, and
+    * the distinct selection all happen in one projection — zero shuffle
+    * until the consumer indexes the fingerprints. The hash must be
+    * engine-portable because the WINDOW MINIMUM depends on hash VALUES
+    * (unlike the pure-equality span index): both engines parse the first
+    * 14 md5 hex chars (56 bits, sign-safe) of the span text.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SPAN_WORDS + WINNOW_WINDOW - 1)
+      .select(col("doc_id"), explode(
+        expr(s"winnow_fps(toks, $SPAN_WORDS, $WINNOW_WINDOW)")).as("fp"))
+  }
+
+  /** Winnowing dedup: candidate pairs share a selected fingerprint — the
+    * MOSS shape. Detects any shared passage of ≥ SPAN_WORDS+W−1 words
+    * (guaranteed by construction) at ~2/(W+1) of the span index's size;
+    * the same document-frequency cap bounds boilerplate fingerprints.
+    */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SPAN_DF_CAP).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col("doc_id").as("d1"))
+    val b = kept.select(col("fp"), col("doc_id").as("d2"))
+    a.join(b, Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("long").as("n_shared_fps"))
+  }
+
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairs(Tables.documents(spark, sfDir))
+
+  val dedupWinnowSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i,
+       |         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + ${SPAN_WORDS - 1}), ' ')), 1, 14)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SPAN_WORDS - 1})) AS i
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= ${SPAN_WORDS + WINNOW_WINDOW - 1})),
+       |win AS (
+       |  SELECT doc_id, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN ${WINNOW_WINDOW - 1} PRECEDING AND CURRENT ROW) AS fp
+       |  FROM pos),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i >= $WINNOW_WINDOW),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+       |  WHERE df <= $SPAN_DF_CAP),
+       |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared_fps
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** Embedding-cosine near-dup via hyperplane LSH: candidates are vectors
     * sharing any (table, bucket) cell; each vector reports its best
     * candidate by cosine, flagged ≥ 0.9. Pair fan-out is bounded by bucket

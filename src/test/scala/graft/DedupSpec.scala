@@ -165,6 +165,23 @@ class DedupSpec extends SparkSpec {
     assert(m == Map((1L, 2L) -> 20L, (1L, 3L) -> 10L, (2L, 3L) -> 10L))
   }
 
+  test("winnowing: long shared passage guaranteed caught with far fewer fingerprints") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ") // ≥ SPAN+W−1 = 13 words
+    val d = docs(
+      1L -> s"alpha beta gamma $shared delta epsilon",
+      2L -> s"one two three four five $shared six seven",
+      3L -> "totally different content with no overlap at all whatsoever in any way here")
+    val pairs = Dedup.winnowPairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // storage guarantee: winnowing keeps a strict subset of the span index
+    val nFps = Dedup.winnowFingerprints(d).count()
+    val nSpans = d.select(org.apache.spark.sql.functions.expr(
+      s"sum(greatest(0, size(split(text, '\\\\s+')) - ${Dedup.SPAN_WORDS - 1}))"))
+      .as[Long].collect().head
+    assert(nFps < nSpans, s"fingerprints $nFps must undercut spans $nSpans")
+  }
+
   test("embedding near-dup: planted duplicate vector is mutual nearest neighbor with cosine 1") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(_ * 2.0f) // same direction -> cosine 1
