@@ -32,5 +32,17 @@ class ExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).collect().head
     assert(row.getDouble(0) == 11.0)
     assert(row.getLong(1) == 2L)
+    // the text kernels resolve from SQL text too
+    val k = s.sql(
+      """SELECT simhash56(array('a', 'b', 'c', 'a')) AS sh,
+        |       ngram_stats(array('a', 'b', 'c', 'a')).total_3grams AS tot,
+        |       size(shingle_hashes(array('a', 'b', 'c', 'a'))) AS nsh,
+        |       size(minhash_sig(array('a', 'b', 'c'), 12)) AS nmh,
+        |       size(winnow_fps(array('a','b','c','d','e','f','g'), 3, 2)) AS nwf
+        |""".stripMargin).collect().head
+    assert(k.getLong(1) == 2L) // 4 tokens -> 2 raw 3-grams
+    assert(k.getInt(2) == 2)   // both 3-grams distinct
+    assert(k.getInt(3) == 12)
+    assert(k.getInt(4) >= 1)
   }
 }
