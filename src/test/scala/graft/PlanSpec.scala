@@ -81,4 +81,10 @@ class PlanSpec extends SparkSpec {
         s"$q must stay an equi-join on the capped span index")
     }
   }
+
+  test("dedup_winnow: kernel-built fingerprints, no cross/nested-loop join") {
+    val p = plan("dedup_winnow")
+    assert(p.contains("winnow_fps"), "fingerprints must come from the single-pass kernel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
