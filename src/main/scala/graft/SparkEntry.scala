@@ -77,6 +77,7 @@ object SparkEntry {
     "text_quality_model" -> (TextAnalysis.textQualityModel _),
     "text_tfidf" -> (TextAnalysis.textTfidf _),
     "text_sample" -> (TextAnalysis.textSample _),
+    "text_sample_stratified" -> (TextAnalysis.textSampleStratified _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "text_quality_model" -> TextAnalysis.textQualityModelSql,
     "text_tfidf" -> TextAnalysis.textTfidfSql,
     "text_sample" -> TextAnalysis.textSampleSql,
+    "text_sample_stratified" -> TextAnalysis.textSampleStratifiedSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,

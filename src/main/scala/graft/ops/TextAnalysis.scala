@@ -518,6 +518,36 @@ object TextAnalysis {
        |FROM documents
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $SAMPLE_PCT""".stripMargin
 
+  /** Per-stratum sample size for [[stratifiedSample]]. */
+  val STRAT_K = 2
+
+  /** Deterministic stratified sampling: the [[STRAT_K]] documents with the
+    * smallest md5(doc_id) per (lang, source) stratum — balanced eval-set
+    * carving that is repeatable across runs and engines (hash order, not
+    * rand()). Per-group top-k plans as WindowGroupLimit: each group keeps
+    * k rows map-side before the shuffle, so the window never sorts a full
+    * stratum.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val hk = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(hk, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= STRAT_K)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  def textSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, sfDir))
+
+  val textSampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, lang, source,
+       |         row_number() OVER (PARTITION BY lang, source
+       |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $STRAT_K""".stripMargin
+
   /** Document fingerprinting: (a) a canonical content fingerprint — md5 of
     * the sorted distinct token set (catches shuffled/reordered copies that
     * exact dedup misses); (b) a winnowing-style min-shingle fingerprint —
