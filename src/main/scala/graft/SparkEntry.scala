@@ -67,6 +67,7 @@ object SparkEntry {
     "simsearch_ivf_kmeans" -> (Similarity.simsearchIvfKmeans _),
     "simsearch_ivf_probe" -> (Similarity.simsearchIvfProbe _),
     "simsearch_recall" -> (Similarity.simsearchRecall _),
+    "simsearch_sq" -> (Similarity.simsearchSq _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "simsearch_ivf_kmeans" -> Similarity.simsearchIvfKmeansSql,
     "simsearch_ivf_probe" -> Similarity.simsearchIvfProbeSql,
     "simsearch_recall" -> Similarity.simsearchRecallSql,
+    "simsearch_sq" -> Similarity.simsearchSqSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

@@ -278,6 +278,74 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** Scalar (int8) quantization — the memory-compression tier of vector
+    * search at corpus scale (a 64-dim float vector becomes 64 bytes; the
+    * quantized corpus fits in a fraction of the storage and the scan is
+    * integer math). Each dimension is affinely mapped to 0..255 using the
+    * corpus min and a round-pinned scale; ranking uses the EXACT integer
+    * dot product of the codes (every term ≤ 255², sums < 2²⁴ — exact even
+    * through the float vec_dot kernel), so cross-engine ranking has no
+    * float hazard at all: the approximation lives entirely in the
+    * quantization, which both engines compute identically. Per-dimension
+    * stats are one aggregation; quantization is a narrow projection
+    * against the broadcast 1-row stats; the search is the usual
+    * broadcast-queries top-k.
+    */
+  def simsearchSq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    // per-dimension corpus stats, packed into ONE broadcastable row of
+    // position-sorted arrays
+    val dims = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .select(col("pos"), col("mn"),
+        greatest(round((col("mx") - col("mn")) / 255.0, 6), lit(1e-6)).as("scale"))
+    val statsRow = dims.agg(
+      expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
+      expr("transform(sort_array(collect_list(struct(pos, scale))), s -> s.scale)").as("scales"))
+    // int8 codes, kept as float arrays so the codegen'd vec_dot kernel
+    // computes the integer dot exactly
+    val coded = emb.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, size(embedding)),
+           |  i -> CAST(least(255.0, greatest(0.0,
+           |    floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
+           |          / element_at(scales, i)))) AS FLOAT))""".stripMargin).as("code"))
+    val queries = coded.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val cands = coded.select(col("vec_id").as("n_id"), col("code").as("cc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_dot").desc, col("n_id"))
+    cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("sq_dot", dotExpr("qc", "cc").cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"), col("sq_dot"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val simsearchSqSql: String =
+    s"""WITH ${UNNEST_CTE},
+       |dims AS (
+       |  SELECT i, min(x) AS mn,
+       |         greatest(round((max(x) - min(x)) / 255.0, 6), 1e-6) AS scale
+       |  FROM u GROUP BY 1),
+       |codes AS (
+       |  SELECT u.vec_id, u.i,
+       |         least(255.0, greatest(0.0, floor((u.x - d.mn) / d.scale))) AS c
+       |  FROM u JOIN dims d ON u.i = d.i),
+       |qd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.c * b.c) AS BIGINT) AS sq_dot
+       |  FROM codes a JOIN codes b ON a.i = b.i
+       |            AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY sq_dot DESC, n_id) AS rnk
+       |  FROM qd)
+       |SELECT q_id, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
     * Lloyd rounds unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with
     * centroid components round-pinned and float-narrowed exactly like the
