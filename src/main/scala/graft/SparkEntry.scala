@@ -68,6 +68,7 @@ object SparkEntry {
     "simsearch_ivf_probe" -> (Similarity.simsearchIvfProbe _),
     "simsearch_recall" -> (Similarity.simsearchRecall _),
     "simsearch_sq" -> (Similarity.simsearchSq _),
+    "simsearch_ivf_sq" -> (Similarity.simsearchIvfSq _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "simsearch_ivf_probe" -> Similarity.simsearchIvfProbeSql,
     "simsearch_recall" -> Similarity.simsearchRecallSql,
     "simsearch_sq" -> Similarity.simsearchSqSql,
+    "simsearch_ivf_sq" -> Similarity.simsearchIvfSqSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

@@ -291,11 +291,12 @@ object Similarity {
     * against the broadcast 1-row stats; the search is the usual
     * broadcast-queries top-k.
     */
-  def simsearchSq(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-    // per-dimension corpus stats, packed into ONE broadcastable row of
-    // position-sorted arrays
+  /** (vec_id, code) int8 codes for an embeddings frame. Per-dimension
+    * corpus stats are packed into ONE broadcastable row of position-
+    * sorted arrays; codes stay float arrays so the codegen'd vec_dot
+    * kernel computes the integer dot exactly.
+    */
+  private def sqCodes(emb: DataFrame): DataFrame = {
     val dims = emb.select(posexplode(col("embedding")))
       .groupBy(col("pos"))
       .agg(min(col("col").cast("double")).as("mn"),
@@ -305,14 +306,17 @@ object Similarity {
     val statsRow = dims.agg(
       expr("transform(sort_array(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
       expr("transform(sort_array(collect_list(struct(pos, scale))), s -> s.scale)").as("scales"))
-    // int8 codes, kept as float arrays so the codegen'd vec_dot kernel
-    // computes the integer dot exactly
-    val coded = emb.crossJoin(broadcast(statsRow))
+    emb.crossJoin(broadcast(statsRow))
       .select(col("vec_id"), expr(
         s"""transform(sequence(1, size(embedding)),
            |  i -> CAST(least(255.0, greatest(0.0,
            |    floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
            |          / element_at(scales, i)))) AS FLOAT))""".stripMargin).as("code"))
+  }
+
+  def simsearchSq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val coded = sqCodes(Tables.embeddings(spark, sfDir))
     val queries = coded.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("code").as("qc"))
     val cands = coded.select(col("vec_id").as("n_id"), col("code").as("cc"))
@@ -344,6 +348,57 @@ object Similarity {
        |                               ORDER BY sq_dot DESC, n_id) AS rnk
        |  FROM qd)
        |SELECT q_id, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  /** IVF-SQ: the two scale levers COMPOSED, as production vector indexes
+    * do (FAISS IVF-SQ8): the k-means coarse quantizer restricts each
+    * query's scan to its own cell (1/nlist of the corpus) AND the in-cell
+    * scan runs on int8 codes (1/4 the bytes, exact integer ranking). The
+    * cell assignment comes from the float-precision quantizer — codes
+    * only rank candidates inside the cell.
+    */
+  def simsearchIvfSq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val cells = kmeansCells(base)
+    val coded = sqCodes(Tables.embeddings(spark, sfDir)).join(cells, Seq("vec_id"))
+    val queries = coded.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell"), col("code").as("qc"))
+    val cands = coded.select(col("vec_id").as("n_id"), col("cell"), col("code").as("cc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_dot").desc, col("n_id"))
+    cands.join(broadcast(queries), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sq_dot", dotExpr("qc", "cc").cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("cell"), col("n_id"), col("sq_dot"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  val simsearchIvfSqSql: String =
+    s"""$kmeansCtePrefix,
+       |dims AS (
+       |  SELECT i, min(x) AS mn,
+       |         greatest(round((max(x) - min(x)) / 255.0, 6), 1e-6) AS scale
+       |  FROM u GROUP BY 1),
+       |codes AS (
+       |  SELECT u.vec_id, u.i,
+       |         least(255.0, greatest(0.0, floor((u.x - d.mn) / d.scale))) AS c
+       |  FROM u JOIN dims d ON u.i = d.i),
+       |qd AS (
+       |  SELECT q.vec_id AS q_id, q.cell, a2.vec_id AS n_id,
+       |         CAST(sum(ca.c * cb.c) AS BIGINT) AS sq_dot
+       |  FROM asgf q
+       |  JOIN asgf a2 ON a2.cell = q.cell AND a2.vec_id <> q.vec_id
+       |  JOIN codes ca ON ca.vec_id = q.vec_id
+       |  JOIN codes cb ON cb.vec_id = a2.vec_id AND cb.i = ca.i
+       |  WHERE q.vec_id < $N_QUERIES
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY sq_dot DESC, n_id) AS rnk
+       |  FROM qd)
+       |SELECT q_id, cell, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
 
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
