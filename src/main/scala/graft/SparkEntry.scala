@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_winnow" -> (Dedup.dedupWinnow _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_embedding_clusters" -> (Dedup.embeddingClusters _),
     "dedup_containment" -> (Dedup.dedupContainment _),
     "simsearch_topk" -> (Similarity.simsearchTopk _),
     "simsearch_ivf" -> (Similarity.simsearchIvf _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "dedup_winnow" -> Dedup.dedupWinnowSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "dedup_embedding_clusters" -> Dedup.dedupEmbeddingClustersSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "simsearch_topk" -> Similarity.simsearchTopkSql,
     "simsearch_ivf" -> Similarity.simsearchIvfSql,

@@ -720,28 +720,33 @@ object Dedup {
     * never shows in the output; the oracle replays the same fixpoint as a
     * recursive CTE.
     */
-  def duplicateClusters(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardPairs(docs).select(col("d1"), col("d2"))
-    val edges = pairs
+  /** Connected components over an arbitrary undirected pair list:
+    * `nodes` carries one `id` column, `pairs` carries (d1, d2). Returns
+    * (id, rep_id, cluster_size) with rep_id = the component's minimum id.
+    * The engine-generic core of [[duplicateClusters]] and
+    * [[embeddingClusters]].
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < MAX_CC_ROUNDS) {
       // neighbor min: every node offers its current label across each edge
-      val offers = edges.join(labels.withColumnRenamed("doc_id", "d2"), Seq("d2"))
-        .select(col("d1").as("doc_id"), col("rep"))
+      val offers = edges.join(labels.withColumnRenamed("id", "d2"), Seq("d2"))
+        .select(col("d1").as("id"), col("rep"))
       val viaNeighbors = labels.unionByName(offers)
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
       // path halving: jump to the representative's representative
-      val repOf = labels.select(col("doc_id").as("r_key"), col("rep").as("rep2"))
+      val repOf = labels.select(col("id").as("r_key"), col("rep").as("rep2"))
       val next = viaNeighbors
         .join(repOf, viaNeighbors("rep") === repOf("r_key"), "left")
-        .select(col("doc_id"),
+        .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("doc_id"))
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
         .filter(col("rep") =!= col("prev")).count()
       labels = next
       round += 1
@@ -749,8 +754,14 @@ object Dedup {
     val sizes = labels.groupBy(col("rep"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
     labels.join(sizes, Seq("rep"))
-      .select(col("doc_id"), col("rep").as("rep_id"), col("cluster_size"))
+      .select(col("id"), col("rep").as("rep_id"), col("cluster_size"))
   }
+
+  def duplicateClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      ngramJaccardPairs(docs).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("rep_id"), col("cluster_size"))
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     duplicateClusters(Tables.documents(spark, sfDir))
@@ -892,6 +903,45 @@ object Dedup {
 
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDup(Tables.embeddings(spark, sfDir))
+
+  /** Cosine threshold for SEMANTIC clustering — looser than the 0.9
+    * near-dup flag: clusters group vectors whose best LSH-bucketed match
+    * clears this bar (the fixture corpus has no ≥0.9 pairs; real corpora
+    * tune this to the embedding model's duplicate band).
+    */
+  val EMB_CLUSTER_COSINE = 0.4
+
+  /** Semantic duplicate clusters: connected components over the
+    * hyperplane-LSH best-match graph, edges = best-neighbor links with
+    * cosine ≥ [[EMB_CLUSTER_COSINE]] — the embedding-space twin of
+    * [[duplicateClusters]], built on the same [[connectedComponents]]
+    * engine and checked against the same recursive-CTE fixpoint oracle.
+    */
+  def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = embeddingNearDup(emb)
+      .filter(col("cosine") >= EMB_CLUSTER_COSINE)
+      .select(least(col("vec_id"), col("nn_id")).as("d1"),
+        greatest(col("vec_id"), col("nn_id")).as("d2"))
+      .distinct()
+    connectedComponents(emb.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("rep_id"), col("cluster_size"))
+  }
+
+  lazy val dedupEmbeddingClustersSql: String =
+    s"""WITH RECURSIVE nd AS ($dedupEmbeddingSql),
+       |jp AS (
+       |  SELECT DISTINCT least(vec_id, nn_id) AS d1, greatest(vec_id, nn_id) AS d2
+       |  FROM nd WHERE cosine >= $EMB_CLUSTER_COSINE),
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jp),
+       |reach AS (
+       |  SELECT vec_id, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT e.d1 AS vec_id, rc.r FROM edges e JOIN reach rc ON e.d2 = rc.vec_id),
+       |rep AS (SELECT vec_id, min(r) AS rep_id FROM reach GROUP BY 1),
+       |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1)
+       |SELECT r.vec_id, r.rep_id, s.cluster_size
+       |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
 
   val dedupEmbeddingSql: String = {
     val bucketUnion = (0 until HYP_TABLES)
