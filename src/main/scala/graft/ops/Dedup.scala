@@ -7,20 +7,26 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Tables
 
 /** Deduplication operators over the `documents` table — the core of any
-  * 100 TB training-data pipeline. Six flavors, cheapest to richest:
-  * exact (hash group-by), MinHash+LSH (Kirsch–Mitzenmacher signature →
-  * band → bucket join), banded SimHash (bitwise signature), prefix-filtered
-  * exact n-gram Jaccard (AllPairs set-similarity join), shared-long-span
-  * substring dedup, and hyperplane-LSH embedding-cosine near-dup.
+  * 100 TB training-data pipeline. Cheapest to richest: exact (hash
+  * group-by), MinHash+LSH (single-pass K–M signature kernel → band →
+  * bucket join; plus the incremental new-batch-vs-standing-corpus probe),
+  * banded SimHash (single-pass signature kernel), prefix-filtered exact
+  * n-gram Jaccard (AllPairs set-similarity join over kernel-built sets),
+  * asymmetric containment (doc-inside-doc), DF-capped shared-long-span
+  * substring dedup (+ maximal-passage variant), winnowing fingerprints
+  * (MOSS), hyperplane-LSH embedding-cosine near-dup, and cluster
+  * assignment via generalized connected components (lexical and
+  * embedding-space).
   *
   * Hashing discipline: md5 wherever the hash value shapes the RESULT
-  * (signatures, fingerprints — identical bits in Spark and DuckDB, so the
-  * oracle replays them exactly); xxhash64 where the hash is internal-only
-  * plumbing (set elements, span keys — the engines need only agree on
-  * equality, and the oracle hashes the same objects its own way).
+  * (signatures, fingerprints, winnow minima — identical bits in Spark
+  * and DuckDB, so the oracle replays them exactly); xxhash64 where the
+  * hash is internal-only plumbing (set elements, span keys — the engines
+  * need only agree on equality, and the oracle hashes the same objects
+  * its own way).
   * Scale shape: every pair space is bounded by a bucket key the
-  * banding/prefixing controls — equi-joins only, no driver-side loops, no
-  * cross join anywhere (PlanSpec-asserted).
+  * banding/prefixing/DF-capping controls — equi-joins only, no
+  * driver-side loops, no cross join anywhere (PlanSpec-asserted).
   */
 object Dedup {
 

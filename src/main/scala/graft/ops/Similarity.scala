@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (`Array[Float]`, dim 64). Four tiers:
+  * (`Array[Float]`, dim 64). The full production ladder:
   *
   *  - [[simsearchTopk]]: brute-force cosine top-k — the exact baseline.
   *    Queries are broadcast; candidates stream; the per-pair work is the
@@ -18,6 +18,11 @@ import graft.pipeline.Tables
   *    deterministic spherical k-means ([[kmeansFit]]).
   *  - [[simsearchIvfProbe]]: multi-probe search over the k-means cells —
   *    the recall/latency dial of real IVF indexes.
+  *  - [[simsearchRecall]]: recall@k of the probe sweep vs brute force —
+  *    ANN quality as a measured number.
+  *  - [[simsearchSq]] / [[simsearchIvfSq]]: int8 scalar quantization,
+  *    flat and composed with IVF (the FAISS IVF-SQ shape) — exact
+  *    integer ranking on the codes, no float hazard.
   *
   * Dot products fold left-to-right over the array in both engines; the
   * residual reorder noise (≤1e-15) is pinned by round(.,6), and ranking

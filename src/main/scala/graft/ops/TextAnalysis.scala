@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Tables
 
 /** Text-analysis operators over `documents`: n-gram-profile language ID,
-  * quality scoring, token accounting, and content fingerprinting. All
-  * ratios are integer-count arithmetic (bit-exact across engines); all
-  * shapes are explode → hash-agg — linear in corpus size, no driver-side
-  * state.
+  * heuristic + classifier-model quality scoring, token/BPE accounting,
+  * repetition filtering, unigram/bigram LM surprise scoring, tf·idf
+  * keyword extraction, deterministic hash + stratified sampling, PII
+  * scrubbing, content fingerprinting, and the composed corpus filter.
+  * All ratios are integer-count arithmetic (bit-exact across engines);
+  * per-document statistics run as single-pass kernels or array-side
+  * projections (zero shuffle), corpus-level statistics as hash
+  * aggregations — linear in corpus size, no driver-side state.
   */
 object TextAnalysis {
 
