@@ -70,6 +70,7 @@ object SparkEntry {
     "simsearch_recall" -> (Similarity.simsearchRecall _),
     "simsearch_sq" -> (Similarity.simsearchSq _),
     "simsearch_ivf_sq" -> (Similarity.simsearchIvfSq _),
+    "simsearch_pq" -> (Similarity.simsearchPq _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "simsearch_recall" -> Similarity.simsearchRecallSql,
     "simsearch_sq" -> Similarity.simsearchSqSql,
     "simsearch_ivf_sq" -> Similarity.simsearchIvfSqSql,
+    "simsearch_pq" -> Similarity.simsearchPqSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

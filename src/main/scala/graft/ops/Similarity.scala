@@ -162,14 +162,15 @@ object Similarity {
   }
 
   /** Fitted quantizer: final centroids (cell, carr, cnorm) and the
-    * (vec_id, cell) assignment after [[KMEANS_ITERS]] Lloyd rounds;
-    * `base` must carry (vec_id, embedding, nm).
+    * (vec_id, cell) assignment after `iters` Lloyd rounds; `base` must
+    * carry (vec_id, embedding, nm). Seeds are the first `k` vectors.
     */
-  def kmeansFit(base: DataFrame): (DataFrame, DataFrame) = {
-    val init = base.filter(col("vec_id") < KMEANS_K)
+  def kmeansFit(base: DataFrame, k: Int = KMEANS_K,
+      iters: Int = KMEANS_ITERS): (DataFrame, DataFrame) = {
+    val init = base.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cell"), col("embedding").as("carr"),
         col("nm").as("cnorm"))
-    val finalCents = (0 until KMEANS_ITERS).foldLeft(init) { (cents, _) =>
+    val finalCents = (0 until iters).foldLeft(init) { (cents, _) =>
       recomputeCents(base, assignCells(base, cents))
     }
     (finalCents, assignCells(base, finalCents))
@@ -405,6 +406,132 @@ object Similarity {
        |  FROM qd)
        |SELECT q_id, cell, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUB]]
+    * dims, [[PQ_K]] centroids per subspace, [[PQ_ITERS]] Lloyd round(s).
+    * A 64-float vector compresses to 4 small-int codes (PQ_M · log₂PQ_K
+    * = 8 bits here; production uses 8 bits × 8–64 subspaces) and search
+    * scores candidates WITHOUT touching their floats: the asymmetric
+    * distance computation (ADC) sums, per subspace, the query-to-centroid
+    * dot looked up by the candidate's code.
+    */
+  val PQ_M = 4
+  val PQ_SUB: Int = 64 / PQ_M
+  val PQ_K = 4
+  val PQ_ITERS = 1
+
+  /** PQ/ADC search — the remaining tier of the production ANN ladder
+    * (IVF restricts WHERE you scan, SQ shrinks the floats, PQ removes
+    * them from the scan entirely). Per subspace, the deterministic
+    * spherical [[kmeansFit]] trains [[PQ_K]] centroids and encodes every
+    * vector as its best cell (inner-product PQ — the cosine-family
+    * variant); queries build a [[PQ_M]]×[[PQ_K]] lookup table of raw
+    * subvector dots (tiny, broadcast), and each candidate's score is the
+    * FIXED-ORDER sum p0+p1+p2+p3 of its codes' lookups — left-associated
+    * on both engines, round-pinned once at the end, ranked with an id
+    * tiebreak. Candidates join by their integer codes only: at corpus
+    * scale the scan reads the code table, never the embeddings.
+    */
+  def simsearchPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val perSub = (0 until PQ_M).map { s =>
+      val sub = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * PQ_SUB + 1}, $PQ_SUB)").as("embedding"))
+      val base = withNorm(sub).localCheckpoint()
+      val (cents, cells) = kmeansFit(base, PQ_K, PQ_ITERS)
+      (cents, cells)
+    }
+    val codesWide = perSub.zipWithIndex.map { case ((_, cells), s) =>
+      cells.select(col("vec_id"), col("cell").as(s"c$s"))
+    }.reduce(_.join(_, Seq("vec_id"))).withColumnRenamed("vec_id", "n_id")
+    val queries = emb.filter(col("vec_id") < N_QUERIES)
+    val luts = (0 until PQ_M).map { s =>
+      queries.select(col("vec_id").as("q_id"),
+          expr(s"slice(embedding, ${s * PQ_SUB + 1}, $PQ_SUB)").as("qs"))
+        .crossJoin(broadcast(perSub(s)._1))
+        .select(col("q_id"), col("cell").as(s"c$s"), dotExpr("qs", "carr").as(s"p$s"))
+    }
+    val joined = (1 until PQ_M).foldLeft(
+      codesWide.join(broadcast(luts(0)), Seq("c0"))) { (acc, s) =>
+      acc.join(broadcast(luts(s)), Seq("q_id", s"c$s"))
+    }
+    val adc = round((0 until PQ_M).map(s => col(s"p$s")).reduce(_ + _), 6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    joined.filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB twin of one PQ subspace: sliced/reindexed components, vector
+    * norms, seed centroids (first [[PQ_K]] subvectors), one Lloyd round
+    * (assign → recompute, round-pinned + float-narrowed like the engine),
+    * final assignment, and the query lookup table of raw subvector dots.
+    */
+  private def pqSubspaceCtes(s: Int): String = {
+    val off = s * PQ_SUB
+    s"""us$s AS (
+       |  SELECT vec_id, i - $off AS i, x FROM u WHERE i > $off AND i <= ${off + PQ_SUB}),
+       |nrs$s AS (SELECT vec_id, sqrt(sum(x * x)) AS nm FROM us$s GROUP BY 1),
+       |pc0_$s AS (SELECT vec_id AS cell, i, x FROM us$s WHERE vec_id < $PQ_K),
+       |pn0_$s AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM pc0_$s GROUP BY 1),
+       |pa1_$s AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS rn
+       |    FROM (SELECT uu.vec_id, c.cell, sum(uu.x * c.x) AS dot
+       |          FROM us$s uu JOIN pc0_$s c ON uu.i = c.i GROUP BY 1, 2) d
+       |    JOIN nrs$s n ON d.vec_id = n.vec_id
+       |    JOIN pn0_$s c ON d.cell = c.cell)
+       |  WHERE rn = 1),
+       |pc1_$s AS (
+       |  SELECT a.cell, uu.i, CAST(CAST(round(avg(uu.x), 6) AS FLOAT) AS DOUBLE) AS x
+       |  FROM us$s uu JOIN pa1_$s a ON uu.vec_id = a.vec_id GROUP BY 1, 2),
+       |pn1_$s AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM pc1_$s GROUP BY 1),
+       |paf$s AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS rn
+       |    FROM (SELECT uu.vec_id, c.cell, sum(uu.x * c.x) AS dot
+       |          FROM us$s uu JOIN pc1_$s c ON uu.i = c.i GROUP BY 1, 2) d
+       |    JOIN nrs$s n ON d.vec_id = n.vec_id
+       |    JOIN pn1_$s c ON d.cell = c.cell)
+       |  WHERE rn = 1),
+       |lut$s AS (
+       |  SELECT uu.vec_id AS q_id, c.cell, sum(uu.x * c.x) AS p
+       |  FROM us$s uu JOIN pc1_$s c ON uu.i = c.i
+       |  WHERE uu.vec_id < $N_QUERIES GROUP BY 1, 2)""".stripMargin
+  }
+
+  val simsearchPqSql: String = {
+    val subs = (0 until PQ_M).map(pqSubspaceCtes).mkString(",\n")
+    val codeJoins = (1 until PQ_M)
+      .map(s => s"JOIN paf$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val lutJoins = (0 until PQ_M).map { s =>
+      if (s == 0) s"JOIN lut0 l0 ON l0.cell = a0.cell"
+      else s"JOIN lut$s l$s ON l$s.cell = a$s.cell AND l$s.q_id = l0.q_id"
+    }.mkString("\n  ")
+    val adcExpr = (0 until PQ_M).map(s => s"l$s.p").mkString(" + ")
+    s"""WITH ${UNNEST_CTE},
+       |$subs,
+       |scored AS (
+       |  SELECT l0.q_id, a0.vec_id AS n_id, round($adcExpr, 6) AS adc
+       |  FROM paf0 a0
+       |  $codeJoins
+       |  $lutJoins
+       |  WHERE a0.vec_id <> l0.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY adc DESC, n_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, n_id, adc, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+  }
 
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
     * Lloyd rounds unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with
