@@ -71,6 +71,7 @@ object SparkEntry {
     "simsearch_sq" -> (Similarity.simsearchSq _),
     "simsearch_ivf_sq" -> (Similarity.simsearchIvfSq _),
     "simsearch_pq" -> (Similarity.simsearchPq _),
+    "simsearch_recall_quant" -> (Similarity.simsearchRecallQuant _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "simsearch_sq" -> Similarity.simsearchSqSql,
     "simsearch_ivf_sq" -> Similarity.simsearchIvfSqSql,
     "simsearch_pq" -> Similarity.simsearchPqSql,
+    "simsearch_recall_quant" -> Similarity.simsearchRecallQuantSql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_tokens" -> TextAnalysis.textTokensSql,

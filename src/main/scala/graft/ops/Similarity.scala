@@ -285,22 +285,29 @@ object Similarity {
   }
 
   /** Scalar (int8) quantization — the memory-compression tier of vector
-    * search at corpus scale (a 64-dim float vector becomes 64 bytes; the
-    * quantized corpus fits in a fraction of the storage and the scan is
-    * integer math). Each dimension is affinely mapped to 0..255 using the
-    * corpus min and a round-pinned scale; ranking uses the EXACT integer
-    * dot product of the codes (every term ≤ 255², sums < 2²⁴ — exact even
-    * through the float vec_dot kernel), so cross-engine ranking has no
-    * float hazard at all: the approximation lives entirely in the
-    * quantization, which both engines compute identically. Per-dimension
-    * stats are one aggregation; quantization is a narrow projection
-    * against the broadcast 1-row stats; the search is the usual
-    * broadcast-queries top-k.
+    * search at corpus scale (a 64-dim float vector stores as 64 bytes +
+    * the shared per-dimension (mn, scale) table). Each dimension is
+    * affinely mapped to 0..255 using the corpus min and a round-pinned
+    * scale, and ranking uses the DEQUANTIZED reconstruction dot — the
+    * standard SQ score. (Ranking raw code dots instead mis-ranks
+    * zero-mean data: expanding (x−mn)(y−mn) leaves a candidate-dependent
+    * −Σmn·x cross term that dominates when true dots are small.) The
+    * reconstructions are bit-identical across engines (exact mn, pinned
+    * scale, exact small-int code, float-narrowed), so the score differs
+    * only by summation order — pinned by round(.,6) like every other dot
+    * in this module. Stats are one aggregation; quantization is a narrow
+    * projection against the broadcast 1-row stats; the search is the
+    * usual broadcast-queries top-k.
     */
-  /** (vec_id, code) int8 codes for an embeddings frame. Per-dimension
-    * corpus stats are packed into ONE broadcastable row of position-
-    * sorted arrays; codes stay float arrays so the codegen'd vec_dot
-    * kernel computes the integer dot exactly.
+  /** (vec_id, code) int8 dequantized reconstructions for an embeddings
+    * frame: code_i = clamp(floor((x_i − mn_i)/s_i)) is the stored int8;
+    * what rides in the column is its RECONSTRUCTION mn_i + s_i·code_i,
+    * float-narrowed — bit-identical in both engines (mn exact, s
+    * round-pinned, code an exact small integer), so the ranking dot is
+    * the standard dequantized SQ score, not the biased raw code dot
+    * (uncentered code dots mis-rank zero-mean data: the −Σmn_i·x_i cross
+    * term is candidate-dependent). Per-dimension corpus stats are packed
+    * into ONE broadcastable row of position-sorted arrays.
     */
   private def sqCodes(emb: DataFrame): DataFrame = {
     val dims = emb.select(posexplode(col("embedding")))
@@ -315,9 +322,10 @@ object Similarity {
     emb.crossJoin(broadcast(statsRow))
       .select(col("vec_id"), expr(
         s"""transform(sequence(1, size(embedding)),
-           |  i -> CAST(least(255.0, greatest(0.0,
-           |    floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
-           |          / element_at(scales, i)))) AS FLOAT))""".stripMargin).as("code"))
+           |  i -> CAST(element_at(mns, i) + element_at(scales, i) *
+           |    least(255.0, greatest(0.0,
+           |      floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
+           |            / element_at(scales, i)))) AS FLOAT))""".stripMargin).as("code"))
   }
 
   def simsearchSq(spark: SparkSession, sfDir: String): DataFrame = {
@@ -326,34 +334,42 @@ object Similarity {
     val queries = coded.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("code").as("qc"))
     val cands = coded.select(col("vec_id").as("n_id"), col("code").as("cc"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_dot").desc, col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_score").desc, col("n_id"))
     cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
-      .withColumn("sq_dot", dotExpr("qc", "cc").cast("long"))
+      .withColumn("sq_score", round(dotExpr("qc", "cc"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= IVF_TOP_K)
-      .select(col("q_id"), col("n_id"), col("sq_dot"), col("rnk").cast("long").as("rnk"))
+      .select(col("q_id"), col("n_id"), col("sq_score"), col("rnk").cast("long").as("rnk"))
   }
 
-  val simsearchSqSql: String =
-    s"""WITH ${UNNEST_CTE},
-       |dims AS (
+  /** Shared oracle text: per-dimension stats + float-narrowed
+    * reconstructions (the engines' ranking inputs, bit-identical).
+    */
+  private val SQ_CODE_CTES: String =
+    s"""dims AS (
        |  SELECT i, min(x) AS mn,
        |         greatest(round((max(x) - min(x)) / 255.0, 6), 1e-6) AS scale
        |  FROM u GROUP BY 1),
        |codes AS (
        |  SELECT u.vec_id, u.i,
-       |         least(255.0, greatest(0.0, floor((u.x - d.mn) / d.scale))) AS c
-       |  FROM u JOIN dims d ON u.i = d.i),
+       |         CAST(CAST(d.mn + d.scale *
+       |           least(255.0, greatest(0.0, floor((u.x - d.mn) / d.scale)))
+       |           AS REAL) AS DOUBLE) AS c
+       |  FROM u JOIN dims d ON u.i = d.i)""".stripMargin
+
+  val simsearchSqSql: String =
+    s"""WITH ${UNNEST_CTE},
+       |$SQ_CODE_CTES,
        |qd AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(sum(a.c * b.c) AS BIGINT) AS sq_dot
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, round(sum(a.c * b.c), 6) AS sq_score
        |  FROM codes a JOIN codes b ON a.i = b.i
        |            AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |                               ORDER BY sq_dot DESC, n_id) AS rnk
+       |                               ORDER BY sq_score DESC, n_id) AS rnk
        |  FROM qd)
-       |SELECT q_id, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
+       |SELECT q_id, n_id, sq_score, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
 
   /** IVF-SQ: the two scale levers COMPOSED, as production vector indexes
@@ -371,29 +387,22 @@ object Similarity {
     val queries = coded.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell"), col("code").as("qc"))
     val cands = coded.select(col("vec_id").as("n_id"), col("cell"), col("code").as("cc"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_dot").desc, col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sq_score").desc, col("n_id"))
     cands.join(broadcast(queries), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sq_dot", dotExpr("qc", "cc").cast("long"))
+      .withColumn("sq_score", round(dotExpr("qc", "cc"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= IVF_TOP_K)
-      .select(col("q_id"), col("cell"), col("n_id"), col("sq_dot"),
+      .select(col("q_id"), col("cell"), col("n_id"), col("sq_score"),
         col("rnk").cast("long").as("rnk"))
   }
 
   val simsearchIvfSqSql: String =
     s"""$kmeansCtePrefix,
-       |dims AS (
-       |  SELECT i, min(x) AS mn,
-       |         greatest(round((max(x) - min(x)) / 255.0, 6), 1e-6) AS scale
-       |  FROM u GROUP BY 1),
-       |codes AS (
-       |  SELECT u.vec_id, u.i,
-       |         least(255.0, greatest(0.0, floor((u.x - d.mn) / d.scale))) AS c
-       |  FROM u JOIN dims d ON u.i = d.i),
+       |$SQ_CODE_CTES,
        |qd AS (
        |  SELECT q.vec_id AS q_id, q.cell, a2.vec_id AS n_id,
-       |         CAST(sum(ca.c * cb.c) AS BIGINT) AS sq_dot
+       |         round(sum(ca.c * cb.c), 6) AS sq_score
        |  FROM asgf q
        |  JOIN asgf a2 ON a2.cell = q.cell AND a2.vec_id <> q.vec_id
        |  JOIN codes ca ON ca.vec_id = q.vec_id
@@ -402,9 +411,9 @@ object Similarity {
        |  GROUP BY 1, 2, 3),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |                               ORDER BY sq_dot DESC, n_id) AS rnk
+       |                               ORDER BY sq_score DESC, n_id) AS rnk
        |  FROM qd)
-       |SELECT q_id, cell, n_id, sq_dot, CAST(rnk AS BIGINT) AS rnk
+       |SELECT q_id, cell, n_id, sq_score, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
 
   /** Product-quantization geometry: [[PQ_M]] subspaces of [[PQ_SUB]]
@@ -417,7 +426,7 @@ object Similarity {
     */
   val PQ_M = 4
   val PQ_SUB: Int = 64 / PQ_M
-  val PQ_K = 4
+  val PQ_K = 8
   val PQ_ITERS = 1
 
   /** PQ/ADC search — the remaining tier of the production ANN ladder
@@ -531,6 +540,107 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, n_id, adc, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+  }
+
+  /** Quantization-loss measurement: recall@[[IVF_TOP_K]] of the SQ and
+    * PQ searches against the exact INNER-PRODUCT top-k — both quantized
+    * scores approximate the dot product (SQ: affine integer codes; PQ:
+    * sums of subvector dots), so exact MIPS is their ground truth; a
+    * cosine truth set would measure the metric mismatch, not the
+    * quantization. The number a user checks before trading floats for
+    * codes, next to [[simsearchRecall]]'s nprobe sweep. Fixture readings
+    * are instructive: SQ holds recall 1.0 (256 levels per dimension
+    * barely perturb the ranking) while PQ drops hard — a [[PQ_M]]×
+    * [[PQ_K]] codebook yields only PQ_K^PQ_M distinct reconstructions
+    * for the whole corpus, brutal on structureless random vectors;
+    * production codebooks (8 bits × 8–64 subspaces) sit between the two,
+    * and THIS query is how a deployment picks its point on that curve.
+    */
+  def simsearchRecallQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+    val cands = base.select(col("vec_id").as("n_id"), col("embedding").as("ec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    val truth = cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("ip", round(dotExpr("eq", "ec"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    def recallRow(method: String, res: DataFrame): DataFrame =
+      res.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    recallRow("sq", simsearchSq(spark, sfDir))
+      .unionByName(recallRow("pq", simsearchPq(spark, sfDir)))
+  }
+
+  val simsearchRecallQuantSql: String = {
+    val denom = N_QUERIES * IVF_TOP_K
+    val pqSubs = (0 until PQ_M).map(pqSubspaceCtes).mkString(",\n")
+    val pqCodeJoins = (1 until PQ_M)
+      .map(s => s"JOIN paf$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val pqLutJoins = (0 until PQ_M).map { s =>
+      if (s == 0) s"JOIN lut0 l0 ON l0.cell = a0.cell"
+      else s"JOIN lut$s l$s ON l$s.cell = a$s.cell AND l$s.q_id = l0.q_id"
+    }.mkString("\n  ")
+    val pqAdc = (0 until PQ_M).map(s => s"l$s.p").mkString(" + ")
+    s"""WITH ${UNNEST_CTE},
+       |bfdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot, 6) DESC, d.n_id) AS rnk
+       |    FROM bfdots d)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |$SQ_CODE_CTES,
+       |sqd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, round(sum(a.c * b.c), 6) AS sq_score
+       |  FROM codes a JOIN codes b ON a.i = b.i
+       |            AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |sqtop AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY sq_score DESC, n_id) AS rnk
+       |    FROM sqd)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |$pqSubs,
+       |pqscored AS (
+       |  SELECT l0.q_id, a0.vec_id AS n_id, round($pqAdc, 6) AS adc
+       |  FROM paf0 a0
+       |  $pqCodeJoins
+       |  $pqLutJoins
+       |  WHERE a0.vec_id <> l0.q_id),
+       |pqtop AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY adc DESC, n_id) AS rnk
+       |    FROM pqscored)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |hsq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM sqtop t JOIN bf b ON t.q_id = b.q_id AND t.n_id = b.n_id),
+       |hpq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM pqtop t JOIN bf b ON t.q_id = b.q_id AND t.n_id = b.n_id)
+       |SELECT 'sq' AS method, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+       |FROM hsq
+       |UNION ALL
+       |SELECT 'pq' AS method, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+       |FROM hpq""".stripMargin
   }
 
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
