@@ -58,13 +58,23 @@ object Bench {
         case c if c < ' ' => ' '
         case c => c
       }.mkString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the LAST ~2000 chars of the run's output and
+    // parses the JSON line out of that tail; sbt appends its own
+    // "[success] Total time: …" line (~75 chars) after ours. With 60+
+    // queries the r4 line at full double precision overflowed the buffer
+    // and the driver recorded "parsed": null — so per-query times are
+    // rounded to 10 ms (run-to-run box noise is ±20%, far coarser) and the
+    // constant fields are kept short.
+    def sec(v: Double): String = f"$v%.2f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"${jsonStr(k)}\":\"${jsonStr(v)}\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-write-full-materialization","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sf = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","method":"noop-full-materialization","queries":$qs,"errors":$errs,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -96,6 +96,15 @@ object VectorFunctions {
     expr(s"vec_dot($a, $b)")
   }
 
+  /** Column-argument form, for operands that are constructed Columns
+    * rather than named columns — e.g. a `typedLit` centroid array. Same
+    * expression, resolved through the registry by name.
+    */
+  def vec_dot_cols(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
+
   /** Squared L2 norm of a float-array column. */
   def vec_norm_sq(spark: SparkSession, a: String): Column = vec_dot(spark, a, a)
 }

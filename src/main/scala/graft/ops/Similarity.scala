@@ -127,53 +127,88 @@ object Similarity {
     * [[KMEANS_K]] vectors, assignment ranks on round(cosine, 6) with a
     * cell-id tie-break, and recomputed centroid components are
     * round-pinned then narrowed to float so both engines carry identical
-    * centroid bits into the next round. [[KMEANS_ITERS]] Lloyd rounds,
-    * each one broadcast-join + window (assign) and two hash aggregations
-    * (recompute): every step is a bounded shuffle — nothing iterates on
-    * the driver, and K centroids always broadcast.
+    * centroid bits into the next round.
+    *
+    * Iteration shape: the K centroids are MODEL STATE, not data —
+    * K·dim floats (2 KB here; a production nlist=65536 × dim=768 index
+    * is still ~200 MB) — so each Lloyd round collects them to the
+    * driver and re-enters the next round as constant arrays, exactly
+    * how Spark MLlib's KMeans iterates. That makes assignment a
+    * ZERO-SHUFFLE codegen projection (`vec_dot` against centroid
+    * literals, argmin via `least` over K structs) and each round one
+    * aggregation job over (cell, pos) — no per-round checkpoint, no
+    * N×K row blowup, no growing lineage. The corpus never moves to the
+    * driver; only the K×dim component averages do.
     */
   val KMEANS_K = 8
   val KMEANS_ITERS = 2
 
-  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame =
-    // argmax per vector as min(struct(−cos, cell)) — identical pick to a
-    // row_number window (max rounded cosine, then min cell) but
-    // partial-agg friendly: the N×K candidate rows combine map-side to N
-    // before the shuffle, instead of sort-shuffling all N×K through a
-    // window
-    base.crossJoin(broadcast(cents))
-      .withColumn("cos", round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(min(struct((-col("cos")).as("nc"), col("cell").as("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+  /** Driver-side centroid: id, round-pinned float components, L2 norm. */
+  private type Cent = (Long, Seq[Float], Double)
 
-  private def recomputeCents(base: DataFrame, asg: DataFrame): DataFrame = {
-    val comp = base.join(asg, Seq("vec_id"))
+  /** The cell of `embedding` under constant centroids: argmax of
+    * round(cosine, 6) with a min-cell tie-break, computed as the `least`
+    * of K (−cos, cell) structs — the same pick as a row_number window
+    * (max rounded cosine, then min cell) with no join and no shuffle.
+    */
+  private def assignCol(cents: Seq[Cent]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val scored = cents.map { case (cell, carr, cnorm) =>
+      val cos = round(
+        graft.functions.VectorFunctions
+          .vec_dot_cols(spark, col("embedding"), typedLit(carr)) /
+          (col("nm") * lit(cnorm)), 6)
+      struct((-cos).as("nc"), lit(cell).as("cell"))
+    }
+    least(scored: _*).getField("cell")
+  }
+
+  /** One Lloyd round: assign (zero-shuffle projection) + per-(cell, pos)
+    * component averages (one hash aggregation), K·dim rows collected to
+    * the driver. Norms fold left in double over pos order — bit-identical
+    * to `vec_norm_sq` over the same float array. Cells that lose all
+    * members disappear, matching the SQL group-by.
+    */
+  private def lloydRound(base: DataFrame, cents: Seq[Cent]): Seq[Cent] = {
+    val comp = base.withColumn("cell", assignCol(cents))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("col").cast("double")), 6).cast("float").as("v"))
-    val arr = comp.groupBy(col("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, v))), s -> s.v)").as("carr"))
-    // K rows — checkpoint so iteration k's plan doesn't re-execute every
-    // previous assign/recompute round (lineage depth grows per iteration)
-    arr.withColumn("cnorm",
-      sqrt(graft.functions.VectorFunctions.vec_norm_sq(arr.sparkSession, "carr")))
-      .localCheckpoint()
+      .collect()
+    comp.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+      val arr: Seq[Float] = rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+      val nsq = arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      (cell, arr, math.sqrt(nsq))
+    }.sortBy(_._1)
   }
+
+  /** The fitted model: final centroids after `iters` Lloyd rounds from
+    * the first-`k`-vectors seed. `base` must carry (vec_id, embedding,
+    * nm) and should be checkpointed by the caller (it is scanned once
+    * per round).
+    */
+  private def kmeansModel(base: DataFrame, k: Int, iters: Int): Seq[Cent] = {
+    val seeds: Seq[Cent] = base.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("embedding"), col("nm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    (0 until iters).foldLeft(seeds)((cents, _) => lloydRound(base, cents))
+  }
+
+  private def centsDf(base: DataFrame, cents: Seq[Cent]): DataFrame =
+    base.sparkSession.createDataFrame(cents).toDF("cell", "carr", "cnorm")
 
   /** Fitted quantizer: final centroids (cell, carr, cnorm) and the
     * (vec_id, cell) assignment after `iters` Lloyd rounds; `base` must
     * carry (vec_id, embedding, nm). Seeds are the first `k` vectors.
+    * The assignment frame is a zero-shuffle projection of `base`.
     */
   def kmeansFit(base: DataFrame, k: Int = KMEANS_K,
       iters: Int = KMEANS_ITERS): (DataFrame, DataFrame) = {
-    val init = base.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("carr"),
-        col("nm").as("cnorm"))
-    val finalCents = (0 until iters).foldLeft(init) { (cents, _) =>
-      recomputeCents(base, assignCells(base, cents))
-    }
-    (finalCents, assignCells(base, finalCents))
+    val model = kmeansModel(base, k, iters)
+    (centsDf(base, model),
+      base.select(col("vec_id"), assignCol(model).as("cell")))
   }
 
   /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign. */
@@ -186,7 +221,8 @@ object Similarity {
   def simsearchIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val withCell = base.join(kmeansCells(base), Seq("vec_id"))
+    val withCell = base.withColumn("cell",
+      assignCol(kmeansModel(base, KMEANS_K, KMEANS_ITERS)))
     val queries = withCell.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("embedding").as("eq"), col("nm").as("nq"))
@@ -213,11 +249,12 @@ object Similarity {
   /** Probed IVF top-k against a fitted quantizer: each query ranks all K
     * centroids by cosine (K-row broadcast), scans its best `nprobe` cells,
     * and keeps [[IVF_TOP_K]] — shared by the fixed-[[NPROBE]] query and the
-    * recall sweep. `base` must carry (vec_id, embedding, nm).
+    * recall sweep. `withCell` must carry (vec_id, embedding, nm, cell) —
+    * the zero-shuffle assignment projection of the corpus.
     */
-  private def probeTopk(base: DataFrame, cents: DataFrame, cells: DataFrame,
+  private def probeTopk(withCell: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
-    val queries = base.filter(col("vec_id") < N_QUERIES)
+    val queries = withCell.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
     val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))
     val probed = queries.crossJoin(broadcast(cents))
@@ -225,7 +262,7 @@ object Similarity {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("cell"), col("eq"), col("nq"))
-    val cands = base.join(cells, Seq("vec_id"))
+    val cands = withCell
       .select(col("vec_id").as("n_id"), col("cell"),
         col("embedding").as("ec"), col("nm").as("nc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
@@ -240,8 +277,9 @@ object Similarity {
   def simsearchIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val (cents, cells) = kmeansFit(base)
-    probeTopk(base, cents, cells, NPROBE)
+    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    probeTopk(base.withColumn("cell", assignCol(model)),
+      centsDf(base, model), NPROBE)
   }
 
   /** The recall sweep's probe widths — 1 (own cell only) to half the
@@ -261,7 +299,9 @@ object Similarity {
   def simsearchRecall(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val (cents, cells) = kmeansFit(base)
+    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val (cents, withCell) =
+      (centsDf(base, model), base.withColumn("cell", assignCol(model)))
     val queries = base.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
     val cands = base.select(col("vec_id").as("n_id"),
@@ -275,7 +315,7 @@ object Similarity {
       .localCheckpoint()
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
     RECALL_NPROBES.map { np =>
-      probeTopk(base, cents, cells, np)
+      probeTopk(withCell, cents, np)
         .select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
