@@ -86,6 +86,10 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_corpus_filter" -> (TextAnalysis.textCorpusFilter _),
+    "text_pack" -> (TextAnalysis.textPack _),
+    "text_decontam" -> (TextAnalysis.textDecontam _),
+    "text_domain_filter" -> (TextAnalysis.textDomainFilter _),
+    "dedup_semantic" -> (Similarity.dedupSemantic _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
   )
@@ -153,6 +157,10 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_corpus_filter" -> TextAnalysis.textCorpusFilterSql,
+    "text_pack" -> TextAnalysis.textPackSql,
+    "text_decontam" -> TextAnalysis.textDecontamSql,
+    "text_domain_filter" -> TextAnalysis.textDomainFilterSql,
+    "dedup_semantic" -> Similarity.dedupSemanticSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
   )

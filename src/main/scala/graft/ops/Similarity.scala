@@ -840,6 +840,72 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  /** SemDeDup similarity threshold: within-cell pairs at or above this
+    * cosine mark the higher-id member as a semantic duplicate.
+    */
+  val SEMDEDUP_TAU = 0.35
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, Abbas et al.
+    * 2023): cluster the corpus with the in-engine quantizer, compare
+    * embeddings only WITHIN a cell, and drop the higher-id member of any
+    * pair with cosine ≥ [[SEMDEDUP_TAU]]. Emits every vector with its
+    * cell and keep flag.
+    *
+    * This is the scale design of the published method: clustering
+    * bounds the quadratic — pairs form inside cells only, and a
+    * production deployment grows nlist with the corpus so the expected
+    * cell size (and thus per-cell pair count) stays constant. The
+    * within-cell join is an equi-join on the cell id; no cross join
+    * exists in the plan.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    semanticDedupOn(base, KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU)
+  }
+
+  /** The cluster-then-prune core over any (vec_id, embedding, nm) frame —
+    * the quantizer geometry and threshold parameterized for reuse and
+    * testing.
+    */
+  def semanticDedupOn(base: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    val model = kmeansModel(base, k, iters)
+    val withCell = base.withColumn("cell", assignCol(model))
+    val a = withCell.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nm").as("na"))
+    val b = withCell.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nm").as("nb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    withCell.select(col("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (!coalesce(col("dropped"), lit(false))).as("keep"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""$kmeansCtePrefix,
+       |pd AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(ua.x * ub.x) AS dot
+       |  FROM asgf a
+       |  JOIN asgf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN u ua ON ua.vec_id = a.vec_id
+       |  JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT p.b_id
+       |  FROM pd p
+       |  JOIN nrm na ON p.a_id = na.vec_id
+       |  JOIN nrm nb ON p.b_id = nb.vec_id
+       |  WHERE round(p.dot / (na.nm * nb.nm), 6) >= $SEMDEDUP_TAU)
+       |SELECT a.vec_id, a.cell, (d.b_id IS NULL) AS keep
+       |FROM asgf a LEFT JOIN drops d ON a.vec_id = d.b_id""".stripMargin
+
   val simsearchIvfSql: String =
     s"""WITH ${UNNEST_CTE},
        |${NORM_CTE},

@@ -634,4 +634,165 @@ object TextAnalysis {
        |  FROM sh GROUP BY 1)
        |SELECT c.doc_id, c.content_fp, ms.min_shingle_fp
        |FROM content c JOIN ms ON c.doc_id = ms.doc_id""".stripMargin
+
+  /** Sequence-packing geometry (concat-and-chunk, the GPT-style batch
+    * layout): documents concatenate in doc_id order into one global token
+    * stream, and the stream cuts into fixed-[[PACK_CAPACITY]]-token
+    * training sequences. Emits each document's slot — global start
+    * offset, start/end sequence ids, and whether it straddles a cut —
+    * which is exactly what a loader needs to materialize packed batches.
+    *
+    * The running offset is a TWO-LEVEL prefix sum: a partitioned window
+    * inside fixed doc_id ranges ([[PACK_SHARD_DOCS]] docs per shard),
+    * plus a prefix over the per-shard totals — one summary row per
+    * shard, so the unpartitioned window touches |corpus|/shard rows,
+    * never the corpus (a single global ORDER BY window would funnel
+    * 100 TB through one task). Integer arithmetic throughout — the
+    * two-level sum is exactly the global cumulative sum the oracle
+    * computes with one window.
+    */
+  val PACK_CAPACITY = 128L
+  val PACK_SHARD_DOCS = 64L
+
+  def packSequences(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $PACK_SHARD_DOCS"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = perDoc
+      .withColumn("in_off", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // summary rows (one per shard): the only unpartitioned window, over
+    // |corpus|/PACK_SHARD_DOCS rows — the bucket-seed discipline
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = perDoc.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_n"))
+      .withColumn("shard_off", coalesce(sum(col("shard_n")).over(wSh), lit(0L)))
+      .select(col("shard"), col("shard_off"))
+    within.join(prefixes, Seq("shard"))
+      .withColumn("start_off", col("shard_off") + col("in_off"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off DIV $PACK_CAPACITY").as("start_seq"),
+        expr(s"(start_off + n_tokens - 1) DIV $PACK_CAPACITY").as("end_seq"))
+      .withColumn("straddles", col("end_seq") > col("start_seq"))
+  }
+
+  def textPack(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(Tables.documents(spark, sfDir))
+
+  val textPackSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM n)
+       |SELECT doc_id, n_tokens, start_off,
+       |       start_off // $PACK_CAPACITY AS start_seq,
+       |       (start_off + n_tokens - 1) // $PACK_CAPACITY AS end_seq,
+       |       (start_off + n_tokens - 1) // $PACK_CAPACITY
+       |         > start_off // $PACK_CAPACITY AS straddles
+       |FROM o""".stripMargin
+
+  /** Decontamination: flag documents sharing any word 3-gram with the
+    * benchmark subset (here doc_id ≡ 0 mod [[DECONTAM_MOD]] stands in
+    * for the eval suite). The standard pretraining hygiene pass: before
+    * training, every document overlapping a benchmark n-gram is flagged
+    * (and usually dropped) so eval scores measure generalization, not
+    * memorization.
+    *
+    * Shape: the benchmark's distinct shingle-hash set is tiny by
+    * construction (eval suites are thousands of documents, not
+    * billions) and BROADCASTS; corpus documents explode their
+    * single-pass `shingle_hashes` arrays and count distinct overlapping
+    * hashes — one broadcast join + one aggregation, linear in corpus
+    * shingle volume, no corpus-side self-join.
+    */
+  val DECONTAM_MOD = 97L
+
+  def decontam(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val shs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
+    val isBench = col("doc_id") % DECONTAM_MOD === 0
+    val bench = shs.filter(isBench)
+      .select(explode(col("shs")).as("h")).distinct()
+    val counts = shs.filter(!isBench)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    docs.filter(!isBench)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .withColumn("contaminated", col("n_contam") > 0)
+  }
+
+  def textDecontam(spark: SparkSession, sfDir: String): DataFrame =
+    decontam(Tables.documents(spark, sfDir))
+
+  val textDecontamSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $DECONTAM_MOD = 0),
+       |cnt AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+       |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % $DECONTAM_MOD <> 0 GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.source,
+       |       coalesce(c.n_contam, 0) AS n_contam,
+       |       coalesce(c.n_contam, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
+
+  /** Domain-level filtering (the C4/RefinedWeb move): instead of — or
+    * before — per-document gates, aggregate quality per SOURCE and keep
+    * or drop whole domains relative to the corpus mean. Two hash
+    * aggregations over the zero-shuffle per-document quality projection;
+    * the corpus mean is a 1-row broadcast. The keep decision compares
+    * round-pinned averages, so both engines gate identically.
+    */
+  def domainFilter(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val bySrc = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality_score")), 6).as("avg_quality"))
+    val overall = q.agg(round(avg(col("quality_score")), 6).as("corpus_avg"))
+    bySrc.crossJoin(broadcast(overall))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_quality"), col("corpus_avg"),
+        (col("avg_quality") >= col("corpus_avg")).as("keep"))
+  }
+
+  def textDomainFilter(spark: SparkSession, sfDir: String): DataFrame =
+    domainFilter(Tables.documents(spark, sfDir))
+
+  val textDomainFilterSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, s.n_tokens,
+       |         round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |               * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |           AS quality_score
+       |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+       |bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         round(avg(quality_score), 6) AS avg_quality
+       |  FROM scored GROUP BY 1),
+       |overall AS (SELECT round(avg(quality_score), 6) AS corpus_avg FROM scored)
+       |SELECT b.source, b.n_docs, b.total_tokens, b.avg_quality, o.corpus_avg,
+       |       b.avg_quality >= o.corpus_avg AS keep
+       |FROM bysrc b CROSS JOIN overall o""".stripMargin
 }

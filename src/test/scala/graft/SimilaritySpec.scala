@@ -52,4 +52,42 @@ class SimilaritySpec extends SparkSpec {
     val odds = (1 until 16 by 2).map(i => cells(i.toLong)).toSet
     assert(evens.intersect(odds).isEmpty)
   }
+
+  test("semantic dedup drops the higher-id member of a near-identical within-cell pair") {
+    // cluster A around (1,0): vectors 0, 2, 3 — 2 and 3 nearly identical;
+    // cluster B around (0,1): vectors 1, 4. k=2 seeds = vectors 0 and 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.05f)),
+      (3L, Array(1.0f, 0.051f)),
+      (4L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val base = Similarity.withNorm(emb)
+    val got = Similarity.semanticDedupOn(base, 2, 1, 0.999)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    // pairs over tau within cell A: (0,2), (0,3), (2,3) all ~cos 0.999+ —
+    // at tau 0.999 only the 2-3 pair qualifies, so 3 drops
+    assert(got.size == 5)
+    assert(!got(3L))
+    assert(Seq(0L, 1L, 2L, 4L).forall(got))
+  }
+
+  test("semantic dedup never pairs across cells") {
+    // two identical directions forced into different cells by the seeds:
+    // with k=2 and seeds 0=(1,0), 1=(0,1), vectors 2=(1,0) and 3=(0,1)
+    // are exact duplicates OF THE SEEDS but land in different cells from
+    // each other, so the cross-cell (2,3) pair (cos 0) is never formed
+    // and the within-cell (0,2) and (1,3) pairs (cos 1) both drop
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val base = Similarity.withNorm(emb)
+    val got = Similarity.semanticDedupOn(base, 2, 1, 0.9)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    assert(got(0L) && got(1L) && !got(2L) && !got(3L))
+  }
 }

@@ -184,4 +184,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert(viaSql.filter(!($"out_w" === 224 || $"out_h" === 224)).isEmpty)
     assert(viaSql.filter($"out_w" > 224 || $"out_h" > 224).isEmpty)
   }
+
+  test("sequence packing: two-level prefix sum equals the global cumulative sum") {
+    // 200 docs with varying token counts, spanning several 64-doc shards
+    val docs = (0 until 200)
+      .map(i => (i.toLong, Seq.fill(1 + i % 7)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs)
+      .select("doc_id", "n_tokens", "start_off", "start_seq", "end_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets are the exact running sum: contiguous, starting at 0
+    var expect = 0L
+    got.foreach { case (_, n, off, sSeq, eSeq) =>
+      assert(off == expect)
+      assert(sSeq == off / TextAnalysis.PACK_CAPACITY)
+      assert(eSeq == (off + n - 1) / TextAnalysis.PACK_CAPACITY)
+      expect += n
+    }
+  }
+
+  test("decontamination counts distinct shared shingles against the benchmark set") {
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 1 repeats one of its
+    // 3-grams twice (distinct => counts once), doc 2 shares nothing
+    val docs = Seq(
+      (0L, "a b c d", "en", "s0"),
+      (1L, "a b c x a b c", "en", "s0"),
+      (2L, "p q r s t", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.decontam(docs)
+      .select("doc_id", "n_contam", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!got.contains(0L)) // benchmark docs are not scored
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+  }
+
+  test("domain filter keeps sources at or above the corpus mean quality") {
+    // s0: highly repetitive docs (low ttr); s1: all-distinct docs (high ttr)
+    val docs = Seq(
+      (0L, "w w w w w w w w", "en", "s0"),
+      (1L, "w w w w x x x x", "en", "s0"),
+      (2L, "alpha beta gamma delta", "en", "s1"),
+      (3L, "epsilon zeta eta theta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.domainFilter(docs)
+      .select("source", "n_docs", "total_tokens", "keep")
+      .as[(String, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(got("s0")._4 == false && got("s1")._4 == true)
+    assert(got("s0")._2 == 2L && got("s0")._3 == 16L)
+    assert(got("s1")._3 == 8L)
+  }
 }
