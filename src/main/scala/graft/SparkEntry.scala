@@ -90,6 +90,9 @@ object SparkEntry {
     "text_decontam" -> (TextAnalysis.textDecontam _),
     "text_domain_filter" -> (TextAnalysis.textDomainFilter _),
     "dedup_semantic" -> (Similarity.dedupSemantic _),
+    "dedup_cluster_best" -> (Dedup.dedupClusterBest _),
+    "text_mix" -> (TextAnalysis.textMix _),
+    "simsearch_recall_dim" -> (Similarity.simsearchRecallDim _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
   )
@@ -161,6 +164,9 @@ object SparkEntry {
     "text_decontam" -> TextAnalysis.textDecontamSql,
     "text_domain_filter" -> TextAnalysis.textDomainFilterSql,
     "dedup_semantic" -> Similarity.dedupSemanticSql,
+    "dedup_cluster_best" -> Dedup.dedupClusterBestSql,
+    "text_mix" -> TextAnalysis.textMixSql,
+    "simsearch_recall_dim" -> Similarity.simsearchRecallDimSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
   )

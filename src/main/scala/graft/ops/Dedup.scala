@@ -772,6 +772,30 @@ object Dedup {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     duplicateClusters(Tables.documents(spark, sfDir))
 
+  /** Quality-aware cluster canonicalization: after duplicate clusters
+    * are assigned, keep the BEST-quality member of each cluster — what a
+    * curation pipeline actually ships (the min-id representative is an
+    * arbitrary survivor; the highest-quality one preserves the best
+    * copy of boilerplate-mangled near-duplicates). The pick is a
+    * partial-agg `min(struct(−score, doc_id))` over the cluster id —
+    * map-side combinable, no window sort — with the score already
+    * round-pinned by the quality projection, so both engines pick the
+    * same member (max quality, then min doc_id).
+    */
+  def clusterBest(docs: DataFrame): DataFrame =
+    duplicateClusters(docs)
+      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(
+        min(struct((-col("quality_score")).as("ns"), col("doc_id").as("d"))).as("best"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("rep_id"), col("best.d").as("best_doc_id"),
+        round(-col("best.ns"), 6).as("best_quality"), col("cluster_size"))
+
+  def dedupClusterBest(spark: SparkSession, sfDir: String): DataFrame =
+    clusterBest(Tables.documents(spark, sfDir))
+
   /** The oracle states the fixpoint directly: transitive reachability over
     * the symmetric pair graph (recursive CTE, UNION set semantics
     * terminates it), min reachable id per document.
@@ -797,6 +821,48 @@ object Dedup {
        |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1)
        |SELECT r.doc_id, r.rep_id, s.cluster_size
        |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
+
+  /** Same reachability fixpoint, then the max-quality (min doc_id
+    * tie-break) member per component via a ranking window.
+    */
+  val dedupClusterBestSql: String =
+    s"""WITH RECURSIVE ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN szs s1 ON i.d1 = s1.doc_id JOIN szs s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD),
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jp),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.r FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |rep AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+       |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         round((CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |               * (1.0 - CAST(n_short AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+       |           AS quality_score
+       |  FROM stats),
+       |ranked AS (
+       |  SELECT r.rep_id, r.doc_id, c.cluster_size, q.quality_score,
+       |         row_number() OVER (PARTITION BY r.rep_id
+       |                            ORDER BY q.quality_score DESC, r.doc_id) AS rk
+       |  FROM rep r
+       |  JOIN szc c ON r.rep_id = c.rep_id
+       |  JOIN scored q ON r.doc_id = q.doc_id)
+       |SELECT rep_id, doc_id AS best_doc_id, quality_score AS best_quality, cluster_size
+       |FROM ranked WHERE rk = 1""".stripMargin
 
   /** Winnowing window: each fingerprint is the minimum of
     * [[WINNOW_WINDOW]] consecutive span hashes — guarantees any shared

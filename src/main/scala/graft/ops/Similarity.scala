@@ -840,6 +840,88 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  /** Truncation widths for [[simsearchRecallDim]] — prefixes of the
+    * 64-dim embedding.
+    */
+  val RECALL_DIMS: Seq[Int] = Seq(8, 16, 32)
+
+  /** Dimension-truncation recall (the Matryoshka/MRL trade-off curve):
+    * recall@[[IVF_TOP_K]] of brute-force search over the first d
+    * dimensions against the full-dimension cosine truth, for d ∈
+    * [[RECALL_DIMS]]. Truncating embeddings is the cheapest scale lever
+    * of all — a d/64 read-and-compute cut with no index — and this query
+    * is how a deployment decides how far to cut. Each width is one
+    * slice projection + the standard broadcast-queries top-k; the truth
+    * set computes once and checkpoints.
+    */
+  def simsearchRecallDim(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    truncationRecall(Tables.embeddings(spark, sfDir), RECALL_DIMS,
+      col("vec_id") < N_QUERIES, IVF_TOP_K)
+  }
+
+  /** The truncation-recall core over any (vec_id, embedding) frame:
+    * recall@k of first-d-dimensions search against full-width truth,
+    * one row per width. On the synthetic fixture (isotropic random
+    * vectors, no energy concentration in leading dimensions) recall
+    * sits near the k/N floor at every width — the honest reading;
+    * Matryoshka-trained embeddings front-load the signal, and THIS
+    * query measures how far a given model lets you cut.
+    */
+  def truncationRecall(emb: DataFrame, dims: Seq[Int], isQuery: Column,
+      k: Int): DataFrame = {
+    val truth = bruteForceTopk(emb, isQuery, k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = truth.count().toDouble
+    dims.map { d =>
+      val tr = emb.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("embedding"))
+      bruteForceTopk(tr, isQuery, k)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val simsearchRecallDimSql: String = {
+    val denom = N_QUERIES * IVF_TOP_K
+    // one top-k pair-set CTE chain per width: norms and dots over the
+    // first-d-components prefix of the unnested vectors
+    def topkBlock(name: String, normFilter: String, dotFilter: String): String =
+      s"""${name}n AS (SELECT vec_id, sqrt(sum(x * x)) AS nm FROM u ${normFilter}GROUP BY 1),
+         |${name}d AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+         |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+         |  ${dotFilter}GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT d.q_id, d.n_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+         |    FROM ${name}d d
+         |    JOIN ${name}n n1 ON d.q_id = n1.vec_id
+         |    JOIN ${name}n n2 ON d.n_id = n2.vec_id)
+         |  WHERE rnk <= $IVF_TOP_K)""".stripMargin
+    val dimBlocks = RECALL_DIMS.map { d =>
+      topkBlock(s"t$d", s"WHERE i <= $d ", s"WHERE a.i <= $d ") + s""",
+         |h$d AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM t$d i JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = RECALL_DIMS.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+         |FROM h$d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${UNNEST_CTE},
+       |${topkBlock("bf", "", "")},
+       |$dimBlocks
+       |$selects""".stripMargin
+  }
+
   /** SemDeDup similarity threshold: within-cell pairs at or above this
     * cosine mark the higher-id member as a semantic duplicate.
     */

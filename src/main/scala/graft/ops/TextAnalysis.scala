@@ -751,6 +751,88 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** Target mixture shares per language for [[mixSample]] and the token
+    * budget as a fraction of the corpus. The `de` share deliberately
+    * exceeds its natural proportion so the rate cap (`min(1, ·)`)
+    * is exercised: you cannot up-sample past 100% without repetition
+    * (epoch weighting is a trainer concern, not a sampler one).
+    */
+  val MIX_SHARES: Seq[(String, Double)] = Seq(
+    "en" -> 0.3, "de" -> 0.3, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
+  val MIX_BUDGET_FRAC = 0.5
+
+  /** Data-mixture sampling — the pretraining mixing step: given target
+    * shares per language and a total token budget, compute each
+    * stratum's sampling rate and draw a deterministic md5-bucket sample
+    * at that rate. Selection compares the document's 32-bit hash bucket
+    * against rate·2³² — multiplying the round-pinned rate by a power of
+    * two is exact, so both engines draw the identical document set.
+    * Emits the per-language mixing report (natural size, rate, achieved
+    * sample) — the table a data lead signs off on before a run.
+    *
+    * Shape: one narrow projection for buckets/counts, two hash
+    * aggregations for the stratum and corpus totals, and a broadcast of
+    * the |languages|-row rate table back onto the projection. The rate
+    * math never touches the driver.
+    */
+  def mixSample(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("bucket"))
+    val totals = perDoc.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val shares = docs.sparkSession.createDataFrame(MIX_SHARES).toDF("lang", "share")
+    val rates = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .join(broadcast(shares), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        round(col("share") * lit(MIX_BUDGET_FRAC) * col("corpus_tokens")
+          / col("lang_tokens"), 6)))
+    val sampled = perDoc
+      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+      .filter(col("bucket").cast("double") < col("rate") * lit(4294967296.0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_tokens")).as("sampled_tokens"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("rate"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+  }
+
+  def textMix(spark: SparkSession, sfDir: String): DataFrame =
+    mixSample(Tables.documents(spark, sfDir))
+
+  val textMixSql: String = {
+    val shareRows = MIX_SHARES
+      .map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
+    s"""WITH pd AS (
+       |  SELECT doc_id, lang,
+       |         CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM pd),
+       |shr(lang, share) AS (VALUES $shareRows),
+       |rt AS (
+       |  SELECT bl.lang, bl.n_docs, bl.lang_tokens,
+       |         least(1.0, round(s.share * $MIX_BUDGET_FRAC * t.corpus_tokens
+       |                          / bl.lang_tokens, 6)) AS rate
+       |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+       |        FROM pd GROUP BY 1) bl
+       |  JOIN shr s ON bl.lang = s.lang CROSS JOIN tot t),
+       |smp AS (
+       |  SELECT p.lang, CAST(count(*) AS BIGINT) AS sampled_docs,
+       |         CAST(sum(p.n_tokens) AS BIGINT) AS sampled_tokens
+       |  FROM pd p JOIN rt ON p.lang = rt.lang
+       |  WHERE CAST(p.bucket AS DOUBLE) < rt.rate * CAST(4294967296 AS DOUBLE)
+       |  GROUP BY 1)
+       |SELECT r.lang, r.n_docs, r.lang_tokens, r.rate,
+       |       coalesce(s.sampled_docs, 0) AS sampled_docs,
+       |       coalesce(s.sampled_tokens, 0) AS sampled_tokens
+       |FROM rt r LEFT JOIN smp s ON r.lang = s.lang""".stripMargin
+  }
+
   /** Domain-level filtering (the C4/RefinedWeb move): instead of — or
     * before — per-document gates, aggregate quality per SOURCE and keep
     * or drop whole domains relative to the corpus mean. Two hash

@@ -197,4 +197,20 @@ class DedupSpec extends SparkSpec {
     // the unrelated vector either shares no LSH bucket (absent) or is unflagged
     assert(nn.get(3L).forall(!_._4))
   }
+
+  test("cluster-best picks the highest-quality member, not the min-id representative") {
+    import spark.implicits._
+    val clean = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val docs = Seq(
+      (0L, clean + " alpha10 alpha10", "en", "s0"), // repetitive copy: ttr 10/12
+      (1L, clean, "en", "s0"),                      // clean copy: ttr 1.0
+      (2L, (1 to 5).map(i => s"beta$i").mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.clusterBest(docs)
+      .as[(Long, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    // docs 0 and 1 share 8 of 10 shingles (jaccard 0.8) -> one cluster,
+    // rep = 0 but best member = 1 (quality 1.0 beats 10/12)
+    assert(got(0L) == ((0L, 1L, 1.0, 2L)))
+    assert(got(2L)._2 == 2L && got(2L)._4 == 1L)
+  }
 }

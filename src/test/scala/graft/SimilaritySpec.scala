@@ -90,4 +90,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._3).toMap
     assert(got(0L) && got(1L) && !got(2L) && !got(3L))
   }
+
+  test("truncation recall is 1.0 when all signal lives in the kept dimensions") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.truncationRecall(emb, Seq(2), col("vec_id") === 0L, 2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((2L, 2L, 1.0)))
+  }
 }

@@ -234,4 +234,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("s0")._2 == 2L && got("s0")._3 == 16L)
     assert(got("s1")._3 == 8L)
   }
+
+  test("mix sampling caps over-budget strata at rate 1.0 and drops unknown langs") {
+    val docs = (
+      (0 until 4).map(i => (i.toLong, (1 to 10).map(j => s"w$j").mkString(" "), "en", "s0")) ++
+      Seq((4L, "nur vier kurze worte", "de", "s0"),
+          (5L, "lang unknown words here", "xx", "s0")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.mixSample(docs)
+      .as[(String, Long, Long, Double, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // only langs with a target share appear in the report
+    assert(got.keySet == Set("en", "de"))
+    // corpus = 48 tokens (the unknown lang still counts toward the
+    // budget base), budget 24; de target 0.3*24 = 7.2 over 4 tokens -> capped
+    assert(got("de")._4 == 1.0 && got("de")._5 == 1L && got("de")._6 == 4L)
+    // en rate = round(7.2/40, 6) = 0.18, uncapped; sample is a subset
+    assert(got("en")._4 == 0.18)
+    assert(got("en")._5 <= 4L && got("en")._6 <= 40L)
+  }
 }
