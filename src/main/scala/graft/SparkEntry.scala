@@ -92,6 +92,9 @@ object SparkEntry {
     "dedup_semantic" -> (Similarity.dedupSemantic _),
     "dedup_cluster_best" -> (Dedup.dedupClusterBest _),
     "text_mix" -> (TextAnalysis.textMix _),
+    "text_bpe_train" -> (TextAnalysis.textBpeTrain _),
+    "event_funnel" -> (Relational.eventFunnel _),
+    "event_retention" -> (Relational.eventRetention _),
     "simsearch_recall_dim" -> (Similarity.simsearchRecallDim _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
@@ -166,6 +169,9 @@ object SparkEntry {
     "dedup_semantic" -> Similarity.dedupSemanticSql,
     "dedup_cluster_best" -> Dedup.dedupClusterBestSql,
     "text_mix" -> TextAnalysis.textMixSql,
+    "text_bpe_train" -> TextAnalysis.textBpeTrainSql,
+    "event_funnel" -> Relational.eventFunnelSql,
+    "event_retention" -> Relational.eventRetentionSql,
     "simsearch_recall_dim" -> Similarity.simsearchRecallDimSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,

@@ -274,4 +274,106 @@ object Relational {
       |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
       |SELECT c_custkey, c_name, total_spend, n_orders, rnk
       |FROM ranked WHERE rnk <= 10""".stripMargin
+
+  /** Ordered funnel steps for [[eventFunnel]] and the max step-to-step
+    * delay (6 h, in µs) — without a window a month-long dense fixture
+    * converts every user at every stage.
+    */
+  val FUNNEL_STEPS: Seq[String] = Seq("signup", "view", "purchase")
+  val FUNNEL_GAP_US: Long = 6L * 3600L * 1000000L
+
+  /** Windowed funnel analysis: per user, the earliest step-1 event, then
+    * the earliest step-2 event strictly after it WITHIN the gap window,
+    * then step-3 likewise — the sequential-min formulation (one
+    * aggregation + one join per step; each stage's frame is one row per
+    * surviving user, so the joins shrink monotonically). All time
+    * comparisons run in microsecond space, the engines' shared precision
+    * floor. Emits per-stage user counts and conversion vs stage 1.
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir))
+
+  /** The funnel core over any (user_id, event_type, ts) frame. */
+  def funnel(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val stages = FUNNEL_STEPS.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = ev.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => hits
+          case Some(p) => hits.join(p.select(col("user_id"), col("t").as("prev_t")),
+            Seq("user_id"))
+            .filter(col("us") > col("prev_t") &&
+              col("us") <= col("prev_t") + lit(FUNNEL_GAP_US))
+        }
+        Some(gated.groupBy(col("user_id")).agg(min(col("us")).as("t")))
+    }.flatten
+    val first = broadcast(stages.head.agg(count(lit(1)).as("n1")))
+    stages.zip(FUNNEL_STEPS).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .crossJoin(first)
+        .select(lit((i + 1).toLong).as("stage"), lit(step).as("step"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("n1").cast("double"), 6)
+            .as("rate_from_first"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val eventFunnelSql: String = {
+    val stepCtes = FUNNEL_STEPS.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(us) AS t FROM e
+           |  WHERE event_type = '$step' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.us) AS t
+           |  FROM e JOIN s$i ON e.user_id = s$i.user_id
+           |  WHERE e.event_type = '$step' AND e.us > s$i.t
+           |    AND e.us <= s$i.t + $FUNNEL_GAP_US GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val countCtes = FUNNEL_STEPS.indices
+      .map(i => s"n${i + 1} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s${i + 1})")
+      .mkString(",\n")
+    val selects = FUNNEL_STEPS.zipWithIndex.map { case (step, i) =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS stage, '$step' AS step, a.n AS n_users,
+         |       round(CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate_from_first
+         |FROM n${i + 1} a CROSS JOIN n1 b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |$stepCtes,
+       |$countCtes
+       |$selects""".stripMargin
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, counted on each
+    * later day they were active — the classic cohort triangle. One
+    * distinct projection, one aggregation for the cohort day, one join,
+    * one count; the (user, day) distinct set is the only shuffle that
+    * scales with the corpus.
+    */
+  def eventRetention(spark: SparkSession, sfDir: String): DataFrame =
+    retention(Tables.events(spark, sfDir))
+
+  /** The cohort core over any (user_id, ts) frame. */
+  def retention(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = byDay.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    byDay.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"))
+  }
+
+  val eventRetentionSql: String =
+    """WITH byday AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |coh AS (SELECT user_id, min(d) AS cohort_day FROM byday GROUP BY 1)
+      |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, b.d) AS BIGINT) AS day_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM byday b JOIN coh c ON b.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -751,6 +751,93 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** Merge rounds for [[bpeTrain]]. */
+  val BPE_TRAIN_ROUNDS = 6
+
+  /** BPE vocabulary TRAINING — the other half of the tokenizer story
+    * (the merge-table tokenizer applies a vocab; this learns one from
+    * the corpus). Classic Sennrich et al. word-level BPE: count corpus
+    * word frequencies once, encode each word as |-delimited symbols,
+    * then per round (a) sum adjacent-symbol-pair counts weighted by word
+    * frequency, (b) take the most frequent pair (lexicographic
+    * tie-break), (c) merge it everywhere. Returns the learned merge
+    * table (round, pair, merged symbol, count) — the model artifact a
+    * tokenizer ships.
+    *
+    * Scale shape: the iterating state is ONE (pair, count) row per
+    * round — model state, collected to the driver exactly like the
+    * k-means centroids — while the corpus-sized work stays distributed:
+    * the word-frequency table (vocabulary-sized, not corpus-sized —
+    * the explode/count happens once) is checkpointed, and each round is
+    * one pair-explode aggregation plus a literal-pattern `regexp_replace`
+    * projection. M rounds = M bounded jobs; nothing quadratic anywhere.
+    * The oracle unrolls the same rounds as CTE blocks.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = BPE_TRAIN_ROUNDS): DataFrame = {
+    val spark = docs.sparkSession
+    var cur = docs
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("enc", concat_ws("|", split(col("word"), "")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 0 until rounds) {
+      val best = cur
+        .select(col("freq"), split(col("enc"), "\\|").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> concat(element_at(t, i), '|', element_at(t, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("pair"))).as("b"))
+        .select(col("b.pair").as("pair"), (-col("b.nc")).as("cnt"))
+        .collect()(0)
+      val pair = best.getString(0)
+      val merged = pair.replace("|", "")
+      merges += ((r.toLong, pair, merged, best.getLong(1)))
+      cur = cur.withColumn("enc", regexp_replace(col("enc"),
+        lit(java.util.regex.Pattern.quote(pair)),
+        lit(java.util.regex.Matcher.quoteReplacement(merged))))
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("merge_round", "pair", "merged", "cnt")
+  }
+
+  def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, sfDir))
+
+  /** The same rounds unrolled: wf_r → pair counts p_r → best_r (1 row)
+    * → wf_{r+1} via literal replace.
+    */
+  val textBpeTrainSql: String = {
+    val rounds = (0 until BPE_TRAIN_ROUNDS).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                        i -> toks[i] || '|' || toks[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(enc, '|') AS toks FROM wf$r))
+         |  GROUP BY 1),
+         |best$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |wf${r + 1} AS (
+         |  SELECT word, freq,
+         |         replace(enc, (SELECT pair FROM best$r),
+         |                 replace((SELECT pair FROM best$r), '|', '')) AS enc
+         |  FROM wf$r)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 until BPE_TRAIN_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, pair,
+         |       replace(pair, '|', '') AS merged, cnt FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |         array_to_string(string_split(word, ''), '|') AS enc
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+       |  GROUP BY 1),
+       |$rounds
+       |$selects""".stripMargin
+  }
+
   /** Target mixture shares per language for [[mixSample]] and the token
     * budget as a fraction of the corpus. The `de` share deliberately
     * exceeds its natural proportion so the rate cap (`min(1, ·)`)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Multimodal, TextAnalysis}
+import graft.ops.{Multimodal, Relational, TextAnalysis}
 
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -251,5 +251,52 @@ class TextMultimodalSpec extends SparkSpec {
     // en rate = round(7.2/40, 6) = 0.18, uncapped; sample is a subset
     assert(got("en")._4 == 0.18)
     assert(got("en")._5 <= 4L && got("en")._6 <= 40L)
+  }
+
+  test("BPE training learns the classic merges with lexicographic tie-break") {
+    // low x3, lower x2, newest x4, widest x1 (Sennrich et al. flavor).
+    // Round 0: w|e appears in newest(4) + lower(2) = 6, the max -> "we".
+    // Round 1: l|o (low 3 + lower 2 = 5) ties s|t (newest 4 + widest 1);
+    // the lexicographically smaller pair wins.
+    val docs = Seq(
+      (0L, "low low low newest newest", "en", "s0"),
+      (1L, "lower lower newest newest widest", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, "w|e", "we", 6L)))
+    assert(got(1) == ((1L, "l|o", "lo", 5L)))
+  }
+
+  test("windowed funnel gates each step on order and the max gap") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // user 1 converts fully within the 6h windows
+      (1L, "signup", t(0)), (1L, "view", t(2)), (1L, "purchase", t(5)),
+      // user 2: view comes 10h after signup -> stops at stage 1
+      (2L, "signup", t(0)), (2L, "view", t(10)), (2L, "purchase", t(11)),
+      // user 3: reaches the view (2h after signup) but the purchase
+      // PRECEDES it -> no stage 3
+      (3L, "signup", t(1)), (3L, "purchase", t(2)), (3L, "view", t(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.funnel(ev)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)).toSeq == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(got(2)._4 == 0.333333)
+  }
+
+  test("retention counts users per cohort day and offset") {
+    import java.sql.Timestamp
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:30:00")
+    val ev = Seq(
+      (1L, t(1, 0)), (1L, t(1, 5)), (1L, t(2, 1)), (1L, t(5, 3)),
+      (2L, t(2, 2)))
+      .toDF("user_id", "ts")
+    val got = Relational.retention(ev)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 4L, 1L),
+      ("2024-01-02", 0L, 1L)))
   }
 }
