@@ -96,6 +96,8 @@ object SparkEntry {
     "event_funnel" -> (Relational.eventFunnel _),
     "event_retention" -> (Relational.eventRetention _),
     "simsearch_recall_dim" -> (Similarity.simsearchRecallDim _),
+    "simsearch_hard_negatives" -> (Similarity.simsearchHardNegatives _),
+    "text_length_outliers" -> (TextAnalysis.textLengthOutliers _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
   )
@@ -173,6 +175,8 @@ object SparkEntry {
     "event_funnel" -> Relational.eventFunnelSql,
     "event_retention" -> Relational.eventRetentionSql,
     "simsearch_recall_dim" -> Similarity.simsearchRecallDimSql,
+    "simsearch_hard_negatives" -> Similarity.simsearchHardNegativesSql,
+    "text_length_outliers" -> TextAnalysis.textLengthOutliersSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
   )

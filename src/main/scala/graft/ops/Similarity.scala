@@ -840,6 +840,49 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * [[IVF_TOP_K]] highest-cosine candidates with a DIFFERENT label —
+    * the near-misses a contrastive loss learns the most from (easy
+    * negatives are already far away; in-batch negatives are random).
+    * Same broadcast-queries/streaming-candidates shape as the
+    * brute-force top-k, with the label-mismatch predicate in the join.
+    */
+  def simsearchHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir))
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("eq"), col("nm").as("nq"))
+    val cands = base.select(col("vec_id").as("n_id"), col("label"),
+      col("embedding").as("ec"), col("nm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    cands.join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"), col("label"), col("cosine"), col("rnk"))
+  }
+
+  val simsearchHardNegativesSql: String =
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS label,
+       |         sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES
+       |                    AND a.label <> b.label
+       |  GROUP BY 1, 2, 3),
+       |cos AS (
+       |  SELECT d.q_id, d.n_id, d.label, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.q_id = n1.vec_id
+       |  JOIN nrm n2 ON d.n_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cosine DESC, n_id) AS rnk
+       |  FROM cos)
+       |SELECT q_id, n_id, label, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
   /** Truncation widths for [[simsearchRecallDim]] — prefixes of the
     * 64-dim embedding.
     */

@@ -751,6 +751,44 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** Per-source length-outlier flagging (winsorization prep): exact
+    * type-7 percentile bounds of token count per source (one hash
+    * aggregation — |sources| rows, broadcast back), then a stateless
+    * flag per document. Truncation/length spikes are the classic sign
+    * of extraction failures, and per-SOURCE bounds matter because
+    * lengths are domain-relative (tweets vs papers). Spark `percentile`
+    * and DuckDB `quantile_cont` share type-7 interpolation.
+    */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val bounds = perDoc.groupBy(col("source"))
+      .agg(round(expr("percentile(n_tokens, 0.05)"), 6).as("p05"),
+        round(expr("percentile(n_tokens, 0.95)"), 6).as("p95"))
+    perDoc.join(broadcast(bounds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("p05"), col("p95"),
+        (col("n_tokens").cast("double") < col("p05") ||
+          col("n_tokens").cast("double") > col("p95")).as("outlier"))
+  }
+
+  def textLengthOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    lengthOutliers(Tables.documents(spark, sfDir))
+
+  val textLengthOutliersSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |pd AS (
+       |  SELECT d.doc_id, d.source, n.n_tokens
+       |  FROM documents d JOIN n ON d.doc_id = n.doc_id),
+       |bounds AS (
+       |  SELECT source, round(quantile_cont(n_tokens, 0.05), 6) AS p05,
+       |         round(quantile_cont(n_tokens, 0.95), 6) AS p95
+       |  FROM pd GROUP BY 1)
+       |SELECT p.doc_id, p.source, p.n_tokens, b.p05, b.p95,
+       |       (CAST(p.n_tokens AS DOUBLE) < b.p05
+       |        OR CAST(p.n_tokens AS DOUBLE) > b.p95) AS outlier
+       |FROM pd p JOIN bounds b ON p.source = b.source""".stripMargin
+
   /** Merge rounds for [[bpeTrain]]. */
   val BPE_TRAIN_ROUNDS = 6
 

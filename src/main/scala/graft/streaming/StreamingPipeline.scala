@@ -111,6 +111,35 @@ object StreamingPipeline {
       .filter(col("quality_score") >= minScore && bucket < samplePct)
   }
 
+  /** Streaming decontamination — the batch [[graft.ops.TextAnalysis
+    * .decontam]] shape adapted to a stream: the benchmark's distinct
+    * shingle hashes come from a STATIC frame (eval suites are fixed and
+    * small), collected once at query build and riding into the stream
+    * as a constant sorted array. Each document's overlap count is then
+    * the codegen'd `sorted_intersect_count` of its own shingle-hash set
+    * against that constant — a STATELESS projection + filter, so it
+    * composes with any downstream stateful stage (dedup, sessionize)
+    * without adding a state store of its own. Keeps clean documents.
+    */
+  def decontamStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val spark = bench.sparkSession
+    graft.functions.TextFunctions.register(spark)
+    graft.functions.ArrayFunctions.register(spark)
+    val benchHashes: Seq[Long] = bench
+      .select(explode(
+        call_function("shingle_hashes", split(col("text"), "\\s+"))).as("h"))
+      .distinct().orderBy(col("h"))
+      .collect().map(_.getLong(0)).toSeq
+    docs
+      .withColumn("shs",
+        call_function("shingle_hashes", split(col("text"), "\\s+")))
+      .withColumn("n_contam",
+        call_function("sorted_intersect_count", col("shs"),
+          typedLit(benchHashes)).cast("long"))
+      .filter(col("n_contam") === 0)
+      .drop("shs")
+  }
+
   /** Streaming sessionization — the stateful twin of the batch
     * lag+running-sum `Relational.userSessions`: `session_window` merges
     * events into per-user sessions that close after `gap` of silence,

@@ -98,6 +98,24 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(2L) && streamed.contains(1L))
   }
 
+  test("streaming decontamination: static benchmark set filters the stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "a b c d", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.decontamStream(
+        in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontamstream")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "a b c x y z"),      // shares 'a b c' -> contaminated
+      (2L, "p q r s t"),        // clean
+      (3L, "x b c d y"))        // 'b c d' -> contaminated
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("decontamstream").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("streaming sessionization merges events within the gap and splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
