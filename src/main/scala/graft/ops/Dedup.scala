@@ -736,7 +736,14 @@ object Dedup {
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint()
+    // The loop iterates over EDGE ENDPOINTS only: a node with no pair can
+    // never change its label, and in a real corpus the duplicate-pair
+    // graph touches a small fraction of documents — carrying the other
+    // 99% through every round would multiply each iteration's shuffle by
+    // the corpus/graph ratio. Singletons rejoin as their own component
+    // after the fixpoint.
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < MAX_CC_ROUNDS) {
@@ -757,9 +764,13 @@ object Dedup {
       labels = next
       round += 1
     }
-    val sizes = labels.groupBy(col("rep"))
+    val singletons = nodes.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    val all = labels.unionByName(singletons)
+    val sizes = all.groupBy(col("rep"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
-    labels.join(sizes, Seq("rep"))
+    all.join(sizes, Seq("rep"))
       .select(col("id"), col("rep").as("rep_id"), col("cluster_size"))
   }
 
