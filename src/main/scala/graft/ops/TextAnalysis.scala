@@ -654,9 +654,17 @@ object TextAnalysis {
   val PACK_CAPACITY = 128L
   val PACK_SHARD_DOCS = 64L
 
-  def packSequences(docs: DataFrame): DataFrame = {
-    val perDoc = docs.select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+  def packSequences(docs: DataFrame): DataFrame =
+    packGeometry(docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+
+  /** The packing core over any (doc_id, n_tokens, ...) frame; extra
+    * columns pass through. Shards are doc_id ranges, so (shard, doc_id)
+    * order equals doc_id order even when ids are sparse (a filtered
+    * corpus packs exactly like a dense one).
+    */
+  def packGeometry(perDocIn: DataFrame): DataFrame = {
+    val perDoc = perDocIn
       .withColumn("shard", expr(s"doc_id DIV $PACK_SHARD_DOCS"))
     val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -672,10 +680,11 @@ object TextAnalysis {
       .select(col("shard"), col("shard_off"))
     within.join(prefixes, Seq("shard"))
       .withColumn("start_off", col("shard_off") + col("in_off"))
-      .select(col("doc_id"), col("n_tokens"), col("start_off"),
-        expr(s"start_off DIV $PACK_CAPACITY").as("start_seq"),
-        expr(s"(start_off + n_tokens - 1) DIV $PACK_CAPACITY").as("end_seq"))
+      .withColumn("start_seq", expr(s"start_off DIV $PACK_CAPACITY"))
+      .withColumn("end_seq",
+        expr(s"(start_off + n_tokens - 1) DIV $PACK_CAPACITY"))
       .withColumn("straddles", col("end_seq") > col("start_seq"))
+      .drop("shard", "in_off", "shard_off")
   }
 
   def textPack(spark: SparkSession, sfDir: String): DataFrame =
@@ -750,6 +759,171 @@ object TextAnalysis {
        |       coalesce(c.n_contam, 0) > 0 AS contaminated
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
+
+  /** The END-TO-END training-data assembly in one query — the README's
+    * "Training-data assembly" order executed as a single composed plan
+    * over the engine's own operators:
+    *
+    *   1. decontaminate (drop benchmark docs and benchmark-overlapping
+    *      docs),
+    *   2. exact-dedup representatives only,
+    *   3. drop near-dup (Jaccard) losers,
+    *   4. per-document quality gate,
+    *   5. whole-domain gate relative to the SURVIVING corpus mean,
+    *   6. mixture-sample per language against the token budget,
+    *   7. pack the sampled stream into training sequences.
+    *
+    * Emits the per-language assembly report plus a TOTAL row: documents
+    * and tokens shipped, and how many distinct training sequences the
+    * language's documents touch (TOTAL = the job's sequence count).
+    * Every stage is the already-oracled operator's own code path, so
+    * this query is the integration check that the stages compose — the
+    * number a pretraining run starts from.
+    */
+  def corpusAssembly(docs: DataFrame): DataFrame = {
+    val clean = decontam(docs).filter(!col("contaminated")).select(col("doc_id"))
+    val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+    val losers = Dedup.ngramJaccardPairs(docs)
+      .select(col("d2").as("doc_id")).distinct()
+    // gated fans out into the domain gate, the mix rates, and the sample —
+    // without a checkpoint every branch re-executes the decontam + dedup
+    // chain above it (measured 6× the single-pass cost). The frame is
+    // document-count rows of scalars; operator-owned localCheckpoint is
+    // the established pattern (k-means, CC rounds).
+    val gated = quality(docs)
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= 0.45)
+      .localCheckpoint()
+    val bySrc = gated.groupBy(col("source"))
+      .agg(round(avg(col("quality_score")), 6).as("avg_q"))
+    val overall = gated.agg(round(avg(col("quality_score")), 6).as("corpus_avg"))
+    val goodSrc = bySrc.crossJoin(broadcast(overall))
+      .filter(col("avg_q") >= col("corpus_avg")).select(col("source"))
+    val domained = gated.join(broadcast(goodSrc), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val totals = domained.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val shares = docs.sparkSession.createDataFrame(MIX_SHARES).toDF("lang", "share")
+    val rates = domained.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
+      .join(broadcast(shares), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        round(col("share") * lit(MIX_BUDGET_FRAC) * col("corpus_tokens")
+          / col("lang_tokens"), 6)))
+      .select(col("lang"), col("rate"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // sampled feeds the pack geometry, whose within/prefix windows and
+    // doc/sequence aggregates read it four times
+    val sampled = domained.join(broadcast(rates), Seq("lang"))
+      .filter(bucket.cast("double") < col("rate") * lit(4294967296.0))
+      .localCheckpoint()
+    val packed = packGeometry(sampled.select(col("doc_id"), col("n_tokens"), col("lang")))
+    val docAgg = packed.rollup(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      .select(coalesce(col("lang"), lit("TOTAL")).as("lang"),
+        col("kept_docs"), col("kept_tokens"))
+    val seqAgg = packed
+      .select(col("lang"), explode(expr("sequence(start_seq, end_seq)")).as("seq"))
+      .rollup(col("lang"))
+      .agg(countDistinct(col("seq")).as("n_sequences"))
+      .select(coalesce(col("lang"), lit("TOTAL")).as("lang"), col("n_sequences"))
+    docAgg.join(seqAgg, Seq("lang"))
+  }
+
+  def textCorpusAssembly(spark: SparkSession, sfDir: String): DataFrame =
+    corpusAssembly(Tables.documents(spark, sfDir))
+
+  // lazy: interpolates MIX_SHARES and friends, declared later in the
+  // object — an eager val would capture them mid-init as null
+  lazy val textCorpusAssemblySql: String = {
+    val shareRows = MIX_SHARES
+      .map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $DECONTAM_MOD = 0),
+       |contam AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % $DECONTAM_MOD <> 0),
+       |clean AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % $DECONTAM_MOD <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |        FROM documents) GROUP BY fp),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |losers AS (
+       |  SELECT DISTINCT i.d2 AS doc_id
+       |  FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= ${Dedup.JACCARD_THRESHOLD}),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, d.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       |         round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |               * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |           AS quality_score
+       |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+       |  WHERE d.doc_id IN (SELECT doc_id FROM clean)
+       |    AND d.doc_id IN (SELECT doc_id FROM keep)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+       |    AND round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |              * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |        >= 0.45),
+       |bysrc AS (SELECT source, round(avg(quality_score), 6) AS avg_q FROM gated GROUP BY 1),
+       |overallq AS (SELECT round(avg(quality_score), 6) AS corpus_avg FROM gated),
+       |goodsrc AS (
+       |  SELECT source FROM bysrc CROSS JOIN overallq WHERE avg_q >= corpus_avg),
+       |domained AS (
+       |  SELECT doc_id, lang, n_tokens FROM gated
+       |  WHERE source IN (SELECT source FROM goodsrc)),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM domained),
+       |shr(lang, share) AS (VALUES $shareRows),
+       |rt AS (
+       |  SELECT bl.lang,
+       |         least(1.0, round(s.share * $MIX_BUDGET_FRAC * t.corpus_tokens
+       |                          / bl.lang_tokens, 6)) AS rate
+       |  FROM (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+       |        FROM domained GROUP BY 1) bl
+       |  JOIN shr s ON bl.lang = s.lang CROSS JOIN tot t),
+       |sampled AS (
+       |  SELECT d.doc_id, d.lang, d.n_tokens
+       |  FROM domained d JOIN rt ON d.lang = rt.lang
+       |  WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |             AS DOUBLE) < rt.rate * CAST(4294967296 AS DOUBLE)),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM sampled),
+       |slots AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         start_off // $PACK_CAPACITY AS start_seq,
+       |         (start_off + n_tokens - 1) // $PACK_CAPACITY AS end_seq
+       |  FROM packed),
+       |docagg AS (
+       |  SELECT coalesce(lang, 'TOTAL') AS lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM slots GROUP BY ROLLUP (lang)),
+       |seqagg AS (
+       |  SELECT coalesce(lang, 'TOTAL') AS lang,
+       |         CAST(count(DISTINCT seq) AS BIGINT) AS n_sequences
+       |  FROM (SELECT lang, unnest(generate_series(start_seq, end_seq)) AS seq FROM slots)
+       |  GROUP BY ROLLUP (lang))
+       |SELECT d.lang, d.kept_docs, d.kept_tokens, q.n_sequences
+       |FROM docagg d JOIN seqagg q ON d.lang = q.lang""".stripMargin
+  }
 
   /** Per-source length-outlier flagging (winsorization prep): exact
     * type-7 percentile bounds of token count per source (one hash
