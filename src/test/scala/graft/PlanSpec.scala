@@ -87,4 +87,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("winnow_fps"), "fingerprints must come from the single-pass kernel")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dedup_semantic: within-cell pairs via equi-join, no cross/nested-loop join") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the cell id must bound the pair space — SemDeDup's whole point")
+  }
+
+  test("text_decontam: benchmark set broadcasts; no corpus self-join") {
+    val p = plan("text_decontam")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark hash set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized join side should appear in the decontam plan")
+  }
+
+  test("text_pack: both prefix windows are bounded, none over the raw corpus order") {
+    val p = plan("text_pack")
+    // the per-shard window partitions by shard; the summary window runs
+    // over one row per shard — the plan must contain exactly the two
+    assert("(?s)Window".r.findAllIn(p).size >= 2)
+    assert(p.contains("PartitionSpecification: \u005Bshard")
+      || p.contains("partitionBy=\u005Bshard")
+      || p.contains("[shard"), "the row-level window must partition by shard")
+  }
+
+  test("text_mix and text_length_outliers: per-stratum tables broadcast back") {
+    assert(plan("text_mix").contains("BroadcastHashJoin"))
+    assert(plan("text_length_outliers").contains("BroadcastHashJoin"))
+  }
 }
