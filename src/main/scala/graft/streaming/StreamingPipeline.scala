@@ -140,6 +140,25 @@ object StreamingPipeline {
       .drop("shs")
   }
 
+  /** Streaming mixture gate — the sampling half of the batch
+    * [[graft.ops.TextAnalysis.mixSample]] on a document stream: the
+    * per-language rates come from a profile of the STANDING corpus
+    * (rates are corpus statistics — a stream cannot know its own totals
+    * in advance), and the md5-bucket draw against rate·2³² is a
+    * stateless projection + filter, so the gate adds no state store.
+    * Unknown languages drop, matching the batch report's inner join.
+    */
+  def mixGateStream(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rateCol = rates.foldLeft(lit(Double.NaN)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("rate", rateCol)
+      .filter(!isnan(col("rate")) &&
+        bucket.cast("double") < col("rate") * lit(4294967296.0))
+  }
+
   /** Streaming sessionization — the stateful twin of the batch
     * lag+running-sum `Relational.userSessions`: `session_window` merges
     * events into per-user sessions that close after `gap` of silence,

@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("streaming mixture gate: corpus-profile rates filter the stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val rates = Map("en" -> 0.5, "de" -> 1.0)
+    val q = StreamingPipeline.mixGateStream(
+        in.toDF().toDF("doc_id", "text", "lang"), rates)
+      .writeStream.format("memory").queryName("mixgate")
+      .outputMode("append").start()
+    val rows = (0 until 40).map(i =>
+      (i.toLong, "w", if (i % 4 == 0) "de" else if (i % 4 == 1) "xx" else "en"))
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("mixgate").select("doc_id", "lang")
+      .as[(Long, String)].collect()
+    // rate-1.0 stratum passes whole; unknown langs drop; en subsets
+    assert(kept.count(_._2 == "de") == rows.count(_._3 == "de"))
+    assert(!kept.exists(_._2 == "xx"))
+    val en = rows.filter(_._3 == "en").map(_._1).toSet
+    val keptEn = kept.filter(_._2 == "en").map(_._1).toSet
+    assert(keptEn.subsetOf(en) && keptEn.size < en.size)
+    // the draw equals the batch gate on the same rows
+    val batch = StreamingPipeline.mixGateStream(
+        rows.toDF("doc_id", "text", "lang"), rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet == batch)
+  }
+
   test("streaming sessionization merges events within the gap and splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
