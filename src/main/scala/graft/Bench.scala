@@ -65,8 +65,11 @@ object Bench {
     // and the driver recorded "parsed": null — so per-query times are
     // rounded to 10 ms (run-to-run box noise is ±20%, far coarser) and the
     // constant fields are kept short.
+    // Locale.ROOT: a comma-decimal default locale would render 0,57 and
+    // break the JSON the whole exercise is about keeping parseable
     def sec(v: Double): String =
-      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case s => s
       }

@@ -307,7 +307,11 @@ object Relational {
             .filter(col("us") > col("prev_t") &&
               col("us") <= col("prev_t") + lit(FUNNEL_GAP_US))
         }
-        Some(gated.groupBy(col("user_id")).agg(min(col("us")).as("t")))
+        // each stage frame (one row per surviving user) fans into the
+        // next stage, its own count, and — for stage 1 — the conversion
+        // base; without a checkpoint every branch re-scans events
+        Some(gated.groupBy(col("user_id")).agg(min(col("us")).as("t"))
+          .localCheckpoint())
     }.flatten
     val first = broadcast(stages.head.agg(count(lit(1)).as("n1")))
     stages.zip(FUNNEL_STEPS).zipWithIndex.map { case ((df, step), i) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,22 @@ import graft.pipeline.Tables
   * aggregations — linear in corpus size, no driver-side state.
   */
 object TextAnalysis {
+
+  /** Per-document quality-gate threshold, shared by the corpus filter,
+    * the assembly pipeline, and the streaming gate — interpolated into
+    * the SQL oracles from this same constant so the engine and oracle
+    * can never drift apart.
+    */
+  val QUALITY_MIN = 0.45
+
+  /** The deterministic 32-bit sampling draw: md5(doc_id) first 8 hex
+    * chars as a long in [0, 2^32). Every sampler (hash sample, mixture,
+    * streaming gates) derives from this one definition; its DuckDB twin
+    * is `CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS
+    * BIGINT)`.
+    */
+  def md5Bucket(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Per-language character-trigram profiles — the head of each language's
     * most-frequent char-trigram list (Cavnar–Trenkle n-gram profiling).
@@ -507,8 +523,7 @@ object TextAnalysis {
     * bit-identical across engines.
     */
   def hashSample(docs: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(col("doc_id")) % 100
     docs.select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
       .filter(col("bucket") < SAMPLE_PCT)
   }
@@ -583,7 +598,7 @@ object TextAnalysis {
     val q = quality(docs)
     q.join(keep, Seq("doc_id"), "left_semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .filter(col("quality_score") >= 0.45)
+      .filter(col("quality_score") >= QUALITY_MIN)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
   }
@@ -620,7 +635,7 @@ object TextAnalysis {
        |FROM scored sc
        |WHERE sc.doc_id IN (SELECT doc_id FROM keep)
        |  AND sc.doc_id NOT IN (SELECT doc_id FROM losers)
-       |  AND sc.score >= 0.45
+       |  AND sc.score >= $QUALITY_MIN
        |GROUP BY 1, 2""".stripMargin
 
   val textFingerprintSql: String =
@@ -794,7 +809,7 @@ object TextAnalysis {
       .join(clean, Seq("doc_id"), "left_semi")
       .join(keep, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
-      .filter(col("quality_score") >= 0.45)
+      .filter(col("quality_score") >= QUALITY_MIN)
       .localCheckpoint()
     val bySrc = gated.groupBy(col("source"))
       .agg(round(avg(col("quality_score")), 6).as("avg_q"))
@@ -804,16 +819,10 @@ object TextAnalysis {
     val domained = gated.join(broadcast(goodSrc), Seq("source"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     val totals = domained.agg(sum(col("n_tokens")).as("corpus_tokens"))
-    val shares = docs.sparkSession.createDataFrame(MIX_SHARES).toDF("lang", "share")
-    val rates = domained.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
-      .join(broadcast(shares), Seq("lang"))
-      .crossJoin(broadcast(totals))
-      .withColumn("rate", least(lit(1.0),
-        round(col("share") * lit(MIX_BUDGET_FRAC) * col("corpus_tokens")
-          / col("lang_tokens"), 6)))
-      .select(col("lang"), col("rate"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val rates = mixRates(
+      domained.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens")),
+      totals).select(col("lang"), col("rate"))
+    val bucket = md5Bucket(col("doc_id"))
     // sampled feeds the pack geometry, whose within/prefix windows and
     // doc/sequence aggregates read it four times
     val sampled = domained.join(broadcast(rates), Seq("lang"))
@@ -879,7 +888,7 @@ object TextAnalysis {
        |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
        |    AND round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
        |              * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
-       |        >= 0.45),
+       |        >= $QUALITY_MIN),
        |bysrc AS (SELECT source, round(avg(quality_score), 6) AS avg_q FROM gated GROUP BY 1),
        |overallq AS (SELECT round(avg(quality_score), 6) AS corpus_avg FROM gated),
        |goodsrc AS (
@@ -987,15 +996,26 @@ object TextAnalysis {
     */
   def bpeTrain(docs: DataFrame, rounds: Int = BPE_TRAIN_ROUNDS): DataFrame = {
     val spark = docs.sparkSession
+    // Symbols are DOUBLE-pipe separated with double-pipe sentinels at
+    // both ends ("||l||o||w||"), and a merge of (a, b) replaces
+    // "|a||b|" with "|ab|". The surrounding single pipes make the
+    // pattern match only COMPLETE symbols — with single separators,
+    // replace("e|s") would also fire inside "we|s" (symbol "we" ends in
+    // 'e'), silently merging a pair that was never learned — and the
+    // doubling leaves adjacent occurrences ("||a||b||a||b||") nothing
+    // to share, so leftmost non-overlapping replace merges both, exactly
+    // like the sequential BPE scan.
     var cur = docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("enc", concat_ws("|", split(col("word"), "")))
+      .withColumn("enc",
+        concat(lit("||"), concat_ws("||", split(col("word"), "")), lit("||")))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 0 until rounds) {
       val best = cur
-        .select(col("freq"), split(col("enc"), "\\|").as("t"))
+        .select(col("freq"),
+          expr("filter(split(enc, '\\\\|\\\\|'), x -> x != '')").as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("freq"), explode(expr(
           """transform(sequence(1, size(t) - 1),
@@ -1006,11 +1026,12 @@ object TextAnalysis {
         .select(col("b.pair").as("pair"), (-col("b.nc")).as("cnt"))
         .collect()(0)
       val pair = best.getString(0)
-      val merged = pair.replace("|", "")
+      val Array(a, b) = pair.split("\\|", 2)
+      val merged = a + b
       merges += ((r.toLong, pair, merged, best.getLong(1)))
       cur = cur.withColumn("enc", regexp_replace(col("enc"),
-        lit(java.util.regex.Pattern.quote(pair)),
-        lit(java.util.regex.Matcher.quoteReplacement(merged))))
+        lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+        lit(java.util.regex.Matcher.quoteReplacement(s"|$merged|"))))
     }
     spark.createDataFrame(merges.result())
       .toDF("merge_round", "pair", "merged", "cnt")
@@ -1028,13 +1049,16 @@ object TextAnalysis {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
          |                        i -> toks[i] || '|' || toks[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(enc, '|') AS toks FROM wf$r))
+         |    FROM (SELECT freq,
+         |                 list_filter(string_split(enc, '||'), x -> x <> '') AS toks
+         |          FROM wf$r))
          |  GROUP BY 1),
          |best$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |wf${r + 1} AS (
          |  SELECT word, freq,
-         |         replace(enc, (SELECT pair FROM best$r),
-         |                 replace((SELECT pair FROM best$r), '|', '')) AS enc
+         |         replace(enc,
+         |                 '|' || replace((SELECT pair FROM best$r), '|', '||') || '|',
+         |                 '|' || replace((SELECT pair FROM best$r), '|', '') || '|') AS enc
          |  FROM wf$r)""".stripMargin
     }.mkString(",\n")
     val selects = (0 until BPE_TRAIN_ROUNDS).map { r =>
@@ -1043,7 +1067,7 @@ object TextAnalysis {
     }.mkString("\nUNION ALL\n")
     s"""WITH wf0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |         array_to_string(string_split(word, ''), '|') AS enc
+       |         '||' || array_to_string(string_split(word, ''), '||') || '||' AS enc
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
        |  GROUP BY 1),
        |$rounds
@@ -1059,6 +1083,23 @@ object TextAnalysis {
   val MIX_SHARES: Seq[(String, Double)] = Seq(
     "en" -> 0.3, "de" -> 0.3, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
   val MIX_BUDGET_FRAC = 0.5
+
+  /** (lang, rate, …) table shared by [[mixSample]] and
+    * [[corpusAssembly]]: rate = min(1, share·budget/stratum_tokens),
+    * round-pinned. `perLang` must carry (lang, lang_tokens); extra
+    * columns pass through.
+    */
+  private def mixRates(perLang: DataFrame, totals: DataFrame): DataFrame = {
+    val shares = perLang.sparkSession.createDataFrame(MIX_SHARES)
+      .toDF("lang", "share")
+    perLang
+      .join(broadcast(shares), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        round(col("share") * lit(MIX_BUDGET_FRAC) * col("corpus_tokens")
+          / col("lang_tokens"), 6)))
+      .drop("share", "corpus_tokens")
+  }
 
   /** Data-mixture sampling — the pretraining mixing step: given target
     * shares per language and a total token budget, compute each
@@ -1077,17 +1118,11 @@ object TextAnalysis {
   def mixSample(docs: DataFrame): DataFrame = {
     val perDoc = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").as("bucket"))
+      md5Bucket(col("doc_id")).as("bucket"))
     val totals = perDoc.agg(sum(col("n_tokens")).as("corpus_tokens"))
-    val shares = docs.sparkSession.createDataFrame(MIX_SHARES).toDF("lang", "share")
-    val rates = perDoc.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
-      .join(broadcast(shares), Seq("lang"))
-      .crossJoin(broadcast(totals))
-      .withColumn("rate", least(lit(1.0),
-        round(col("share") * lit(MIX_BUDGET_FRAC) * col("corpus_tokens")
-          / col("lang_tokens"), 6)))
+    val rates = mixRates(perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens")),
+      totals)
     val sampled = perDoc
       .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
       .filter(col("bucket").cast("double") < col("rate") * lit(4294967296.0))

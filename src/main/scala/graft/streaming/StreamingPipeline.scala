@@ -103,10 +103,10 @@ object StreamingPipeline {
     * documents whose quality score clears `minScore` AND whose md5 bucket
     * falls under `samplePct`.
     */
-  def corpusGateStream(docs: DataFrame, minScore: Double = 0.45,
+  def corpusGateStream(docs: DataFrame,
+      minScore: Double = graft.ops.TextAnalysis.QUALITY_MIN,
       samplePct: Int = 100): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = graft.ops.TextAnalysis.md5Bucket(col("doc_id")) % 100
     graft.ops.TextAnalysis.quality(docs)
       .filter(col("quality_score") >= minScore && bucket < samplePct)
   }
@@ -149,8 +149,7 @@ object StreamingPipeline {
     * Unknown languages drop, matching the batch report's inner join.
     */
   def mixGateStream(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val bucket = graft.ops.TextAnalysis.md5Bucket(col("doc_id"))
     val rateCol = rates.foldLeft(lit(Double.NaN)) { case (acc, (lang, r)) =>
       when(col("lang") === lang, lit(r)).otherwise(acc)
     }

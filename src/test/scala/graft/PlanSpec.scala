@@ -103,12 +103,13 @@ class PlanSpec extends SparkSpec {
 
   test("text_pack: both prefix windows are bounded, none over the raw corpus order") {
     val p = plan("text_pack")
-    // the per-shard window partitions by shard; the summary window runs
-    // over one row per shard — the plan must contain exactly the two
-    assert("(?s)Window".r.findAllIn(p).size >= 2)
-    assert(p.contains("PartitionSpecification: \u005Bshard")
-      || p.contains("partitionBy=\u005Bshard")
-      || p.contains("[shard"), "the row-level window must partition by shard")
+    // the row-level window must partition by shard (ordering by doc_id
+    // inside it); a regression to one global doc-ordered window would
+    // show a windowspecdefinition starting at doc_id instead
+    assert("windowspecdefinition\\(shard#\\d+L, doc_id".r.findFirstIn(p).isDefined,
+      "the row-level cumulative sum must run inside (shard) partitions")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isEmpty,
+      "no window may scan the corpus in global doc_id order")
   }
 
   test("text_mix and text_length_outliers: per-stratum tables broadcast back") {

@@ -268,6 +268,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(1) == ((1L, "l|o", "lo", 5L)))
   }
 
+  test("BPE merges fire only on whole symbols, never inside a merged one") {
+    // round 0 learns (w,e), round 1 learns (e,s). "wes" is then encoded
+    // (we, s): the (e,s) merge must NOT fire inside it — its 'e' belongs
+    // to the symbol "we" — leaving (we, s) as round 2's only pair. A
+    // boundary-blind replace would fuse "wes" into one symbol in round 1
+    // and round 2 would have nothing to learn.
+    val words = Seq.fill(10)("we") ++ Seq.fill(9)("es") ++ Seq("wes")
+    val docs = Seq((0L, words.mkString(" "), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, "w|e", "we", 11L)))
+    // 9, not 10: "wes" became (we, s) in round 0, so its former (e,s)
+    // adjacency no longer exists — only the nine "es" words count
+    assert(got(1) == ((1L, "e|s", "es", 9L)))
+    assert(got(2) == ((2L, "we|s", "wes", 1L)))
+  }
+
   test("windowed funnel gates each step on order and the max gap") {
     import java.sql.Timestamp
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
