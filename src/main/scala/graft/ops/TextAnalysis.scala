@@ -202,21 +202,25 @@ object TextAnalysis {
     "q" -> "u", "d" -> "e", "s" -> "e", "l" -> "a", "h" -> "e")
 
   /** SQL expression counting the BPE tokens of a word column: the word is
-    * encoded as `|`-delimited symbols (`|c|a|t|`), each merge rule rewrites
-    * `|x|y|` → `|xy|` in one left-to-right non-overlapping replace pass
-    * (identical replace semantics in Spark and DuckDB; the delimiters make
-    * symbol boundaries unambiguous, so a merged `|aa|` can never be
-    * re-read as `|a|a|`), and the token count is #delimiters − 1.
-    * `duck` switches the regexp_replace capture-group syntax ($1 vs \1).
+    * encoded as DOUBLE-pipe-delimited symbols (`||c||a||t||`), each merge
+    * rule rewrites `|x||y|` → `|xy|` in one left-to-right non-overlapping
+    * replace pass (identical replace semantics in Spark and DuckDB). The
+    * surrounding pipes make the pattern match only complete symbols, and
+    * the DOUBLING leaves immediately repeated occurrences nothing to
+    * share — with single delimiters, `|a|b|a|b|` merges only the first
+    * `(a,b)` because the second starts on the consumed middle pipe (the
+    * same encoding the trainer uses). Token count: pipes = 2·(symbols+1).
+    * `duck` switches capture-group syntax and integer-division spelling.
     */
   private def bpeCountSql(wordExpr: String, duck: Boolean): String = {
     val interspersed =
-      if (duck) s"'|' || regexp_replace($wordExpr, '(.)', '\\1|', 'g')"
-      else s"'|' || regexp_replace($wordExpr, '(.)', '$$1|')"
+      if (duck) s"'||' || regexp_replace($wordExpr, '(.)', '\\1||', 'g')"
+      else s"'||' || regexp_replace($wordExpr, '(.)', '$$1||')"
     val chain = BPE_MERGES.foldLeft(interspersed) { case (acc, (x, y)) =>
-      s"replace($acc, '|$x|$y|', '|$x$y|')"
+      s"replace($acc, '|$x||$y|', '|$x$y|')"
     }
-    s"(length($chain) - length(replace($chain, '|', ''))) - 1"
+    val pipes = s"(length($chain) - length(replace($chain, '|', '')))"
+    if (duck) s"($pipes // 2 - 1)" else s"($pipes DIV 2 - 1)"
   }
 
   /** Real BPE token accounting per (lang, source): greedy merge-table

@@ -56,6 +56,16 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r == ((3L, 2L + 4L + 3L)))
   }
 
+  test("bpe tokenizer: immediately repeated pairs both merge (doubled delimiters)") {
+    // "anan" under the (a,n) merge is [an, an] = 2 tokens; the old
+    // single-delimiter encoding consumed the shared middle pipe and
+    // left [an, a, n] = 3
+    val d = docs((1L, "anan", "en", "s"))
+    val r = TextAnalysis.bpeTokenStats(d)
+      .select("bpe_tokens").as[Long].collect().head
+    assert(r == 2L)
+  }
+
   test("unigram logprob: rarer tokens score higher surprise") {
     // corpus: tokens a a b c -> p(a)=1/2, p(b)=p(c)=1/4
     val d = docs((1L, "a a b", "en", "s"), (2L, "c", "en", "s"))
