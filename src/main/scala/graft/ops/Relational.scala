@@ -319,7 +319,11 @@ object Relational {
         .crossJoin(first)
         .select(lit((i + 1).toLong).as("stage"), lit(step).as("step"),
           col("n_users"),
-          round(col("n_users").cast("double") / col("n1").cast("double"), 6)
+          // nullif guard: with zero stage-1 users Spark's non-ANSI
+          // division returns NULL but DuckDB's IEEE division gives
+          // NaN/inf — pin both engines to NULL
+          round(col("n_users").cast("double") /
+              nullif(col("n1"), lit(0)).cast("double"), 6)
             .as("rate_from_first"))
     }.reduce(_.unionByName(_))
   }
@@ -342,7 +346,7 @@ object Relational {
       .mkString(",\n")
     val selects = FUNNEL_STEPS.zipWithIndex.map { case (step, i) =>
       s"""SELECT CAST(${i + 1} AS BIGINT) AS stage, '$step' AS step, a.n AS n_users,
-         |       round(CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate_from_first
+         |       round(CAST(a.n AS DOUBLE) / CAST(nullif(b.n, 0) AS DOUBLE), 6) AS rate_from_first
          |FROM n${i + 1} a CROSS JOIN n1 b""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

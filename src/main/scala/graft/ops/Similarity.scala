@@ -930,7 +930,6 @@ object Similarity {
   }
 
   val simsearchRecallDimSql: String = {
-    val denom = N_QUERIES * IVF_TOP_K
     // one top-k pair-set CTE chain per width: norms and dots over the
     // first-d-components prefix of the unnested vectors
     def topkBlock(name: String, normFilter: String, dotFilter: String): String =
@@ -956,7 +955,8 @@ object Similarity {
     }.mkString(",\n")
     val selects = RECALL_DIMS.map { d =>
       s"""SELECT CAST($d AS BIGINT) AS dim, n_hits,
-         |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+         |       round(CAST(n_hits AS DOUBLE)
+         |             / (SELECT CAST(count(*) AS DOUBLE) FROM bf), 6) AS recall_at_k
          |FROM h$d""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${UNNEST_CTE},

@@ -1009,11 +1009,19 @@ object TextAnalysis {
     // doubling leaves adjacent occurrences ("||a||b||a||b||") nothing
     // to share, so leftmost non-overlapping replace merges both, exactly
     // like the sequential BPE scan.
+    // Words containing a literal '|' would be indistinguishable from the
+    // delimiters (and the oracle's replace(pair,'|','||') mangles them
+    // differently) — exclude them on BOTH sides rather than drift.
+    // split(word, "") keeps a trailing "" (Java split limit -1); build
+    // enc from the nonempty symbols only, like the oracle's string_split.
     var cur = docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(!col("word").contains("|"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("enc",
-        concat(lit("||"), concat_ws("||", split(col("word"), "")), lit("||")))
+        concat(lit("||"),
+          concat_ws("||", expr("filter(split(word, ''), x -> x != '')")),
+          lit("||")))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 0 until rounds) {
@@ -1073,6 +1081,7 @@ object TextAnalysis {
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |         '||' || array_to_string(string_split(word, ''), '||') || '||' AS enc
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+       |  WHERE word NOT LIKE '%|%'
        |  GROUP BY 1),
        |$rounds
        |$selects""".stripMargin
