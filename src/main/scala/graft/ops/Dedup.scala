@@ -596,12 +596,15 @@ object Dedup {
     * shuffles on anyway.
     */
   private def cappedSpanHashes(docs: DataFrame): DataFrame = {
-    val spans = spanHashes(docs)
+    // the span stream feeds both the DF count and the index join, and the
+    // capped index feeds both sides of the pair self-join — without
+    // operator-owned storage each consumer re-runs the explode upstream
+    val spans = spanHashes(docs).localCheckpoint()
     val rare = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPAN_DF_CAP)
       .select(col("h"))
-    spans.join(rare, Seq("h"))
+    spans.join(rare, Seq("h")).localCheckpoint()
   }
 
   def substringSpanPairs(docs: DataFrame): DataFrame = {
@@ -659,9 +662,11 @@ object Dedup {
            |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
           .stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .localCheckpoint() // fans into the DF count and the index join
     val rare = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPAN_DF_CAP).select(col("h"))
-    val kept = pos.join(rare, Seq("h"))
+    // both sides of the position self-join scan this frame
+    val kept = pos.join(rare, Seq("h")).localCheckpoint()
     val a = kept.select(col("h"), col("doc_id").as("d1"), col("i"))
     val b = kept.select(col("h"), col("doc_id").as("d2"), col("i").as("j"))
     // for a fixed diagonal each left position matches at most one right
@@ -733,6 +738,9 @@ object Dedup {
     * [[embeddingClusters]].
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // the union scans `pairs` twice, but its exchanges canonicalize
+    // identically so ReusedExchange dedups the pair chain — measured
+    // FASTER than an extra pre-union localCheckpoint barrier
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
@@ -906,10 +914,12 @@ object Dedup {
     * the same document-frequency cap bounds boilerplate fingerprints.
     */
   def winnowPairs(docs: DataFrame): DataFrame = {
-    val fps = winnowFingerprints(docs)
+    // same fan-out shape as the span index: fingerprints feed the DF
+    // count and the join; the capped index feeds both self-join sides
+    val fps = winnowFingerprints(docs).localCheckpoint()
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPAN_DF_CAP).select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"))
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint()
     val a = kept.select(col("fp"), col("doc_id").as("d1"))
     val b = kept.select(col("fp"), col("doc_id").as("d2"))
     a.join(b, Seq("fp"))

@@ -83,8 +83,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_winnow: kernel-built fingerprints, no cross/nested-loop join") {
+    // the pair query checkpoints the fingerprint frame (fans into the DF
+    // count and both self-join sides), which hides the kernel behind an
+    // ExistingRDD scan — assert the kernel on the generator's own plan
+    val fps = ops.Dedup.winnowFingerprints(
+        pipeline.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fps.contains("winnow_fps"), "fingerprints must come from the single-pass kernel")
     val p = plan("dedup_winnow")
-    assert(p.contains("winnow_fps"), "fingerprints must come from the single-pass kernel")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
