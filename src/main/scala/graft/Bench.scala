@@ -67,8 +67,10 @@ object Bench {
     // constant fields are kept short.
     // Locale.ROOT: a comma-decimal default locale would render 0,57 and
     // break the JSON the whole exercise is about keeping parseable
+    // 0.1 s per-query precision: at ~80 queries the 10 ms line overflows
+    // the harness's 2000-char tail; box noise (±20%) dwarfs 100 ms anyway
     def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case s => s

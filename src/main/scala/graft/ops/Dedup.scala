@@ -426,6 +426,153 @@ object Dedup {
        |JOIN sz s2 ON i.d2 = s2.doc_id
        |WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD""".stripMargin
 
+  /** LSH retrieval quality, MEASURED: precision and recall of the MinHash
+    * band-bucket candidate set against the exact-Jaccard truth pairs —
+    * the dedup twin of the ANN recall queries. A banded-LSH deployment is
+    * a (bands × rows) operating point on a precision/recall curve; this
+    * query turns that claim into one checkable row instead of a shape
+    * argument. Truth = exact verified pairs at [[JACCARD_THRESHOLD]] over
+    * the exact-dedup representative set (the same view the candidate
+    * generator runs on); candidates = pairs agreeing on ≥1 band. Both
+    * sides are bucket/prefix-bounded plans — nothing here is quadratic.
+    */
+  def lshQuality(docs: DataFrame): DataFrame = {
+    val truth = ngramJaccardPairs(exactReps(docs))
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val cand = minhashPairs(docs)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nHit = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    // three 1-row aggregates — the singleton cross join is broadcast-sized
+    nCand.crossJoin(nTruth).crossJoin(nHit)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          nullif(col("n_candidates"), lit(0L)).cast("double"), 6).as("precision_lsh"),
+        round(col("n_hits").cast("double") /
+          nullif(col("n_truth"), lit(0L)).cast("double"), 6).as("recall_lsh"))
+  }
+
+  def dedupLshQuality(spark: SparkSession, sfDir: String): DataFrame =
+    lshQuality(Tables.documents(spark, sfDir))
+
+  /** Exact-Jaccard truth CTEs over the keep set: `shk` (keep-filtered
+    * shingles), `szs`, `inter`, `truth` (pairs ≥ threshold).
+    */
+  private val TRUTH_CTES: String =
+    s"""shk AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM keep)),
+       |szs AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM shk x JOIN shk y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN szs s1 ON i.d1 = s1.doc_id JOIN szs s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD)"""
+      .stripMargin
+
+  val dedupLshQualitySql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |$KEEP_CTE,
+       |${minhashBucketCtes("\n  WHERE doc_id IN (SELECT doc_id FROM keep)")},
+       |cand AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM buckets x
+       |  JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |               AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |$TRUTH_CTES,
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |nh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2)
+       |SELECT n_candidates, n_truth, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_candidates, 0) AS DOUBLE), 6)
+       |         AS precision_lsh,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_truth, 0) AS DOUBLE), 6)
+       |         AS recall_lsh
+       |FROM nc, nt, nh""".stripMargin
+
+  /** MinHash ESTIMATION accuracy, measured per candidate pair: the
+    * sketch's Jaccard estimate (agreeing signature positions /
+    * [[NUM_HASHES]]) against the exact verified Jaccard, with the
+    * absolute error — how good the 12-permutation sketch actually is,
+    * not just whether its buckets retrieve. The verification join is
+    * bounded by the candidate set (already bucket-bounded); signature
+    * agreement is an array-side zip over the two 12-long signatures.
+    */
+  def minhashEstimates(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    val payload = exactReps(docs)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr(s"minhash_sig(toks, $NUM_HASHES)").as("sig"),
+        expr("shingle_hashes(toks)").as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .localCheckpoint() // both pair sides read it
+    val s1 = payload.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+      col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = payload.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+      col("shs").as("shs2"), col("n").as("n2"))
+    val est = round(col("n_agree").cast("double") / NUM_HASHES, 6)
+    val exact = round(col("c").cast("double") /
+      (col("n1") + col("n2") - col("c")).cast("double"), 6)
+    minhashPairs(docs)
+      .join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))").cast("long"))
+      .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
+      .select(col("d1"), col("d2"), col("n_bands"), col("n_agree"),
+        est.as("est_jaccard"), exact.as("jaccard"),
+        round(abs(est - exact), 6).as("abs_err"))
+  }
+
+  def dedupMinhashEst(spark: SparkSession, sfDir: String): DataFrame =
+    minhashEstimates(Tables.documents(spark, sfDir))
+
+  private val AGREE_SQL: String = (0 until NUM_HASHES)
+    .map(h => s"(CASE WHEN a.mh$h = b.mh$h THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  val dedupMinhashEstSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |$KEEP_CTE,
+       |${minhashBucketCtes("\n  WHERE doc_id IN (SELECT doc_id FROM keep)")},
+       |cand AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       |  FROM buckets x
+       |  JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |               AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |shk AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM keep)),
+       |szs AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM shk x JOIN shk y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT cd.d1, cd.d2, cd.n_bands,
+       |       CAST($AGREE_SQL AS BIGINT) AS n_agree,
+       |       round(CAST($AGREE_SQL AS DOUBLE) / $NUM_HASHES, 6) AS est_jaccard,
+       |       round(CAST(coalesce(i.c, 0) AS DOUBLE)
+       |             / CAST(s1.n + s2.n - coalesce(i.c, 0) AS DOUBLE), 6) AS jaccard,
+       |       round(abs(round(CAST($AGREE_SQL AS DOUBLE) / $NUM_HASHES, 6)
+       |                 - round(CAST(coalesce(i.c, 0) AS DOUBLE)
+       |                         / CAST(s1.n + s2.n - coalesce(i.c, 0) AS DOUBLE), 6)), 6)
+       |         AS abs_err
+       |FROM cand cd
+       |JOIN sig a ON cd.d1 = a.doc_id
+       |JOIN sig b ON cd.d2 = b.doc_id
+       |JOIN szs s1 ON cd.d1 = s1.doc_id
+       |JOIN szs s2 ON cd.d2 = s2.doc_id
+       |LEFT JOIN inter i ON cd.d1 = i.d1 AND cd.d2 = i.d2""".stripMargin
+
   /** Hyperplane-LSH geometry for embedding near-dup. Each of
     * [[HYP_TABLES]] hash tables assigns a vector a [[HYP_BITS]]-bit bucket:
     * bit i is the sign of the projection onto a fixed Rademacher (±1

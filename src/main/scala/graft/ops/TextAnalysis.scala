@@ -976,6 +976,110 @@ object TextAnalysis {
        |        OR CAST(p.n_tokens AS DOUBLE) > b.p95) AS outlier
        |FROM pd p JOIN bounds b ON p.source = b.source""".stripMargin
 
+  /** Domain-shift scoring per source: cross-entropy and KL divergence of
+    * each source's unigram distribution against the whole-corpus LM — the
+    * signal behind domain up/down-weighting (DoReMi-style mixture tuning)
+    * and drift alarms on a recurring crawl: a source whose KL jumps
+    * changed its content mix. Three hash aggregations, all keyed no wider
+    * than (source, token); the global distribution is vocabulary-sized
+    * and broadcasts. Terms with zero source count contribute zero to both
+    * sums, so summing over present (source, token) rows is exact.
+    */
+  def domainShift(docs: DataFrame): DataFrame = {
+    val srcCnt = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint() // feeds the per-source, global, and scoring plans
+    val srcTot = srcCnt.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val glob = srcCnt.groupBy(col("tok")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = glob.agg(sum(col("c_w")).as("total"))
+    val pg = glob.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (col("c_w").cast("double") / col("total").cast("double")).as("pg"))
+    val ps = col("c_sw").cast("double") / col("n_s").cast("double")
+    srcCnt
+      .join(broadcast(pg), Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(min(col("n_s")).cast("long").as("n_tokens"),
+        round(sum(-ps * log(col("pg"))), 6).as("cross_entropy"),
+        round(sum(ps * log(ps / col("pg"))), 6).as("kl_divergence"))
+  }
+
+  def textDomainShift(spark: SparkSession, sfDir: String): DataFrame =
+    domainShift(Tables.documents(spark, sfDir))
+
+  val textDomainShiftSql: String =
+    """WITH stok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_sw FROM stok GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+      |g AS (SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sc GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_w) AS BIGINT) AS total FROM g),
+      |p AS (SELECT tok, CAST(c_w AS DOUBLE) / CAST(t.total AS DOUBLE) AS pg FROM g, t)
+      |SELECT sc.source, CAST(min(st.n_s) AS BIGINT) AS n_tokens,
+      |       round(sum(-(CAST(sc.c_sw AS DOUBLE) / CAST(st.n_s AS DOUBLE)) * ln(p.pg)), 6)
+      |         AS cross_entropy,
+      |       round(sum((CAST(sc.c_sw AS DOUBLE) / CAST(st.n_s AS DOUBLE))
+      |                 * ln((CAST(sc.c_sw AS DOUBLE) / CAST(st.n_s AS DOUBLE)) / p.pg)), 6)
+      |         AS kl_divergence
+      |FROM sc
+      |JOIN st ON sc.source = st.source
+      |JOIN p ON sc.tok = p.tok
+      |GROUP BY 1""".stripMargin
+
+  /** CCNet-style perplexity bucketing: per language, documents split into
+    * head / middle / tail by their LM score terciles (here the corpus
+    * unigram LM of [[unigramLogprob]]; CCNet uses a wiki-trained KenLM —
+    * same shape, different reference model). Downstream pipelines keep
+    * head+middle or reweight by bucket. Terciles are exact type-7
+    * percentiles per language — a |languages|-row aggregate broadcast
+    * back — and the bucket label is a stateless comparison against the
+    * round-pinned bounds, so both engines label identically.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint() // feeds the tercile agg and the labeling join
+    val bounds = scored.groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(avg_neg_logprob, CAST(1 AS DOUBLE)/3)"), 6).as("b1"),
+        round(expr("percentile(avg_neg_logprob, CAST(2 AS DOUBLE)/3)"), 6).as("b2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_neg_logprob"),
+        when(col("avg_neg_logprob") <= col("b1"), lit("head"))
+          .when(col("avg_neg_logprob") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  def textPplBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    pplBuckets(Tables.documents(spark, sfDir))
+
+  val textPplBucketsSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |freqs AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freqs),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         round(avg(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))), 6)
+       |           AS avg_neg_logprob
+       |  FROM tok t JOIN freqs f ON t.tok = f.tok, tot
+       |  GROUP BY 1),
+       |sl AS (
+       |  SELECT s.doc_id, d.lang, s.avg_neg_logprob
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT lang,
+       |         round(quantile_cont(avg_neg_logprob, CAST(1 AS DOUBLE)/3), 6) AS b1,
+       |         round(quantile_cont(avg_neg_logprob, CAST(2 AS DOUBLE)/3), 6) AS b2
+       |  FROM sl GROUP BY 1)
+       |SELECT sl.doc_id, sl.lang, sl.avg_neg_logprob,
+       |       CASE WHEN sl.avg_neg_logprob <= b.b1 THEN 'head'
+       |            WHEN sl.avg_neg_logprob <= b.b2 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM sl JOIN b ON sl.lang = b.lang""".stripMargin
+
   /** Merge rounds for [[bpeTrain]]. */
   val BPE_TRAIN_ROUNDS = 6
 

@@ -213,4 +213,36 @@ class DedupSpec extends SparkSpec {
     assert(got(0L) == ((0L, 1L, 1.0, 2L)))
     assert(got(2L)._2 == 2L && got(2L)._4 == 1L)
   }
+
+  test("lsh quality: planted near-dup lands in candidates, truth, and hits") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(
+      1L -> base,
+      2L -> nearDup,
+      3L -> "dup big small fast slow the a customer data order sort key line")
+    val row = Dedup.lshQuality(d).collect().head
+    val (nc, nt, nh) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // only (1,2) clears the exact-jaccard bar, the LSH bands retrieve it,
+    // and the unrelated doc contributes no false candidate
+    assert(nt == 1L && nc == 1L && nh == 1L)
+    assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 1.0)
+  }
+
+  test("minhash estimate: per-pair agreement fraction tracks the exact jaccard") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(1L -> base, 2L -> nearDup)
+    val rows = Dedup.minhashEstimates(d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    val nAgree = r.getLong(3)
+    val est = r.getDouble(4)
+    val j = r.getDouble(5)
+    val err = r.getDouble(6)
+    // 20 words, 1 edit: 15 of 21 distinct shingles shared
+    assert(j == 0.714286)
+    assert(math.abs(est - nAgree.toDouble / Dedup.NUM_HASHES) < 1e-6)
+    assert(math.abs(err - math.abs(est - j)) < 1.1e-6)
+    assert(nAgree >= 1 && nAgree <= Dedup.NUM_HASHES)
+  }
 }

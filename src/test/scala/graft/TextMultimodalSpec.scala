@@ -327,4 +327,45 @@ class TextMultimodalSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 4L, 1L),
       ("2024-01-02", 0L, 1L)))
   }
+
+  test("domain shift: uniform sources have zero KL; a skewed source is positive") {
+    val even = docs(
+      (1L, "alpha beta gamma", "en", "A"),
+      (2L, "alpha beta gamma", "en", "A"),
+      (3L, "alpha beta gamma", "en", "B"))
+    val m1 = TextAnalysis.domainShift(even)
+      .as[(String, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    // every source matches the corpus distribution exactly: KL = 0 and
+    // cross-entropy = corpus entropy = ln 3
+    assert(m1("A") == (("A", 6L, 1.098612, 0.0)))
+    assert(m1("B") == (("B", 3L, 1.098612, 0.0)))
+    val skew = docs(
+      (1L, "alpha beta gamma", "en", "A"),
+      (2L, "alpha beta gamma", "en", "A"),
+      (3L, "alpha alpha alpha", "en", "C"))
+    val m2 = TextAnalysis.domainShift(skew)
+      .as[(String, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(m2("C")._4 > m2("A")._4 && m2("A")._4 > 0.0)
+    // Gibbs: cross-entropy under the corpus LM is never below the
+    // source's own entropy, with equality only at KL = 0
+    assert(m2("C")._3 > 0.0 && m2("C")._4 > 0.0)
+  }
+
+  test("ppl buckets: terciles partition each language and order by score") {
+    val out = TextAnalysis.textPplBuckets(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, String)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), lang)
+      assert(byBucket.values.map(_.size).sum == rows.length, lang)
+      // labels must respect the score order: head <= middle <= tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, s"$lang head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max < t.min, s"$lang middle/tail overlap")
+    }
+  }
 }
