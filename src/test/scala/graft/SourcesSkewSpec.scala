@@ -43,6 +43,42 @@ class SourcesSkewSpec extends SparkSpec {
     assert(got == Seq(("polkadot", 123.5)))
   }
 
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): graft.sources.HistoryScan = {
+    df.count() // force planning through AQE
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.HistoryScan]
+    }.getOrElse(fail("no BatchScanExec in the executed plan"))
+  }
+
+  test("history DSv2: same rows as the declared-schema reader; one partition per file") {
+    val dir = Files.createTempDirectory("graft-v2")
+    Files.writeString(dir.resolve("a.json"),
+      """{"id":"polkadot","date":"5-1-2024","market_data":{"current_price":{"usd":7.25}}}""")
+    Files.writeString(dir.resolve("b.json"),
+      """{"id":"kusama","date":"15-1-2024","market_data":{"current_price":{"usd":31.5}}}""")
+    val v2 = spark.read.format("graft-history").load(dir.toString)
+    val got = v2.select(col("coin"), col("price_date").cast("string"), col("price"))
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("polkadot", "2024-01-05", 7.25), ("kusama", "2024-01-15", 31.5)))
+    assert(v2.rdd.getNumPartitions == 2, "one input partition per snapshot file")
+  }
+
+  test("history DSv2: column pruning and coin filter reach the scan") {
+    val p = writeLines("hist.json",
+      """{"id":"polkadot","date":"5-1-2024","market_data":{"current_price":{"usd":7.25}}}""",
+      """{"id":"kusama","date":"15-1-2024","market_data":{"current_price":{"usd":31.5}}}""")
+    val pruned = v2Scan(spark.read.format("graft-history").load(p).select("price"))
+    assert(pruned.readSchema().fieldNames.toSeq == Seq("price"),
+      "projection must prune to the selected column at the reader")
+    val filtered = spark.read.format("graft-history").load(p)
+      .where(col("coin") === "polkadot")
+    assert(v2Scan(filtered).coins.contains(Set("polkadot")),
+      "coin equality must push into the partition reader")
+    assert(filtered.select("coin", "price").as[(String, Double)].collect().toSeq ==
+      Seq(("polkadot", 7.25)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "hot" else s"k$i", i * 1.5))
       .toDF("id", "key", "v")
