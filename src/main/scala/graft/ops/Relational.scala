@@ -384,4 +384,64 @@ object Relational {
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM byday b JOIN coh c ON b.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** Daily-volume anomaly detection per event type — the monitoring query
+    * a metrics pipeline runs after each load: flag days whose event count
+    * sits more than 2σ from the type's own mean. The variance derives
+    * from EXACT integer sums (n, Σx, Σx²) rather than a float `stddev`
+    * aggregate, so there is no accumulation-order hazard anywhere: both
+    * engines evaluate the identical closed-form expression over identical
+    * integers. (Σx² fits BIGINT while daily counts stay < 3e9 — beyond
+    * that, swap the daily grain for an hourly one long before the square
+    * overflows.) Two hash aggregations; the per-type stats broadcast.
+    */
+  def eventAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n_events")).cast("long").as("s"),
+        sum(col("n_events") * col("n_events")).cast("long").as("q"))
+    val nd = col("n_days").cast("double")
+    val mean = col("s").cast("double") / nd
+    // sample variance from exact sums; clamp the tiny negative a float
+    // subtraction can leave, and nullif the σ=0 divisor (constant series
+    // have no z-score — NULL in both engines, never an IEEE infinity)
+    val variance = greatest(
+      (col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / nd)
+        / (nd - 1.0), lit(0.0))
+    val z = round((col("n_events").cast("double") - mean) /
+      nullif(sqrt(variance), lit(0.0)), 6)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n_days") > 1)
+      .withColumn("z_score", z)
+      .select(col("event_type"), col("d").cast("string").as("day"),
+        col("n_events"), col("z_score"),
+        (abs(col("z_score")) > 2.0).as("is_anomaly"))
+  }
+
+  def eventAnomalyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    eventAnomaly(Tables.events(spark, sfDir))
+
+  val eventAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(n_events) AS BIGINT) AS s,
+      |         CAST(sum(n_events * n_events) AS BIGINT) AS q
+      |  FROM daily GROUP BY 1),
+      |sc AS (
+      |  SELECT d.event_type, CAST(d.d AS VARCHAR) AS day, d.n_events,
+      |         round((CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n_days AS DOUBLE))
+      |               / nullif(sqrt(greatest(
+      |                   (CAST(st.q AS DOUBLE)
+      |                    - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / CAST(st.n_days AS DOUBLE))
+      |                   / (CAST(st.n_days AS DOUBLE) - 1.0), 0.0)), 0.0), 6) AS z_score
+      |  FROM daily d JOIN st ON d.event_type = st.event_type
+      |  WHERE st.n_days > 1)
+      |SELECT event_type, day, n_events, z_score, abs(z_score) > 2.0 AS is_anomaly
+      |FROM sc""".stripMargin
 }

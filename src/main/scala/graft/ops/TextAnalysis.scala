@@ -1328,4 +1328,58 @@ object TextAnalysis {
        |SELECT b.source, b.n_docs, b.total_tokens, b.avg_quality, o.corpus_avg,
        |       b.avg_quality >= o.corpus_avg AS keep
        |FROM bysrc b CROSS JOIN overall o""".stripMargin
+
+  /** The one-row corpus report card — the number a data lead reads after
+    * every load: corpus size and slice counts, token volume, exact-dup
+    * water level, PII incidence, and mean quality. Everything is a single
+    * pass over documents plus three 1-row aggregates cross-joined
+    * (broadcast-sized); dup/near-dup PROFILES stay in their own queries —
+    * this is the cheap always-on summary, not the pair index.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val base = quality(docs).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(col("source")).cast("long").as("n_sources"),
+      countDistinct(col("lang")).cast("long").as("n_langs"),
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      round(avg(col("n_tokens")), 6).as("mean_doc_tokens"),
+      round(avg(col("quality_score")), 6).as("mean_quality"))
+    val dups = Dedup.exactGroups(docs).agg(
+      sum(when(col("dup_count") > 1, 1L).otherwise(0L)).cast("long")
+        .as("exact_dup_groups"),
+      sum(col("dup_count") - 1).cast("long").as("exact_dup_docs"))
+    val pii = piiScrub(docs).agg(
+      sum(when(col("n_emails") + col("n_long_numbers") > 0, 1L).otherwise(0L))
+        .cast("long").as("pii_docs"))
+    base.crossJoin(dups).crossJoin(pii)
+  }
+
+  def textCorpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    corpusReport(Tables.documents(spark, sfDir))
+
+  val textCorpusReportSql: String =
+    s"""WITH q AS ($textQualitySql),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         round(avg(n_tokens), 6) AS mean_doc_tokens,
+       |         round(avg(quality_score), 6) AS mean_quality
+       |  FROM q),
+       |g AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       |             count(*) AS c
+       |      FROM documents GROUP BY 1),
+       |dups AS (
+       |  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_groups,
+       |         CAST(sum(c - 1) AS BIGINT) AS exact_dup_docs
+       |  FROM g),
+       |p AS ($textPiiScrubSql),
+       |pii AS (
+       |  SELECT CAST(sum(CASE WHEN n_emails + n_long_numbers > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS pii_docs
+       |  FROM p)
+       |SELECT b.n_docs, b.n_sources, b.n_langs, b.total_tokens, b.mean_doc_tokens,
+       |       b.mean_quality, d.exact_dup_groups, d.exact_dup_docs, i.pii_docs
+       |FROM base b CROSS JOIN dups d CROSS JOIN pii i""".stripMargin
 }

@@ -328,6 +328,44 @@ class TextMultimodalSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))
   }
 
+  test("event anomaly: a planted spike day flags, constant series yields NULL z") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // type A: nine 1-event days + one 11-event day -> spike z = 2.85
+    val a = (1 to 9).map(d => ("a", t(d))) ++ (1 to 11).map(_ => ("a", t(10)))
+    // type B: constant 2 events/day -> sigma 0 -> z NULL, flag NULL
+    val b = (1 to 3).flatMap(d => Seq(("b", t(d)), ("b", t(d))))
+    // type C: a single day -> excluded (no variance to speak of)
+    val ev = (a ++ b ++ Seq(("c", t(1)))).toDF("event_type", "ts")
+    val got = Relational.eventAnomaly(ev)
+      .as[(String, String, Long, Option[Double], Option[Boolean])].collect()
+    val byKey = got.map(r => (r._1, r._2) -> r).toMap
+    assert(!got.exists(_._1 == "c"))
+    assert(byKey(("a", "2024-01-10"))._5.contains(true))
+    assert(byKey(("a", "2024-01-10"))._4.exists(z => math.abs(z - 2.84605) < 1e-4))
+    assert(got.filter(_._1 == "a").count(_._5.contains(true)) == 1)
+    got.filter(_._1 == "b").foreach { r =>
+      assert(r._4.isEmpty && r._5.isEmpty, "constant series must have NULL z/flag")
+    }
+  }
+
+  test("corpus report: one row with exact planted counts") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "en", "s1"),
+      (2L, "  ALPHA beta   gamma delta ", "en", "s1"), // exact dup after normalization
+      (3L, "contact me at bob@example.com for details", "en", "s2"),
+      (4L, "numero de cuenta 123456789 aqui", "es", "s2"),
+      (5L, "plain short text", "fr", "s3"))
+    val r = TextAnalysis.corpusReport(d).collect().head
+    assert(r.getLong(0) == 5L) // n_docs
+    assert(r.getLong(1) == 3L) // n_sources
+    assert(r.getLong(2) == 3L) // n_langs
+    assert(r.getLong(6) == 1L) // exact_dup_groups: docs 1+2
+    assert(r.getLong(7) == 1L) // exact_dup_docs: one removable copy
+    assert(r.getLong(8) == 2L) // pii_docs: the email and the long number
+    assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1) // mean_quality
+  }
+
   test("domain shift: uniform sources have zero KL; a skewed source is positive") {
     val even = docs(
       (1L, "alpha beta gamma", "en", "A"),
