@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,11 +84,16 @@ private[graft] class HistoryTable(files: Seq[String]) extends Table with Support
   override def name(): String = s"graft-history(${files.mkString(",")})"
   override def schema(): StructType = HistoryV2Source.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HistoryScanBuilder(files)
 }
 
+/** Builder state: the table's option-time file list is re-resolved per
+  * stream trigger via the parent directories, so a snapshot directory
+  * gains streaming semantics — each newly landed file becomes part of the
+  * next micro-batch.
+  */
 private[graft] class HistoryScanBuilder(files: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -140,6 +146,70 @@ private[graft] case class HistoryScan(files: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     HistoryReaderFactory(required.fieldNames, coins)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HistoryMicroBatchStream(files, required.fieldNames, coins)
+}
+
+/** File-position offsets over an append-only snapshot directory: the
+  * offset is "how many files (in lexicographic path order) have been
+  * consumed", so each micro-batch is exactly the files that landed since
+  * the last committed batch — the same contract as Spark's own FileStream
+  * source, with the connector's pruning and coin pushdown still applied
+  * inside each batch's readers. Exactly-once riding on the offset log:
+  * a restarted query replans from the committed file position. Files must
+  * be append-only (snapshots are); rewrites are a new path.
+  */
+private[graft] class HistoryMicroBatchStream(initialFiles: Seq[String],
+    fields: Array[String], coins: Option[Set[String]])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // the directories (and any explicit files) this table was created over;
+  // re-listing them per trigger is what turns the snapshot dir into a stream
+  private val dirs: Seq[Path] =
+    initialFiles.map(f => new Path(f).getParent).distinct
+
+  private def listFiles(): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Configuration())
+    dirs.flatMap { d =>
+      fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.toString)
+    }.sorted
+  }
+
+  @volatile private var availableNowCap: Option[FilePosOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(FilePosOffset(listFiles().length))
+
+  override def initialOffset(): Offset = FilePosOffset(0)
+
+  override def latestOffset(): Offset =
+    availableNowCap.getOrElse(FilePosOffset(listFiles().length))
+
+  // SupportsAdmissionControl variant (via SupportsTriggerAvailableNow):
+  // no rate limiting — every landed file is admitted each trigger
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    FilePosOffset(new ObjectMapper().readTree(json).get("n").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[FilePosOffset].n
+    val to = end.asInstanceOf[FilePosOffset].n
+    listFiles().slice(from, to)
+      .map(f => HistoryFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    HistoryReaderFactory(fields, coins)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] case class FilePosOffset(n: Int) extends Offset {
+  override def json(): String = s"""{"n":$n}"""
 }
 
 private[graft] case class HistoryFilePartition(file: String) extends InputPartition

@@ -79,6 +79,32 @@ class SourcesSkewSpec extends SparkSpec {
       Seq(("polkadot", 7.25)))
   }
 
+  test("history DSv2 streams: each new snapshot file is exactly one new micro-batch") {
+    val dir = Files.createTempDirectory("graft-v2s")
+    val ckpt = Files.createTempDirectory("graft-v2s-ckpt").toString
+    val out = Files.createTempDirectory("graft-v2s-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-history").load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Files.writeString(dir.resolve("a.json"),
+      """{"id":"polkadot","date":"5-1-2024","market_data":{"current_price":{"usd":7.25}}}""")
+    run()
+    assert(spark.read.parquet(out).count() == 1)
+    Files.writeString(dir.resolve("b.json"),
+      """{"id":"kusama","date":"15-1-2024","market_data":{"current_price":{"usd":31.5}}}""")
+    run()
+    // the restarted query resumes from the committed file offset: file a is
+    // NOT reprocessed, file b lands exactly once
+    val rows = spark.read.parquet(out)
+      .select(col("coin"), col("price")).as[(String, Double)].collect().toSeq
+    assert(rows.sorted == Seq(("kusama", 31.5), ("polkadot", 7.25)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "hot" else s"k$i", i * 1.5))
       .toDF("id", "key", "v")
