@@ -77,19 +77,28 @@ object Dedup {
     docs.join(exactGroups(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** The exact-dedup normalization fingerprint, as DuckDB SQL — the ONE
+    * definition every oracle that reasons about exact duplicates
+    * interpolates ([[dedupExactSql]], [[KEEP_CTE]],
+    * [[TextAnalysis.textCorpusReportSql]]); a second literal copy is how
+    * engine/oracle drift starts.
+    */
+  val EXACT_FP_SQL: String =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   /** DuckDB twin of [[exactReps]]'s keep-set (min doc_id per normalized
     * fingerprint group).
     */
   private val KEEP_CTE: String =
-    """keep AS (
-      |  SELECT min(doc_id) AS doc_id
-      |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-      |        FROM documents) GROUP BY fp)""".stripMargin
+    s"""keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, $EXACT_FP_SQL AS fp
+       |        FROM documents) GROUP BY fp)""".stripMargin
 
   val dedupExactSql: String =
-    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-      |       min(doc_id) AS keep_id, count(*) AS dup_count
-      |FROM documents GROUP BY 1""".stripMargin
+    s"""SELECT $EXACT_FP_SQL AS fp,
+       |       min(doc_id) AS keep_id, count(*) AS dup_count
+       |FROM documents GROUP BY 1""".stripMargin
 
   /** MinHash signature per document: H permutations via the
     * Kirsch–Mitzenmacher construction g_i = (h1 + i·h2) mod 2^56 over ONE

@@ -396,9 +396,14 @@ object Relational {
     * overflows.) Two hash aggregations; the per-type stats broadcast.
     */
   def eventAnomaly(events: DataFrame): DataFrame = {
+    // (type, day) counts feed BOTH the stats aggregate and the labeling
+    // join; without operator-owned storage the events scan + partial agg
+    // executes once per branch (verified in the executed plan — the
+    // broadcast side does not reuse the exchange)
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).cast("long").as("n_events"))
+      .localCheckpoint()
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("n_events")).cast("long").as("s"),

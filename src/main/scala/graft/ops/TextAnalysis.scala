@@ -1057,18 +1057,10 @@ object TextAnalysis {
     pplBuckets(Tables.documents(spark, sfDir))
 
   val textPplBucketsSql: String =
-    s"""WITH ${Tables.TOK_CTE},
-       |freqs AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freqs),
-       |scored AS (
-       |  SELECT t.doc_id,
-       |         round(avg(-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))), 6)
-       |           AS avg_neg_logprob
-       |  FROM tok t JOIN freqs f ON t.tok = f.tok, tot
-       |  GROUP BY 1),
+    s"""WITH u AS ($textUnigramLogprobSql),
        |sl AS (
-       |  SELECT s.doc_id, d.lang, s.avg_neg_logprob
-       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |  SELECT u.doc_id, d.lang, u.avg_neg_logprob
+       |  FROM u JOIN documents d ON u.doc_id = d.doc_id),
        |b AS (
        |  SELECT lang,
        |         round(quantile_cont(avg_neg_logprob, CAST(1 AS DOUBLE)/3), 6) AS b1,
@@ -1367,8 +1359,7 @@ object TextAnalysis {
        |         round(avg(n_tokens), 6) AS mean_doc_tokens,
        |         round(avg(quality_score), 6) AS mean_quality
        |  FROM q),
-       |g AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-       |             count(*) AS c
+       |g AS (SELECT ${Dedup.EXACT_FP_SQL} AS fp, count(*) AS c
        |      FROM documents GROUP BY 1),
        |dups AS (
        |  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_groups,

@@ -3,6 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Try
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
@@ -34,13 +35,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     non-matching rows before they ever become InternalRows — the same
   *     contract the parquet scan gives the watermark filter;
   *   - parallelize ONE PARTITION PER FILE: a day's snapshot directory of
-  *     K files scans K-wide with no driver-side parsing.
+  *     K files scans K-wide with no driver-side parsing;
+  *   - STREAM the directory (`MICRO_BATCH_READ`): each trigger admits the
+  *     files that landed since the committed filename watermark.
   *
   * The flat output schema matches [[JsonFixtureSource.coingeckoHistory]]
-  * (coin, price_date, price); the nested `market_data.current_price.usd`
-  * path and the reference's `d-M-yyyy` date format are handled inside the
-  * reader. Registered as `spark.read.format("graft-history")` via the
-  * `DataSourceRegister` service file.
+  * (coin, price_date, price), including PERMISSIVE handling of malformed
+  * lines (null fields, never a task failure); the nested
+  * `market_data.current_price.usd` path and the reference's `d-M-yyyy`
+  * date format are handled inside the reader. Registered as
+  * `spark.read.format("graft-history")` via the `DataSourceRegister`
+  * service file.
   */
 class HistoryV2Source extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -52,7 +57,7 @@ class HistoryV2Source extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new HistoryTable(HistoryV2Source.paths(properties))
+    new HistoryTable(HistoryV2Source.roots(properties))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -62,39 +67,43 @@ object HistoryV2Source {
   val SCHEMA: StructType = StructType.fromDDL(
     "coin STRING, price_date DATE, price DOUBLE")
 
-  /** Option map → concrete file list (directories expand one level). */
-  private[graft] def paths(properties: JMap[String, String]): Seq[String] = {
+  /** The load() arguments as given — kept unexpanded so a STREAM over an
+    * initially empty directory still knows where to look on later
+    * triggers (expanding eagerly would leave it blind forever).
+    */
+  private[graft] def roots(properties: JMap[String, String]): Seq[String] = {
     val opts = properties.asScala
-    val raw = opts.get("paths")
+    opts.get("paths")
       .map(p => new ObjectMapper().readTree(p).elements().asScala
         .map(_.asText()).toSeq)
       .orElse(opts.get("path").map(Seq(_)))
       .getOrElse(Seq.empty)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new Configuration())
-    raw.flatMap { p =>
+  }
+
+  /** Root paths → concrete sorted file list (directories expand one
+    * level). Each path resolves its OWN FileSystem, so non-default
+    * schemes (s3a://, hdfs://) work the way the built-in sources do.
+    */
+  private[graft] def expand(roots: Seq[String]): Seq[String] =
+    roots.flatMap { p =>
       val path = new Path(p)
+      val fs = path.getFileSystem(new Configuration())
       if (fs.getFileStatus(path).isDirectory)
         fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.toString)
       else Seq(p)
-    }
-  }
+    }.sorted
 }
 
-private[graft] class HistoryTable(files: Seq[String]) extends Table with SupportsRead {
-  override def name(): String = s"graft-history(${files.mkString(",")})"
+private[graft] class HistoryTable(roots: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-history(${roots.mkString(",")})"
   override def schema(): StructType = HistoryV2Source.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HistoryScanBuilder(files)
+    new HistoryScanBuilder(roots)
 }
 
-/** Builder state: the table's option-time file list is re-resolved per
-  * stream trigger via the parent directories, so a snapshot directory
-  * gains streaming semantics — each newly landed file becomes part of the
-  * next micro-batch.
-  */
-private[graft] class HistoryScanBuilder(files: Seq[String]) extends ScanBuilder
+private[graft] class HistoryScanBuilder(roots: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = HistoryV2Source.SCHEMA
@@ -128,11 +137,11 @@ private[graft] class HistoryScanBuilder(files: Seq[String]) extends ScanBuilder
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
-    HistoryScan(files, required, coins)
+    HistoryScan(roots, required, coins)
   }
 }
 
-private[graft] case class HistoryScan(files: Seq[String], required: StructType,
+private[graft] case class HistoryScan(roots: Seq[String], required: StructType,
     coins: Option[Set[String]]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -142,49 +151,43 @@ private[graft] case class HistoryScan(files: Seq[String], required: StructType,
       s"pushedCoins=${coins.map(_.mkString("{", ",", "}")).getOrElse("*")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => HistoryFilePartition(f): InputPartition).toArray
+    HistoryV2Source.expand(roots)
+      .map(f => HistoryFilePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     HistoryReaderFactory(required.fieldNames, coins)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new HistoryMicroBatchStream(files, required.fieldNames, coins)
+    new HistoryMicroBatchStream(roots, required.fieldNames, coins)
 }
 
-/** File-position offsets over an append-only snapshot directory: the
-  * offset is "how many files (in lexicographic path order) have been
-  * consumed", so each micro-batch is exactly the files that landed since
-  * the last committed batch — the same contract as Spark's own FileStream
-  * source, with the connector's pruning and coin pushdown still applied
-  * inside each batch's readers. Exactly-once riding on the offset log:
-  * a restarted query replans from the committed file position. Files must
-  * be append-only (snapshots are); rewrites are a new path.
+/** Filename-watermark offsets over an append-only snapshot directory: the
+  * offset is the LARGEST (lexicographically) file path consumed, and each
+  * micro-batch admits the files in (watermark, latest] — so a restarted
+  * query resumes from the committed watermark without reprocessing, and a
+  * file landing with an out-of-order (smaller) name is skipped rather
+  * than silently shifting already-committed batches, which is what a
+  * positional (count-based) offset would do. Exactly-once therefore
+  * requires monotonically named snapshot files (landing-timestamp names —
+  * standard landing-zone practice); the connector's pruning and coin
+  * pushdown still apply inside each batch's readers.
   */
-private[graft] class HistoryMicroBatchStream(initialFiles: Seq[String],
+private[graft] class HistoryMicroBatchStream(roots: Seq[String],
     fields: Array[String], coins: Option[Set[String]])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // the directories (and any explicit files) this table was created over;
-  // re-listing them per trigger is what turns the snapshot dir into a stream
-  private val dirs: Seq[Path] =
-    initialFiles.map(f => new Path(f).getParent).distinct
+  private def watermarkOf(files: Seq[String]): FileWatermarkOffset =
+    FileWatermarkOffset(if (files.isEmpty) "" else files.max)
 
-  private def listFiles(): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new Configuration())
-    dirs.flatMap { d =>
-      fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.toString)
-    }.sorted
-  }
-
-  @volatile private var availableNowCap: Option[FilePosOffset] = None
+  @volatile private var availableNowCap: Option[FileWatermarkOffset] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(FilePosOffset(listFiles().length))
+    availableNowCap = Some(watermarkOf(HistoryV2Source.expand(roots)))
 
-  override def initialOffset(): Offset = FilePosOffset(0)
+  override def initialOffset(): Offset = FileWatermarkOffset("")
 
   override def latestOffset(): Offset =
-    availableNowCap.getOrElse(FilePosOffset(listFiles().length))
+    availableNowCap.getOrElse(watermarkOf(HistoryV2Source.expand(roots)))
 
   // SupportsAdmissionControl variant (via SupportsTriggerAvailableNow):
   // no rate limiting — every landed file is admitted each trigger
@@ -192,12 +195,13 @@ private[graft] class HistoryMicroBatchStream(initialFiles: Seq[String],
     latestOffset()
 
   override def deserializeOffset(json: String): Offset =
-    FilePosOffset(new ObjectMapper().readTree(json).get("n").asInt())
+    FileWatermarkOffset(new ObjectMapper().readTree(json).get("w").asText())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FilePosOffset].n
-    val to = end.asInstanceOf[FilePosOffset].n
-    listFiles().slice(from, to)
+    val from = start.asInstanceOf[FileWatermarkOffset].w
+    val to = end.asInstanceOf[FileWatermarkOffset].w
+    HistoryV2Source.expand(roots)
+      .filter(f => f > from && f <= to)
       .map(f => HistoryFilePartition(f): InputPartition).toArray
   }
 
@@ -208,8 +212,13 @@ private[graft] class HistoryMicroBatchStream(initialFiles: Seq[String],
   override def stop(): Unit = ()
 }
 
-private[graft] case class FilePosOffset(n: Int) extends Offset {
-  override def json(): String = s"""{"n":$n}"""
+private[graft] case class FileWatermarkOffset(w: String) extends Offset {
+  override def json(): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("w", w)
+    mapper.writeValueAsString(node)
+  }
 }
 
 private[graft] case class HistoryFilePartition(file: String) extends InputPartition
@@ -224,18 +233,21 @@ private[graft] case class HistoryReaderFactory(fields: Array[String],
 /** Per-partition JSON-lines reader: one Jackson mapper and one open stream
   * per partition (the once-per-partition pattern the multimodal decoder
   * uses), rows filtered and projected BEFORE InternalRow construction.
+  * PERMISSIVE like the declared-schema json reader: a malformed line or
+  * an unparseable field yields nulls, never a task failure — dirty data
+  * is quarantined downstream, not allowed to kill a 100 TB scan.
   */
 private[graft] class HistoryPartitionReader(file: String, fields: Array[String],
     coins: Option[Set[String]]) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val dateFmt = java.time.format.DateTimeFormatter.ofPattern("d-M-yyyy")
-  private val lines: java.util.Iterator[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new Configuration())
-    val in = fs.open(new Path(file))
-    new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      .lines().iterator()
+  private val reader: java.io.BufferedReader = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(path), "UTF-8"))
   }
+  private val lines: java.util.Iterator[String] = reader.lines().iterator()
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -243,8 +255,10 @@ private[graft] class HistoryPartitionReader(file: String, fields: Array[String],
     while (current == null && lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        val coin = Option(node.get("id")).map(_.asText()).orNull
+        val node = Try(mapper.readTree(line)).getOrElse(null)
+        val coin =
+          if (node == null) null
+          else Option(node.get("id")).map(_.asText()).orNull
         if (coins.forall(cs => coin != null && cs.contains(coin))) {
           current = project(node, coin)
         }
@@ -263,9 +277,9 @@ private[graft] class HistoryPartitionReader(file: String, fields: Array[String],
         case "coin" =>
           row.update(i, if (coin == null) null else UTF8String.fromString(coin))
         case "price_date" =>
-          val d = field(node, "date").map(_.asText()).map { s =>
-            java.lang.Integer.valueOf(
-              java.time.LocalDate.parse(s, dateFmt).toEpochDay.toInt)
+          val d = field(node, "date").map(_.asText()).flatMap { s =>
+            Try(java.lang.Integer.valueOf(
+              java.time.LocalDate.parse(s, dateFmt).toEpochDay.toInt)).toOption
           }.orNull
           row.update(i, d)
         case "price" =>
@@ -280,5 +294,5 @@ private[graft] class HistoryPartitionReader(file: String, fields: Array[String],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = reader.close()
 }

@@ -103,6 +103,16 @@ class SourcesSkewSpec extends SparkSpec {
     val rows = spark.read.parquet(out)
       .select(col("coin"), col("price")).as[(String, Double)].collect().toSeq
     assert(rows.sorted == Seq(("kusama", 31.5), ("polkadot", 7.25)))
+    // a file landing with an out-of-order (lexicographically smaller) name
+    // must NOT shift committed batches: with filename-watermark offsets it
+    // is skipped (documented monotonic-naming contract) and nothing is
+    // re-emitted — a positional offset would have replayed b.json here
+    Files.writeString(dir.resolve("0-late.json"),
+      """{"id":"late","date":"1-1-2024","market_data":{"current_price":{"usd":1.0}}}""")
+    run()
+    val after = spark.read.parquet(out)
+      .select(col("coin"), col("price")).as[(String, Double)].collect().toSeq
+    assert(after.sorted == Seq(("kusama", 31.5), ("polkadot", 7.25)))
   }
 
   test("salted aggregation equals plain aggregation") {
