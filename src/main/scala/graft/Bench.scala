@@ -18,6 +18,15 @@ object Bench {
       sfDir: String): (Map[String, Double], Map[String, String]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Untimed GC nudge: operator-owned localCheckpoint blocks are
+      // reclaimed by the ContextCleaner only after the owning DataFrame
+      // is GC'd; with a large heap that can lag many queries behind,
+      // so late-alphabet queries were paying earlier queries' block
+      // churn (measured: text_fingerprint 6.0 s in-sequence vs 0.8 s
+      // isolated). JMH-style inter-iteration GC attributes time to the
+      // query that spent it without papering over a leaky operator —
+      // blocks a live frame still references survive the GC.
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch {

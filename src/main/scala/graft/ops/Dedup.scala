@@ -897,8 +897,13 @@ object Dedup {
     // the union scans `pairs` twice, but its exchanges canonicalize
     // identically so ReusedExchange dedups the pair chain — measured
     // FASTER than an extra pre-union localCheckpoint barrier
+    // Pre-partition the static edge list on the per-round join key: the
+    // checkpointed LogicalRDD keeps hashpartitioning(d2), so every round's
+    // offers join shuffles only the (much smaller) labels side — the edge
+    // frame, the loop's big constant, moves exactly once at any scale.
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(col("d2"))
       .localCheckpoint()
     // The loop iterates over EDGE ENDPOINTS only: a node with no pair can
     // never change its label, and in a real corpus the duplicate-pair
@@ -916,16 +921,20 @@ object Dedup {
         .select(col("d1").as("id"), col("rep"))
       val viaNeighbors = labels.unionByName(offers)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-      // path halving: jump to the representative's representative
+      // path halving: jump to the representative's representative. The
+      // node's OWN previous label rides along as `prev` (labels are
+      // already in the min), so convergence is a filter-count over the
+      // checkpointed round output — no extra per-round compare join.
       val repOf = labels.select(col("id").as("r_key"), col("rep").as("rep2"))
+      val prevOf = labels.select(col("id"), col("rep").as("prev"))
       val next = viaNeighbors
         .join(repOf, viaNeighbors("rep") === repOf("r_key"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .join(prevOf, Seq("id"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .filter(col("rep") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("rep") =!= col("prev")).count()
+      labels = next.select(col("id"), col("rep"))
       round += 1
     }
     val singletons = nodes.select(col("id"))
@@ -975,8 +984,11 @@ object Dedup {
     * the symmetric pair graph (recursive CTE, UNION set semantics
     * terminates it), min reachable id per document.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${Tables.TOK_CTE},
+  /** The recursive-CTE fixpoint chain ending in `rep(doc_id, rep_id)` —
+    * the oracle core shared by every cluster-consuming query.
+    */
+  private val CLUSTER_REP_CTES: String =
+    s"""${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
        |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
@@ -992,10 +1004,47 @@ object Dedup {
        |  SELECT doc_id, doc_id AS r FROM documents
        |  UNION
        |  SELECT e.d1 AS doc_id, rc.r FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
-       |rep AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+       |rep AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY 1)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $CLUSTER_REP_CTES,
        |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1)
        |SELECT r.doc_id, r.rep_id, s.cluster_size
        |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
+
+  /** Per-source duplication report card: how many documents each source
+    * contributed, how many DISTINCT near-dup clusters those documents
+    * land in, and the excess (docs − clusters) — the "which feed is
+    * flooding the corpus with duplicates" view a corpus owner reads
+    * before re-weighting sources. One join of the cluster assignment to
+    * the (doc_id → source) projection plus one hash agg; the distinct-
+    * cluster count shuffles (source, rep_id) pairs — bounded by the
+    * cluster assignment itself, never quadratic.
+    */
+  def sourceDupStats(docs: DataFrame): DataFrame =
+    duplicateClusters(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("rep_id")).cast("long").as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_dup_docs"),
+        round((col("n_docs") - col("n_clusters")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+
+  def dedupSourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDupStats(Tables.documents(spark, sfDir))
+
+  val dedupSourceStatsSql: String =
+    s"""WITH RECURSIVE $CLUSTER_REP_CTES
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT r.rep_id) AS BIGINT) AS n_clusters,
+       |       CAST(count(*) - count(DISTINCT r.rep_id) AS BIGINT) AS n_dup_docs,
+       |       round(CAST(count(*) - count(DISTINCT r.rep_id) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+       |FROM rep r JOIN documents d ON r.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** Same reachability fixpoint, then the max-quality (min doc_id
     * tie-break) member per component via a ranking window.

@@ -654,6 +654,92 @@ object TextAnalysis {
        |SELECT c.doc_id, c.content_fp, ms.min_shingle_fp
        |FROM content c JOIN ms ON c.doc_id = ms.doc_id""".stripMargin
 
+  /** Lexical-entropy quality signals: per-document word-distribution
+    * Shannon entropy (nats) and type-token ratio. Low entropy or low TTR
+    * flags keyword-stuffed / template / repeated-phrase documents — the
+    * distribution-level complement of the n-gram repetition ratios
+    * ([[repetitionStats]] counts repeated PHRASES; entropy measures the
+    * whole unigram distribution's concentration).
+    *
+    * Shape: two hash aggregations (doc×token term frequency, then per-doc
+    * rollup) — linear, partial-agg friendly, zero joins/windows. The
+    * entropy uses the algebraic form H = ln n − (Σ c·ln c)/n so each
+    * term is computed from integers and summed (no per-term division),
+    * identically spelled on both engines; round(6) pins the float.
+    */
+  def lexicalEntropy(docs: DataFrame): DataFrame =
+    Tables.tokens(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sum_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sum_clnc") / col("n_tokens").cast("double"), 6).as("entropy_nats"))
+
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    lexicalEntropy(Tables.documents(spark, sfDir))
+
+  val textEntropySql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_types,
+       |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+       |       round(ln(CAST(sum(c) AS DOUBLE))
+       |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+       |               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+       |FROM tf GROUP BY 1""".stripMargin
+
+  /** Corpus-level heavy hitters: the top-10 word 3-grams per language by
+    * raw frequency — the boilerplate/contamination audit a corpus owner
+    * runs before choosing dedup caps (the span-DF caps in the substring
+    * family are tuned from exactly this view). The expensive half is a
+    * partial-agg-friendly count over the shingle stream (linear, map-side
+    * combined); the rank window then runs over the AGGREGATED n-gram
+    * vocabulary — |distinct n-grams| rows, orders of magnitude below the
+    * corpus — partitioned by language, following the
+    * [[graft.ops.Relational.topUsersPerChain]] top-k-per-group pattern.
+    */
+  def ngramTopk(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("lang"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+          .stripMargin)).as("shingle"))
+      .groupBy(col("lang"), col("shingle")).agg(count(lit(1)).cast("long").as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("shingle"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("shingle"), col("cnt"), col("rnk"))
+  }
+
+  def textNgramTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ngramTopk(Tables.documents(spark, sfDir))
+
+  val textNgramTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
+      |  FROM documents),
+      |g AS (
+      |  SELECT a.lang, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |counts AS (
+      |  SELECT lang, shingle, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |                               ORDER BY cnt DESC, shingle) AS rnk
+      |  FROM counts)
+      |SELECT lang, shingle, cnt, rnk FROM ranked WHERE rnk <= 10""".stripMargin
+
   /** Sequence-packing geometry (concat-and-chunk, the GPT-style batch
     * layout): documents concatenate in doc_id order into one global token
     * stream, and the stream cuts into fixed-[[PACK_CAPACITY]]-token

@@ -93,6 +93,64 @@ object ReferencePipeline {
        |FROM price
        |WHERE price_date > DATE '${WM.take(10)}' AND price_date <= DATE '$ASOF_DATE'""".stripMargin
 
+  /** Rolling 7-day price statistics per chain — the moving-average /
+    * volatility view a metrics dashboard layers over the daily price dim
+    * (the reference stops at the raw daily rows, updatescript.py:43-52;
+    * this is the standard OLAP extension of that table). ROWS-framed
+    * window (6 preceding + current), partitioned by chain, so the sort
+    * and frame state stay inside each chain's partition — nothing global.
+    * The frame input is the already-aggregated daily dim (~1 row/day/
+    * chain), so the window's volume is days × chains, never the fact
+    * table, at any corpus scale.
+    *
+    * Volatility is computed from the EXPLICIT sum-of-squares identity
+    * (n·Σx² − (Σx)²) / (n·(n−1)) on round-pinned prices rather than
+    * `stddev_samp`, so both engines evaluate the identical arithmetic
+    * expression — implementation-defined accumulation order inside two
+    * engines' native stddev kernels is exactly the hash-parity trap the
+    * round-pinning discipline exists to avoid.
+    */
+  def priceRolling(spark: SparkSession, sfDir: String): DataFrame =
+    rollingStats(dailyPrice(spark, sfDir))
+
+  /** The rolling core over any (chain, price_date, price) frame. */
+  def rollingStats(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chain")).orderBy(col("price_date"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_p", sum(col("price")).over(w))
+      .withColumn("sum_p2", sum(round(col("price") * col("price"), 6)).over(w))
+      .select(col("chain"), col("price_date").cast("string").as("price_date"),
+        col("price"),
+        round(col("sum_p") / col("n_win"), 6).as("ma7"),
+        // nullif: n_win = 1 has no sample variance — NULL on both engines
+        // (Spark's non-ANSI /0 → NULL vs DuckDB's IEEE inf is exactly the
+        // parity trap); greatest: the identity can go −ε when variance ≈ 0
+        round(
+          sqrt(greatest(col("n_win") * col("sum_p2") - col("sum_p") * col("sum_p"), lit(0.0)) /
+            nullif(col("n_win") * (col("n_win") - lit(1)), lit(0L))), 6).as("vol7"),
+        col("n_win").cast("long").as("n_win"))
+  }
+
+  val priceRollingSql: String =
+    s"""WITH $TX_CTE,
+       |$PRICE_CTE,
+       |w AS (
+       |  SELECT chain, price_date, price,
+       |         count(*) OVER win AS n_win,
+       |         sum(price) OVER win AS sum_p,
+       |         sum(round(price * price, 6)) OVER win AS sum_p2
+       |  FROM price
+       |  WINDOW win AS (PARTITION BY chain ORDER BY price_date
+       |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT chain, CAST(price_date AS VARCHAR) AS price_date, price,
+       |       round(sum_p / n_win, 6) AS ma7,
+       |       round(sqrt(greatest(n_win * sum_p2 - sum_p * sum_p, 0) /
+       |                  nullif(n_win * (n_win - 1), 0)), 6) AS vol7,
+       |       CAST(n_win AS BIGINT) AS n_win
+       |FROM w""".stripMargin
+
   /** Step 3 — `update_stats` (updatescript.py:111-147): one rolling stats row
     * per chain. AUM (the YieldScan API scalar, modeled per FIXTURES.md §C as
     * the purchase-value sum) × total staked (the `nominatorstats` singleton,

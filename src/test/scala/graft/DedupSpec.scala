@@ -245,4 +245,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(err - math.abs(est - j)) < 1.1e-6)
     assert(nAgree >= 1 && nAgree <= Dedup.NUM_HASHES)
   }
+
+  test("source dup stats: near-dup pair counts against its source, clean source reports 0") {
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = Seq(
+      (1L, base, "sA"),
+      (2L, nearDup, "sA"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "sA"),
+      (4L, "one two three four five six seven eight nine ten", "sB"),
+      (5L, "red green blue cyan magenta yellow black white grey pink", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupStats(d)
+      .select("source", "n_docs", "n_clusters", "n_dup_docs", "dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("sA") == (("sA", 3L, 2L, 1L, 0.333333)))
+    assert(got("sB") == (("sB", 2L, 2L, 0L, 0.0)))
+  }
 }

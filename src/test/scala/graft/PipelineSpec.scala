@@ -48,4 +48,24 @@ class PipelineSpec extends SparkSpec {
     // one row per (chain, day), no duplicates
     assert(rows.distinct.length == rows.length)
   }
+
+  test("rolling price stats: window ramp, constant-series volatility 0, single row NULL") {
+    val daily = (1 to 9).map(d => (0L, Date.valueOf(f"2024-01-0$d"), 5.0)) :+
+      ((1L, Date.valueOf("2024-01-01"), 3.0)) // lone row on the other chain
+    val got = ReferencePipeline.rollingStats(
+        daily.toDF("chain", "price_date", "price"))
+      .select("chain", "price_date", "ma7", "vol7", "n_win")
+      .as[(Long, String, Double, Option[Double], Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // n_win ramps 1..7 then stays 7 (rows-framed, per-chain)
+    assert(got((0L, "2024-01-03"))._3 == 3L)
+    assert(got((0L, "2024-01-08"))._3 == 7L)
+    assert(got((0L, "2024-01-09"))._3 == 7L)
+    // constant series: ma7 = the price, vol7 = 0 once n_win >= 2
+    assert(got((0L, "2024-01-09"))._1 == 5.0)
+    assert(got((0L, "2024-01-05"))._2.contains(0.0))
+    // one-row windows have no sample variance: NULL, not inf/NaN
+    assert(got((0L, "2024-01-01"))._2.isEmpty)
+    assert(got((1L, "2024-01-01"))._2.isEmpty)
+  }
 }

@@ -406,4 +406,39 @@ class TextMultimodalSpec extends SparkSpec {
       } assert(m.max < t.min, s"$lang middle/tail overlap")
     }
   }
+
+  test("lexical entropy: uniform = ln n, constant = 0, skew in between") {
+    val d = docs(
+      (1L, "a b c d", "en", "s"),     // uniform over 4 types
+      (2L, "a a a a", "en", "s"),     // one type: zero entropy
+      (3L, "a a a b", "en", "s"))     // skewed
+    val got = TextAnalysis.lexicalEntropy(d)
+      .select("doc_id", "n_tokens", "n_types", "ttr", "entropy_nats")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 1.0, math.rint(math.log(4.0) * 1e6) / 1e6)))
+    assert(got(2L)._5 == 0.0 && got(2L)._4 == 0.25)
+    // H(3/4, 1/4) = ln 4 − (3 ln 3)/4
+    val h = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    assert(math.abs(got(3L)._5 - h) < 1e-6)
+    assert(got(3L)._5 > 0.0 && got(3L)._5 < got(1L)._5)
+  }
+
+  test("ngram topk: per-language rank by count with shingle tie-break") {
+    val d = docs(
+      (1L, "x y z x y z x y z", "en", "s"), // 'x y z'×3, 'y z x'×2, 'z x y'×2
+      (2L, "p q r p q r", "fr", "s"))       // 'p q r'×2, the rest ×1
+    val got = TextAnalysis.ngramTopk(d)
+      .select("lang", "shingle", "cnt", "rnk")
+      .as[(String, String, Long, Long)].collect()
+    val en = got.filter(_._1 == "en").sortBy(_._4)
+    assert(en.head == (("en", "x y z", 3L, 1L)))
+    // ties ('y z x'=2, 'z x y'=2) break on shingle ascending
+    assert(en(1) == (("en", "y z x", 2L, 2L)))
+    assert(en(2) == (("en", "z x y", 2L, 3L)))
+    val fr = got.filter(_._1 == "fr").sortBy(_._4)
+    assert(fr.head == (("fr", "p q r", 2L, 1L)))
+    // top-10 cap: no language reports more than 10 rows
+    assert(got.groupBy(_._1).values.forall(_.length <= 10))
+  }
 }
