@@ -694,6 +694,125 @@ object TextAnalysis {
        |               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
        |FROM tf GROUP BY 1""".stripMargin
 
+  /** Windowed co-occurrence with pointwise mutual information — the
+    * distributional statistic behind embedding-training data prep
+    * (word2vec-style skip-gram counts) and collocation mining. Pairs
+    * are word co-occurrences within a ≤[[COOC_WINDOW]]-token forward
+    * window, canonicalized unordered (PMI is symmetric); the report is
+    * the top-20 pairs by PMI among those seen ≥[[COOC_MIN_COUNT]]
+    * times (the standard min-count gate — PMI is noise for rare pairs).
+    *
+    * Shape: pair extraction is ARRAY-SIDE (one `transform` over each
+    * document's token array — zero shuffle, like the shingle builder);
+    * then two hash aggs (pair counts, unigram counts), a broadcast of
+    * the 1-row corpus totals, and a TakeOrderedAndProject top-k over
+    * the aggregated ≥min-count pair vocabulary — never the corpus. PMI =
+    * ln(c_xy·N_tok²/(N_pair·c_x·c_y)) is computed from integer counts
+    * in one spelling on both engines and round-pinned before ranking.
+    */
+  val COOC_WINDOW = 2
+  val COOC_MIN_COUNT = 5L
+  val COOC_TOP = 20
+
+  def coocPmi(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    // ordered forward pairs (i, i+g) for g in 1..COOC_WINDOW, canonicalized
+    val pairs = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(toks) - 1),
+           |  i -> transform(sequence(i + 1, least(i + $COOC_WINDOW, size(toks))),
+           |    j -> struct(least(element_at(toks, i), element_at(toks, j)) AS x,
+           |                greatest(element_at(toks, i), element_at(toks, j)) AS y))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    // raw pair counts fan into the min-count survivors AND the corpus
+    // pair total; checkpoint so the pair explode runs once
+    val pc0 = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).cast("long").as("c_xy"))
+      .localCheckpoint()
+    val pairCounts = pc0.filter(col("c_xy") >= COOC_MIN_COUNT)
+    val nPair = pc0.agg(sum(col("c_xy")).cast("double").as("n_pair"))
+    // unigram counts fan into both pair-side joins and the token total
+    val uni = Tables.tokens(docs).groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    val nTok = uni.agg(sum(col("c")).cast("double").as("n_tok"))
+    val scored = pairCounts
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log(col("c_xy").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_pair") * col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+          .as("pmi"))
+    // global top-k via orderBy().limit() = TakeOrderedAndProject
+    // (per-partition heaps); the rank window then runs over ≤ COOC_TOP rows
+    val top = scored.orderBy(col("pmi").desc, col("x"), col("y")).limit(COOC_TOP)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("pmi").desc, col("x"), col("y"))))
+  }
+
+  def textCoocPmi(spark: SparkSession, sfDir: String): DataFrame =
+    coocPmi(Tables.documents(spark, sfDir))
+
+  val textCoocPmiSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |pr AS (
+       |  SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + $COOC_WINDOW),
+       |pc0 AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pr GROUP BY 1, 2),
+       |pc AS (SELECT * FROM pc0 WHERE c_xy >= $COOC_MIN_COUNT),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni),
+       |np AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_pair FROM pc0),
+       |scored AS (
+       |  SELECT p.x, p.y, p.c_xy,
+       |         round(ln(CAST(p.c_xy AS DOUBLE) * nt.n_tok * nt.n_tok /
+       |                  (np.n_pair * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))), 6) AS pmi
+       |  FROM pc p
+       |  JOIN uni ux ON p.x = ux.tok
+       |  JOIN uni uy ON p.y = uy.tok, nt, np),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rnk FROM scored)
+       |SELECT x, y, c_xy, pmi, rnk FROM ranked WHERE rnk <= $COOC_TOP""".stripMargin
+
+  /** Duplicated-n-gram coverage: the fraction of each document's
+    * distinct 3-gram shingles that occur in at least one OTHER document
+    * — the per-document "how much of me is boilerplate" number
+    * (RefinedWeb's dup-n-gram coverage metric), read next to the
+    * repetition ratios (which measure WITHIN-doc repeats). One shuffle
+    * on the shingle for the corpus document-frequency count, one join
+    * back, one per-doc rollup — all linear in shingle volume.
+    */
+  def dupCoverage(docs: DataFrame): DataFrame = {
+    val sh = Tables.shingles(docs)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        round(col("n_dup_shingles").cast("double") /
+          col("n_shingles").cast("double"), 6).as("dup_coverage"))
+  }
+
+  def textDupCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    dupCoverage(Tables.documents(spark, sfDir))
+
+  val textDupCoverageSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT s.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       |       round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS dup_coverage
+       |FROM sh s JOIN df d ON s.shingle = d.shingle
+       |GROUP BY 1""".stripMargin
+
   /** Corpus-level heavy hitters: the top-10 word 3-grams per language by
     * raw frequency — the boilerplate/contamination audit a corpus owner
     * runs before choosing dedup caps (the span-DF caps in the substring

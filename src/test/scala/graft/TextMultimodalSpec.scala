@@ -424,6 +424,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(3L)._5 > 0.0 && got(3L)._5 < got(1L)._5)
   }
 
+  test("cooc pmi: window-2 pair counts and the exact PMI value") {
+    // "a b a b a b": 9 forward pairs in window 2 — (a,b)x5, (a,a)x2, (b,b)x2;
+    // only (a,b) clears min-count 5. PMI = ln(5 * 6^2 / (9 * 3 * 3))
+    val d = docs((1L, "a b a b a b", "en", "s"))
+    val got = TextAnalysis.coocPmi(d)
+      .select("x", "y", "c_xy", "pmi", "rnk")
+      .as[(String, String, Long, Double, Long)].collect()
+    assert(got.length == 1)
+    val exp = math.rint(math.log(5.0 * 36.0 / 81.0) * 1e6) / 1e6
+    assert(got.head == (("a", "b", 5L, exp, 1L)))
+  }
+
+  test("dup coverage: shingles shared with another doc count, solo shingles do not") {
+    val d = docs(
+      (1L, "x y z w", "en", "s"), // shingles: 'x y z' (shared), 'y z w'
+      (2L, "x y z q", "en", "s")) // shingles: 'x y z' (shared), 'y z q'
+    val got = TextAnalysis.dupCoverage(d)
+      .select("doc_id", "n_shingles", "n_dup_shingles", "dup_coverage")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))
+  }
+
   test("ngram topk: per-language rank by count with shingle tie-break") {
     val d = docs(
       (1L, "x y z x y z x y z", "en", "s"), // 'x y z'×3, 'y z x'×2, 'z x y'×2
