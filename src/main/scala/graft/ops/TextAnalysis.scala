@@ -930,6 +930,58 @@ object TextAnalysis {
        |         > start_off // $PACK_CAPACITY AS straddles
        |FROM o""".stripMargin
 
+  /** Token-balanced output sharding: assign documents to
+    * [[SHARD_COUNT]] contiguous shards of ≈ equal TOKEN mass (not doc
+    * count — a doc-count split leaves shard sizes at the mercy of the
+    * length distribution), and report each shard's doc/token totals and
+    * doc_id range — the writer layout step that turns a prepared corpus
+    * into balanced training files. shard = ⌊start_off · N / T⌋ over the
+    * [[packGeometry]] two-level prefix sum, so the only global state is
+    * the 1-row token total (broadcast); no global sort or window touches
+    * the corpus.
+    */
+  val SHARD_COUNT = 8
+
+  def shardAssignment(docs: DataFrame): DataFrame = {
+    // the per-doc geometry fans into the corpus total and the join
+    val perDoc = packGeometry(docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+      .localCheckpoint()
+    val tot = perDoc.agg(sum(col("n_tokens")).cast("double").as("t_tokens"))
+    perDoc.crossJoin(broadcast(tot))
+      .withColumn("shard_id",
+        floor(col("start_off").cast("double") * SHARD_COUNT / col("t_tokens")).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  def textShards(spark: SparkSession, sfDir: String): DataFrame =
+    shardAssignment(Tables.documents(spark, sfDir))
+
+  val textShardsSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM n),
+       |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t_tokens FROM n),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(floor(CAST(start_off AS DOUBLE) * $SHARD_COUNT / t_tokens) AS BIGINT)
+       |           AS shard_id
+       |  FROM o, t)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM s GROUP BY 1""".stripMargin
+
   /** Decontamination: flag documents sharing any word 3-gram with the
     * benchmark subset (here doc_id ≡ 0 mod [[DECONTAM_MOD]] stands in
     * for the eval suite). The standard pretraining hygiene pass: before

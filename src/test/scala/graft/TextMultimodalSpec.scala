@@ -447,6 +447,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 1L, 0.5)))
   }
 
+  test("shard assignment: contiguous doc ranges, exact token balance on a uniform corpus") {
+    // 16 docs x 10 tokens, 8 shards: every shard takes exactly 2 docs / 20 tokens
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 16L).map(i => (i, text, "en", "s")): _*)
+    val got = TextAnalysis.shardAssignment(d)
+      .select("shard_id", "n_docs", "shard_tokens", "min_doc", "max_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L to 7L))
+    assert(got.forall(s => s._2 == 2L && s._3 == 20L))
+    // contiguity: shard k's range ends before shard k+1's begins
+    got.sliding(2).foreach { case Array(a, b) => assert(a._5 < b._4) }
+    assert(got.head._4 == 1L && got.last._5 == 16L)
+  }
+
   test("ngram topk: per-language rank by count with shingle tie-break") {
     val d = docs(
       (1L, "x y z x y z x y z", "en", "s"), // 'x y z'×3, 'y z x'×2, 'z x y'×2
