@@ -230,6 +230,37 @@ object Relational {
     """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Distribution-position windows: per-chain user-volume quartiles
+    * (`ntile`) and percentile position (`percent_rank`) — the cohorting
+    * view behind "top-quartile users" features. Both windows share one
+    * (chain)-partitioned sort over the AGGREGATED per-user volumes —
+    * users per chain, not events — and ranking is on the round-pinned
+    * volume with a user_id tie-break so both engines order identically.
+    * ntile/percent_rank are rank arithmetic (no float accumulation);
+    * percent_rank is re-rounded because (rank−1)/(n−1) is a division.
+    */
+  def userValueQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val volume = Tables.events(spark, sfDir)
+      .groupBy((col("event_id") % 2).as("chain"), col("user_id"))
+      .agg(round(sum(col("value")), 4).as("volume"))
+    val w = Window.partitionBy(col("chain")).orderBy(col("volume"), col("user_id"))
+    volume
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .select(col("chain"), col("user_id"), col("volume"),
+        col("quartile"), col("pct_rank"))
+  }
+
+  val userValueQuartilesSql: String =
+    """WITH volume AS (
+      |  SELECT event_id % 2 AS chain, user_id, round(sum(value), 4) AS volume
+      |  FROM events GROUP BY 1, 2)
+      |SELECT chain, user_id, volume,
+      |       ntile(4) OVER w AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM volume
+      |WINDOW w AS (PARTITION BY chain ORDER BY volume, user_id)""".stripMargin
+
   /** Approximate sketch aggregates — the shapes that replace their exact
     * twins at 100 TB: HyperLogLog++ distinct counts (fixed-size sketch,
     * mergeable map-side) and t-digest percentiles (no global sort). No
