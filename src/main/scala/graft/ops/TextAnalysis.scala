@@ -111,6 +111,37 @@ object TextAnalysis {
        |FROM g""".stripMargin
   }
 
+  /** Language-ID quality, MEASURED: the confusion matrix of
+    * [[langid]]'s prediction against the corpus's labeled `lang` column,
+    * with each cell's share of its true-language row count — the same
+    * measured-quality discipline as the LSH precision/recall and ANN
+    * recall queries (a classifier you ship is a number, not a shape).
+    * The matrix is |langs|² rows; everything after the one linear
+    * scoring projection is aggregation over that tiny frame.
+    */
+  def langidQuality(docs: DataFrame): DataFrame = {
+    val m = langid(docs)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint() // fans into the cells and the per-lang totals
+    val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    m.join(tot, Seq("lang"))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 6).as("share"))
+  }
+
+  def textLangidQuality(spark: SparkSession, sfDir: String): DataFrame =
+    langidQuality(Tables.documents(spark, sfDir))
+
+  val textLangidQualitySql: String =
+    s"""WITH m AS (
+       |  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM ($textLangidSql) b GROUP BY 1, 2),
+       |t AS (SELECT lang, sum(n) AS t FROM m GROUP BY 1)
+       |SELECT m.lang, m.predicted_lang, m.n,
+       |       round(CAST(m.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share
+       |FROM m JOIN t ON m.lang = t.lang""".stripMargin
+
   /** Quality scoring: token count, type-token ratio, mean token length,
     * short-token ratio, and a composite score — the length/ratio heuristics
     * a pretraining filter runs per document.
