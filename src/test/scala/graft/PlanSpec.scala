@@ -123,4 +123,45 @@ class PlanSpec extends SparkSpec {
     assert(plan("text_mix").contains("BroadcastHashJoin"))
     assert(plan("text_length_outliers").contains("BroadcastHashJoin"))
   }
+
+  test("text_cooc_pmi: global top-k via TakeOrdered; corpus totals broadcast") {
+    val p = plan("text_cooc_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the PMI top-k must be per-partition heaps, not a global sort window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast")
+  }
+
+  test("text_shards: no global window — the only window input is shard summaries") {
+    // the localCheckpoint in shardAssignment hides the geometry behind an
+    // ExistingRDD in the full query (the winnow lesson), so assert on the
+    // generator's own plan: same two-level shape text_pack guards
+    import org.apache.spark.sql.functions._
+    val geo = graft.ops.TextAnalysis.packGeometry(
+      graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+    val p = geo.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("windowspecdefinition\\(shard#\\d+L, doc_id".r.findFirstIn(p).isDefined,
+      "the row-level prefix sum must run inside (shard) partitions")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isEmpty,
+      "no window may scan the corpus in global doc_id order")
+    // and the full query must not smuggle a global doc-ordered window in
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan("text_shards")).isEmpty)
+  }
+
+  test("price_rolling: the rolling window is chain-partitioned, never global") {
+    val p = plan("price_rolling")
+    assert("windowspecdefinition\\(chain#\\d+L, price_date".r.findFirstIn(p).isDefined,
+      "the 7-day frame must run inside (chain) partitions")
+  }
+
+  test("text_entropy and text_dup_coverage: hash aggs only, no window or cross join") {
+    Seq("text_entropy", "text_dup_coverage").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("Window"), s"$q must not use a window")
+    }
+  }
 }
