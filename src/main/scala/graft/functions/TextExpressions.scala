@@ -183,6 +183,31 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Unigram-distribution statistics of a token array:
+    * (n_tokens, n_types, Σ c·ln c) — the lexical-entropy inputs
+    * (H = ln n − Σ c·ln c / n), computed in one hash-map walk instead of
+    * a doc×token shuffle + per-doc re-group. The float sum's iteration
+    * order differs from a hash aggregate's — both are round-pinned by
+    * the consumer before comparison.
+    */
+  def tokEntropy(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < n) {
+      counts.merge(toks.getUTF8String(i).toString, Integer.valueOf(1),
+        (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().doubleValue()
+      sum += c * Math.log(c)
+    }
+    InternalRow(n.toLong, counts.size.toLong, sum)
+  }
+
   /** Word-3-gram multiset statistics of a token array:
     * (total_3grams, distinct_3grams, top_count) — the Gopher repetition
     * filter's inputs, computed in one hash-map walk. Caller guarantees
@@ -337,6 +362,33 @@ case class NgramStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `tok_entropy(tokens)` → struct(n_tokens, n_types, sum_clnc): the
+  * lexical-entropy inputs without shuffling the token stream.
+  */
+case class TokEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("sum_clnc", DoubleType, nullable = false)))
+  override def prettyName: String = "tok_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tok_entropy expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextKernels.tokEntropy(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.tokEntropy($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokEntropy =
+    copy(child = newChild)
+}
+
 object TextFunctions {
 
   /** Register `simhash56` and `ngram_stats`; idempotent (see
@@ -361,6 +413,10 @@ object TextFunctions {
         "minhash_sig",
         exprs => MinhashSig(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    }
+    if (!registry.functionExists(FunctionIdentifier("tok_entropy"))) {
+      registry.createOrReplaceTempFunction(
+        "tok_entropy", exprs => TokEntropy(exprs(0)), "built-in")
     }
     if (!registry.functionExists(FunctionIdentifier("winnow_fps"))) {
       registry.createOrReplaceTempFunction(

@@ -692,23 +692,28 @@ object TextAnalysis {
     * ([[repetitionStats]] counts repeated PHRASES; entropy measures the
     * whole unigram distribution's concentration).
     *
-    * Shape: two hash aggregations (doc×token term frequency, then per-doc
-    * rollup) — linear, partial-agg friendly, zero joins/windows. The
-    * entropy uses the algebraic form H = ln n − (Σ c·ln c)/n so each
-    * term is computed from integers and summed (no per-term division),
-    * identically spelled on both engines; round(6) pins the float.
+    * Shape: ONE codegen'd projection — the `tok_entropy` kernel walks
+    * each document's token array and returns (n, types, Σ c·ln c) with
+    * no explode and zero shuffle (the exploded formulation moves the
+    * whole token stream across the cluster just to re-group on doc_id).
+    * The entropy uses the algebraic form H = ln n − (Σ c·ln c)/n so each
+    * term is computed from integer counts (no per-term division); the
+    * oracle keeps the exploded two-agg spelling — same multiset of
+    * terms, round(6) pins the float sum's order sensitivity.
     */
-  def lexicalEntropy(docs: DataFrame): DataFrame =
-    Tables.tokens(docs)
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).cast("long").as("n_types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sum_clnc"))
-      .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
-        round(log(col("n_tokens").cast("double")) -
-          col("sum_clnc") / col("n_tokens").cast("double"), 6).as("entropy_nats"))
+  def lexicalEntropy(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        expr("tok_entropy(split(text, '\\\\s+'))").as("e"))
+      .select(col("doc_id"),
+        col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"),
+        round(col("e.n_types").cast("double") /
+          col("e.n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("e.n_tokens").cast("double")) -
+          col("e.sum_clnc") / col("e.n_tokens").cast("double"), 6).as("entropy_nats"))
+  }
 
   def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
     lexicalEntropy(Tables.documents(spark, sfDir))

@@ -86,6 +86,24 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(kernel == exploded)
   }
 
+  test("tok_entropy kernel == exploded term-frequency aggregation") {
+    val docs = randDocs(33).filter(length(col("text")) > 0)
+    val kernel = graft.ops.TextAnalysis.lexicalEntropy(docs)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val exploded = Tables.tokens(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sum_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sum_clnc") / col("n_tokens").cast("double"), 6).as("entropy_nats"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(kernel == exploded)
+  }
+
   test("jaccard pairs over shingle_hashes sets == naive string inverted-index join") {
     val docs = randDocs(44, n = 40)
     val kernel = Dedup.ngramJaccardPairs(docs)

@@ -157,11 +157,15 @@ class PlanSpec extends SparkSpec {
       "the 7-day frame must run inside (chain) partitions")
   }
 
-  test("text_entropy and text_dup_coverage: hash aggs only, no window or cross join") {
-    Seq("text_entropy", "text_dup_coverage").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), q)
-      assert(!p.contains("Window"), s"$q must not use a window")
-    }
+  test("text_entropy: tok_entropy kernel — single projection, zero shuffle") {
+    val p = plan("text_entropy")
+    assert(p.contains("tok_entropy"), "the kernel must be in the plan")
+    assert(!p.contains("Exchange"), "array-side entropy must not shuffle")
+  }
+
+  test("text_dup_coverage: hash aggs only, no window or cross join") {
+    val p = plan("text_dup_coverage")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "dup coverage must not use a window")
   }
 }
