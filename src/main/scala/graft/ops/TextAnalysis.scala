@@ -818,14 +818,23 @@ object TextAnalysis {
     * distinct 3-gram shingles that occur in at least one OTHER document
     * — the per-document "how much of me is boilerplate" number
     * (RefinedWeb's dup-n-gram coverage metric), read next to the
-    * repetition ratios (which measure WITHIN-doc repeats). One shuffle
-    * on the shingle for the corpus document-frequency count, one join
-    * back, one per-doc rollup — all linear in shingle volume.
+    * repetition ratios (which measure WITHIN-doc repeats). The
+    * per-document distinct-shingle sets come from the `shingle_hashes`
+    * kernel (one codegen pass, no explode+distinct shuffle); the only
+    * corpus-wide movement is the document-frequency count and the join
+    * back — both over 8-byte hash rows, not shingle strings. The oracle
+    * intersects the shingle STRINGS (hashes are engine-internal and
+    * injective, ~D²/2⁶⁵ collision odds).
     */
   def dupCoverage(docs: DataFrame): DataFrame = {
-    val sh = Tables.shingles(docs)
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("shingle"))
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val ex = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr("shingle_hashes(toks)")).as("h"))
+      .localCheckpoint() // fans into the DF count and the join back
+    val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(df, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_shingles"))
