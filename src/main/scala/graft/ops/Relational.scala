@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -426,6 +426,31 @@ object Relational {
     * that, swap the daily grain for an hourly one long before the square
     * overflows.) Two hash aggregations; the per-type stats broadcast.
     */
+  /** Per-type history profile over (event_type, d, n_events) daily
+    * counts: exact integer sums (n_days, Σx, Σx²) — the broadcastable
+    * state both the batch labeler and the streaming twin score against.
+    */
+  def typeStats(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n_events")).cast("long").as("s"),
+        sum(col("n_events") * col("n_events")).cast("long").as("q"))
+
+  /** z-score of `n_events` against the (n_days, s, q) profile columns.
+    * Sample variance from exact sums; clamp the tiny negative a float
+    * subtraction can leave, and nullif the σ=0 divisor (constant series
+    * have no z-score — NULL in both engines, never an IEEE infinity).
+    */
+  def anomalyZ: Column = {
+    val nd = col("n_days").cast("double")
+    val mean = col("s").cast("double") / nd
+    val variance = greatest(
+      (col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / nd)
+        / (nd - 1.0), lit(0.0))
+    round((col("n_events").cast("double") - mean) /
+      nullif(sqrt(variance), lit(0.0)), 6)
+  }
+
   def eventAnomaly(events: DataFrame): DataFrame = {
     // (type, day) counts feed BOTH the stats aggregate and the labeling
     // join; without operator-owned storage the events scan + partial agg
@@ -435,23 +460,9 @@ object Relational {
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).cast("long").as("n_events"))
       .localCheckpoint()
-    val stats = daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).cast("long").as("n_days"),
-        sum(col("n_events")).cast("long").as("s"),
-        sum(col("n_events") * col("n_events")).cast("long").as("q"))
-    val nd = col("n_days").cast("double")
-    val mean = col("s").cast("double") / nd
-    // sample variance from exact sums; clamp the tiny negative a float
-    // subtraction can leave, and nullif the σ=0 divisor (constant series
-    // have no z-score — NULL in both engines, never an IEEE infinity)
-    val variance = greatest(
-      (col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / nd)
-        / (nd - 1.0), lit(0.0))
-    val z = round((col("n_events").cast("double") - mean) /
-      nullif(sqrt(variance), lit(0.0)), 6)
-    daily.join(broadcast(stats), Seq("event_type"))
+    daily.join(broadcast(typeStats(daily)), Seq("event_type"))
       .filter(col("n_days") > 1)
-      .withColumn("z_score", z)
+      .withColumn("z_score", anomalyZ)
       .select(col("event_type"), col("d").cast("string").as("day"),
         col("n_events"), col("z_score"),
         (abs(col("z_score")) > 2.0).as("is_anomaly"))

@@ -158,6 +158,33 @@ object StreamingPipeline {
         bucket.cast("double") < col("rate") * lit(4294967296.0))
   }
 
+  /** Streaming anomaly flags — the monitoring twin of the batch
+    * [[graft.ops.Relational.eventAnomaly]]: each closed event-time day
+    * window's count is z-scored against a per-type history profile from
+    * the STANDING corpus (a stream cannot know its own history; the
+    * profile is exact integer sums, tiny, and broadcasts). The windowed
+    * count is the only stateful stage; the scoring join and flag are
+    * stateless per emitted row, so alerts fire as soon as the watermark
+    * closes a day.
+    */
+  def anomalyStream(events: DataFrame, history: DataFrame,
+      lateness: String = "1 day"): DataFrame = {
+    val stats = graft.ops.Relational.typeStats(
+      history.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("n_events")))
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("day.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n_events"))
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(col("n_days") > 1)
+      .withColumn("z_score", graft.ops.Relational.anomalyZ)
+      .select(col("event_type"), col("day"), col("n_events"), col("z_score"),
+        (abs(col("z_score")) > 2.0).as("is_anomaly"))
+  }
+
   /** Streaming sessionization — the stateful twin of the batch
     * lag+running-sum `Relational.userSessions`: `session_window` merges
     * events into per-user sessions that close after `gap` of silence,

@@ -163,6 +163,39 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == Seq(1L))
   }
 
+  test("streaming anomaly: closed day windows score against the static history profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // 4 history days of 'click': 1, 1, 1, 3 events → mean 1.5, σ 1
+    val history = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (2L, ts("2024-01-02 01:00:00"), "click"),
+      (3L, ts("2024-01-03 01:00:00"), "click"),
+      (4L, ts("2024-01-04 01:00:00"), "click"),
+      (5L, ts("2024-01-04 02:00:00"), "click"),
+      (6L, ts("2024-01-04 03:00:00"), "click"))
+      .toDF("event_id", "ts", "event_type")
+    val q = StreamingPipeline.anomalyStream(
+        in.toDF().toDF("event_id", "ts", "event_type"), history, lateness = "1 hour")
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    in.addData( // spike day (4 events) and a normal day (2 events)
+      (10L, ts("2024-02-01 01:00:00"), "click"),
+      (11L, ts("2024-02-01 02:00:00"), "click"),
+      (12L, ts("2024-02-01 03:00:00"), "click"),
+      (13L, ts("2024-02-01 04:00:00"), "click"),
+      (14L, ts("2024-02-02 01:00:00"), "click"),
+      (15L, ts("2024-02-02 02:00:00"), "click"))
+    q.processAllAvailable()
+    in.addData((20L, ts("2024-02-05 01:00:00"), "click")) // advance the watermark
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("anom")
+      .select("day", "n_events", "z_score", "is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("2024-02-01") == ((4L, 2.5, true)))
+    assert(got("2024-02-02") == ((2L, 0.5, false)))
+  }
+
   test("daily tumbling window aggregates per (chain, day)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxRow]
