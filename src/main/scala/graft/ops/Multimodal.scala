@@ -96,6 +96,36 @@ object Multimodal {
       |       CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
       |FROM documents""".stripMargin
 
+  /** Exact media dedup by content checksum — the first pass every
+    * multimodal ingest runs (mirrors of the same image/clip re-crawled
+    * under different ids): one hash-agg on the payload checksum, keep
+    * the minimum media id, and report the duplicate count and the bytes
+    * a dedup'd store saves. The media-table twin of `dedup_exact`.
+    */
+  def multimodalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaDedup(multimodalMeta(spark, sfDir))
+
+  /** The dedup core over any (media_id, checksum, byte_len, ...) frame. */
+  def mediaDedup(meta: DataFrame): DataFrame =
+    meta
+      .groupBy(col("checksum"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).cast("long").as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .select(col("checksum"), col("keep_media_id"), col("n_copies"),
+        col("byte_len"), ((col("n_copies") - 1) * col("byte_len")).as("wasted_bytes"))
+
+  val multimodalDedupSql: String =
+    """WITH m AS (
+      |  SELECT md5(text) AS checksum, doc_id AS media_id,
+      |         CAST(strlen(text) AS BIGINT) AS byte_len
+      |  FROM documents)
+      |SELECT checksum, min(media_id) AS keep_media_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies,
+      |       min(byte_len) AS byte_len,
+      |       (CAST(count(*) AS BIGINT) - 1) * min(byte_len) AS wasted_bytes
+      |FROM m GROUP BY 1""".stripMargin
+
   /** Frame-sampling stride and resize target (fit the longest side to
     * [[FRAME_TARGET]], preserving aspect ratio in pure integer math so
     * both engines agree bit-for-bit).

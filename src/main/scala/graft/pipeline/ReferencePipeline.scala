@@ -55,6 +55,29 @@ object ReferencePipeline {
        |  ON t.chain = p.chain AND CAST(t.createdAt AS DATE) = p.price_date
        |WHERE t.createdAt > TIMESTAMP '$WM'""".stripMargin
 
+  /** The flagship enrichment through the SALTED join path
+    * ([[graft.ops.Skew.saltedJoin]]) — the fallback for when the dim has
+    * outgrown the broadcast threshold but one hot key (a dominant chain)
+    * would skew a plain shuffle join: the fact side salts on `_id`, the
+    * dim replicates ×factor, and one hot (chain, day) spreads over
+    * `factor` tasks. The oracle is tx_enrich's own SQL — the driver's
+    * exact-hash compare proves the salted plan changes bytes nowhere,
+    * the same proof discipline as `salted_user_volume`.
+    */
+  def txEnrichSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = txSince(spark, sfDir, WM)
+      .withColumn("price_date", to_date(col("createdAt")))
+    val joined = graft.ops.Skew.saltedJoin(
+      t, dailyPrice(spark, sfDir), Seq("chain", "price_date"), "_id")
+    joined.select(col("_id"), col("createdAt"), col("stashId"), col("stake"),
+      col("alreadyBonded"), col("successful"), col("chain"),
+      col("price").as("priceUSD"),
+      when(col("successful"),
+        when(col("stake") === col("alreadyBonded"), col("stake") * col("price"))
+          .otherwise(abs(col("stake") - col("alreadyBonded")) * col("price")))
+        .otherwise(lit(0.0)).as("txDollarValue"))
+  }
+
   /** The daily price dimension itself (the one aggregation the fixture
     * mapping adds — SURVEY.md §2.4). Dates emitted as ISO strings so both
     * engines hash identically.

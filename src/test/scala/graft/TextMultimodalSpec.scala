@@ -424,6 +424,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(3L)._5 > 0.0 && got(3L)._5 < got(1L)._5)
   }
 
+  test("media dedup: planted checksum twins collapse to min id with wasted bytes") {
+    val meta = Seq(
+      (1L, "aa", 100L), (7L, "aa", 100L), (9L, "aa", 100L), // 3 copies
+      (2L, "bb", 40L))
+      .toDF("media_id", "checksum", "byte_len")
+    val got = Multimodal.mediaDedup(meta)
+      .select("checksum", "keep_media_id", "n_copies", "byte_len", "wasted_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("aa") == (("aa", 1L, 3L, 100L, 200L)))
+    assert(got("bb") == (("bb", 2L, 1L, 40L, 0L)))
+  }
+
   test("cooc pmi: window-2 pair counts and the exact PMI value") {
     // "a b a b a b": 9 forward pairs in window 2 — (a,b)x5, (a,a)x2, (b,b)x2;
     // only (a,b) clears min-count 5. PMI = ln(5 * 6^2 / (9 * 3 * 3))
