@@ -426,6 +426,32 @@ object Relational {
     * that, swap the daily grain for an hourly one long before the square
     * overflows.) Two hash aggregations; the per-type stats broadcast.
     */
+  /** Daily event counts PIVOTED into one column per event type — the
+    * wide daily-health table a dashboard reads directly. The type list
+    * is declared (the monitoring contract's fixed vocabulary), so Spark
+    * compiles the pivot to one pass of CASE-filtered counts — no
+    * distinct-values pre-query, no second shuffle — and the oracle
+    * spells the identical FILTER arms. Unseen types produce 0 via the
+    * count, never NULL.
+    */
+  val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .pivot("event_type", EVENT_TYPES)
+      .agg(count(lit(1)))
+      .na.fill(0L, EVENT_TYPES)
+
+  val eventTypePivotSql: String = {
+    val arms = EVENT_TYPES
+      .map(t => s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+      .mkString(",\n      |       ")
+    s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |       $arms
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   /** Per-type history profile over (event_type, d, n_events) daily
     * counts: exact integer sums (n_days, Σx, Σx²) — the broadcastable
     * state both the batch labeler and the streaming twin score against.
