@@ -1202,6 +1202,78 @@ object Dedup {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDup(Tables.embeddings(spark, sfDir))
 
+  /** Approximate k-NN GRAPH over the whole embedding corpus: each
+    * vector's top-[[KNN_K]] neighbors by cosine among its hyperplane-LSH
+    * bucket mates — the construction primitive under embedding-space
+    * clustering, SemDeDup-style pruning, and graph-based ANN indexes
+    * (every per-vector query so far returns best-1 or a fixed query
+    * set's top-k; this is all-vectors × top-k). Same bucket-bounded
+    * candidate generation as [[embeddingNearDup]]; multi-table duplicate
+    * candidates collapse in a (vec_id, nn_id) hash agg (cosines are
+    * identical across tables), and the rank window runs per vector over
+    * its bucket-bounded candidate list, never the corpus.
+    */
+  val KNN_K = 3
+
+  def knnGraph(emb: DataFrame, k: Int = KNN_K, dim: Int = EMB_DIM): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = Similarity.withNorm(emb).localCheckpoint()
+    val buckets = base.select(
+      col("vec_id"), col("embedding"), col("nm"),
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), bucketCol(t, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val a = buckets.select(col("t"), col("bucket"), col("vec_id"),
+      col("embedding").as("ea"), col("nm").as("na"))
+    val b = buckets.select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
+      col("embedding").as("eb"), col("nm").as("nb"))
+    val cand = a.join(b, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6).as("cosine"))
+      .groupBy(col("vec_id"), col("nn_id")).agg(min(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("nn_id"), col("cosine"), col("rn"))
+  }
+
+  def simsearchKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, sfDir))
+
+  val simsearchKnnGraphSql: String = {
+    val bucketUnion = (0 until HYP_TABLES)
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${Similarity.UNNEST_CTE},
+       |${Similarity.NORM_CTE},
+       |buckets AS (
+       |  $bucketUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nn_id
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |dots AS (
+       |  SELECT c.vec_id, c.nn_id, sum(a.x * b.x) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.vec_id
+       |  JOIN u b ON b.vec_id = c.nn_id AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT d.vec_id, d.nn_id,
+       |         round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.vec_id = n1.vec_id
+       |  JOIN nrm n2 ON d.nn_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, nn_id) AS rn
+       |  FROM cos)
+       |SELECT vec_id, nn_id, cosine, rn
+       |FROM ranked WHERE rn <= $KNN_K""".stripMargin
+  }
+
   /** Cosine threshold for SEMANTIC clustering — looser than the 0.9
     * near-dup flag: clusters group vectors whose best LSH-bucketed match
     * clears this bar (the fixture corpus has no ≥0.9 pairs; real corpora

@@ -246,6 +246,31 @@ class DedupSpec extends SparkSpec {
     assert(nAgree >= 1 && nAgree <= Dedup.NUM_HASHES)
   }
 
+  test("knn graph: planted twin ranks first; ranks dense from 1; k bounds each list") {
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val emb = Seq(
+      (1L, v1, 0), (2L, v1.map(_ * 2.0f), 0), // twins, cosine 1
+      (3L, v1.map(_ + 0.5f), 0),              // close
+      (4L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val g = Dedup.knnGraph(emb, k = 2, dim = 8)
+      .select("vec_id", "nn_id", "cosine", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    val byVec = g.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // each twin's rank-1 neighbor is the other twin at cosine 1
+    assert(byVec(1L).head._2 == 2L && byVec(1L).head._3 == 1.0)
+    assert(byVec(2L).head._2 == 1L && byVec(2L).head._3 == 1.0)
+    // list length <= k, ranks dense from 1, cosine non-increasing
+    byVec.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_._4).toSeq == (1 to rows.length))
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+
   test("source dup stats: near-dup pair counts against its source, clean source reports 0") {
     val nearDup = base.replaceFirst("window", "vector")
     val d = Seq(
