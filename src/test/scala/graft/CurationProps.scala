@@ -58,4 +58,44 @@ object CurationProps extends Properties("Curation") {
           (rate < 1.0 || (sDocs == nDocs && sToks == langToks))
       }
     }
+
+  property("sharding: token totals conserved, shard ids in range, doc ranges contiguous") =
+    forAll(genCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val shards = TextAnalysis.shardAssignment(df)
+        .select("shard_id", "n_docs", "shard_tokens", "min_doc", "max_doc")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val totalTokens = rows.map(_._2.split("\\s+").length.toLong).sum
+      val conserved = shards.map(_._3).sum == totalTokens &&
+        shards.map(_._2).sum == rows.length.toLong
+      val inRange = shards.forall(s =>
+        s._1 >= 0 && s._1 < TextAnalysis.SHARD_COUNT)
+      val contiguous = shards.sliding(2).forall {
+        case Array(a, b) => a._5 < b._4
+        case _ => true
+      }
+      conserved && inRange && contiguous
+    }
+
+  property("entropy: 0 <= H <= ln(n_tokens) + eps, TTR = types/tokens, kernel totals exact") =
+    forAll(genCorpus) { rows =>
+      // varied tokens so entropy is non-trivial: replace the uniform 'w'
+      // filler with a cycling vocabulary, lengths preserved
+      val varied = rows.zipWithIndex.map { case ((id, text, lang, src), i) =>
+        val n = text.split("\\s+").length
+        (id, (0 until n).map(j => s"t${(i + j) % 5}").mkString(" "), lang, src)
+      }
+      val df = varied.toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.lexicalEntropy(df)
+        .select("doc_id", "n_tokens", "n_types", "ttr", "entropy_nats")
+        .as[(Long, Long, Long, Double, Double)].collect()
+      val expected = varied.map { case (id, text, _, _) =>
+        id -> text.split("\\s+").length.toLong
+      }.toMap
+      got.forall { case (id, n, types, ttr, h) =>
+        n == expected(id) && types <= n &&
+          math.abs(ttr - types.toDouble / n) < 1e-6 &&
+          h >= 0.0 && h <= math.log(n.toDouble) + 1e-6
+      }
+    }
 }
