@@ -959,6 +959,58 @@ object TextAnalysis {
   def textPack(spark: SparkSession, sfDir: String): DataFrame =
     packSequences(Tables.documents(spark, sfDir))
 
+  /** Per-SEQUENCE manifest of the packed layout: for every training
+    * sequence, how many documents contribute, the token count (exactly
+    * [[PACK_CAPACITY]] for all but the final partial sequence), and the
+    * contributing doc_id range — the loader-side index that turns the
+    * per-document geometry into "which docs do I read to materialize
+    * batch s". Each document explodes into its (end_seq − start_seq + 1)
+    * overlapping sequences with the exact token overlap
+    * min(end_off, (s+1)·C) − max(start_off, s·C); fan-out is
+    * |docs| + |sequences| segments (a doc adds one row per boundary it
+    * straddles), then one hash agg on seq_id.
+    */
+  def packManifest(docs: DataFrame): DataFrame = {
+    val geo = packSequences(docs)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("start_seq"), col("end_seq"))
+    geo
+      .select(col("doc_id"), col("start_off"),
+        (col("start_off") + col("n_tokens")).as("end_off"),
+        explode(expr("sequence(start_seq, end_seq)")).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        (least(col("end_off"), (col("seq_id") + 1) * PACK_CAPACITY) -
+          greatest(col("start_off"), col("seq_id") * PACK_CAPACITY)).as("seq_tokens"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("seq_tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def textPackManifest(spark: SparkSession, sfDir: String): DataFrame =
+    packManifest(Tables.documents(spark, sfDir))
+
+  val textPackManifestSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM n),
+       |seg AS (
+       |  SELECT doc_id, start_off, start_off + n_tokens AS end_off,
+       |         unnest(generate_series(start_off // $PACK_CAPACITY,
+       |                                (start_off + n_tokens - 1) // $PACK_CAPACITY)) AS seq_id
+       |  FROM o)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(least(end_off, (seq_id + 1) * $PACK_CAPACITY)
+       |                - greatest(start_off, seq_id * $PACK_CAPACITY)) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM seg GROUP BY 1""".stripMargin
+
   val textPackSql: String =
     s"""WITH ${Tables.TOK_CTE},
        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),

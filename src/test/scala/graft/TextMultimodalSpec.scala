@@ -473,6 +473,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.head._4 == 1L && got.last._5 == 16L)
   }
 
+  test("pack manifest: straddling docs split their tokens exactly at sequence cuts") {
+    // 100 + 50 + 30 tokens at capacity 128: seq 0 = doc1(100) + doc2(28),
+    // seq 1 = doc2(22) + doc3(30)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, words(100), "en", "s"), (2L, words(50), "en", "s"),
+      (3L, words(30), "en", "s"))
+    val got = TextAnalysis.packManifest(d)
+      .select("seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L, 128L, 1L, 2L), (1L, 2L, 52L, 2L, 3L)))
+  }
+
   test("ngram topk: per-language rank by count with shingle tie-break") {
     val d = docs(
       (1L, "x y z x y z x y z", "en", "s"), // 'x y z'×3, 'y z x'×2, 'z x y'×2
