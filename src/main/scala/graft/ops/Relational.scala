@@ -426,6 +426,45 @@ object Relational {
     * that, swap the daily grain for an hourly one long before the square
     * overflows.) Two hash aggregations; the per-type stats broadcast.
     */
+  /** DAU / rolling-7-day WAU / stickiness per day — the engagement
+    * rollup every metrics dashboard carries. A distinct-over-window is
+    * not expressible as a window aggregate, and the naive day-range
+    * self-join is quadratic in days; instead each (user, activity-day)
+    * row EXPLODES into the 7 report days it counts toward (fixed ×7
+    * fan-out, linear), and WAU is a count-distinct per report day.
+    * Report days with no activity of their own drop via the inner join
+    * to DAU — a day that never happened has no dashboard row.
+    */
+  def eventWau(spark: SparkSession, sfDir: String): DataFrame = {
+    // the distinct (day, user) frame fans into DAU, the WAU explode
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).cast("long").as("dau"))
+    val wau = du
+      .select(col("user_id"), explode(expr("sequence(d, date_add(d, 6))")).as("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").cast("string").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  val eventWauSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+      |contrib AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |                CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM du),
+      |wau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |        FROM contrib GROUP BY 1)
+      |SELECT CAST(a.d AS VARCHAR) AS day, a.dau, w.wau,
+      |       round(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+      |FROM dau a JOIN wau w ON a.d = w.d""".stripMargin
+
   /** Daily event counts PIVOTED into one column per event type — the
     * wide daily-health table a dashboard reads directly. The type list
     * is declared (the monitoring contract's fixed vocabulary), so Spark
