@@ -880,12 +880,15 @@ object Dedup {
     * path halving: each round a node takes the min of its own label, its
     * neighbors' labels, and its label's label (pointer jumping), which
     * converges in O(log diameter) rounds instead of O(diameter). Every
-    * round is two equi-joins + a hash agg over (node, label) rows —
-    * nothing driver-side but the per-round changed COUNT, and each round
-    * is localCheckpoint'ed so lineage stays flat (the k-means lesson).
-    * The result is the unique per-component fixpoint, so the round count
-    * never shows in the output; the oracle replays the same fixpoint as a
-    * recursive CTE.
+    * round is two equi-joins + a hash agg over (node, label) rows, and
+    * each round is localCheckpoint'ed so lineage stays flat (the k-means
+    * lesson). Convergence detection is a single scalar `sum(rep)` over
+    * the checkpointed round output: labels are MONOTONE non-increasing
+    * under min-propagation (each new label is a min that includes the old
+    * label), so the label sum strictly decreases iff any node changed —
+    * an exact test with no per-round compare join. The result is the
+    * unique per-component fixpoint, so the round count never shows in
+    * the output; the oracle replays the same fixpoint as a recursive CTE.
     */
   /** Connected components over an arbitrary undirected pair list:
     * `nodes` carries one `id` column, `pairs` carries (d1, d2). Returns
@@ -911,32 +914,47 @@ object Dedup {
     // 99% through every round would multiply each iteration's shuffle by
     // the corpus/graph ratio. Singletons rejoin as their own component
     // after the fixpoint.
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint()
+    // Seed labels with min(self, direct neighbors) — the first
+    // propagation round folded into one agg over the already-materialized
+    // edge frame (no join needed: every edge endpoint offers its raw id),
+    // which collapses all diameter-1 components before the loop starts.
+    var labels = edges.select(col("d1").as("id"), col("d2").as("rep"))
+      .unionByName(edges.select(col("d1").as("id"), col("d1").as("rep")))
+      .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      .localCheckpoint()
+    // decimal(38,0) keeps the sum exact for arbitrary 64-bit id spaces
+    // (snowflake-style ids × billions of nodes overflow a long sum, and a
+    // wrapped sum would break the monotone-decrease convergence test)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      // null on an empty label frame (no pairs at all) → zero, so the
+      // loop exits on the first unchanged round instead of NPE-ing
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < MAX_CC_ROUNDS) {
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed && round < MAX_CC_ROUNDS) {
       // neighbor min: every node offers its current label across each edge
       val offers = edges.join(labels.withColumnRenamed("id", "d2"), Seq("d2"))
         .select(col("d1").as("id"), col("rep"))
       val viaNeighbors = labels.unionByName(offers)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-      // path halving: jump to the representative's representative. The
-      // node's OWN previous label rides along as `prev` (labels are
-      // already in the min), so convergence is a filter-count over the
-      // checkpointed round output — no extra per-round compare join.
+      // path halving: jump to the representative's representative
       val repOf = labels.select(col("id").as("r_key"), col("rep").as("rep2"))
-      val prevOf = labels.select(col("id"), col("rep").as("prev"))
       val next = viaNeighbors
         .join(repOf, viaNeighbors("rep") === repOf("r_key"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .join(prevOf, Seq("id"))
         .localCheckpoint()
-      changed = next.filter(col("rep") =!= col("prev")).count()
-      labels = next.select(col("id"), col("rep"))
+      // monotone-sum convergence: exact, one scalar agg over the
+      // checkpointed output, no compare join (see scaladoc)
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels = next
       round += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc-debug] rounds=$round")
     val singletons = nodes.select(col("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("rep"))

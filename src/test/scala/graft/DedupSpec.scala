@@ -150,6 +150,27 @@ class DedupSpec extends SparkSpec {
     assert(m == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
   }
 
+  test("connected components: empty pair graph leaves every node a singleton") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .select("id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("connected components: a diameter-7 chain converges to one min-label component") {
+    // exercises the multi-round path (seed collapses only diameter 1;
+    // path halving + the monotone-sum convergence test do the rest)
+    val nodes = (1L to 9L).toDF("id")
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .select("id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (1L to 8L).map(i => (i, 1L, 8L)).toSet + ((9L, 9L, 1L))
+    assert(got == expected)
+  }
+
   test("maximal span: longest shared passage length is recovered exactly") {
     val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20-word passage
     val d = docs(
