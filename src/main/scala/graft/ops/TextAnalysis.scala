@@ -1727,4 +1727,110 @@ object TextAnalysis {
        |SELECT b.n_docs, b.n_sources, b.n_langs, b.total_tokens, b.mean_doc_tokens,
        |       b.mean_quality, d.exact_dup_groups, d.exact_dup_docs, i.pii_docs
        |FROM base b CROSS JOIN dups d CROSS JOIN pii i""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Train/val/test split manifest
+  // --------------------------------------------------------------------
+
+  /** Split fractions: md5-bucket < 80 → train, < 90 → val, else test. */
+  val TRAIN_PCT = 80
+  val VAL_PCT = 10
+
+  /** Deterministic train/val/test split manifest: every document is
+    * assigned by its content-stable md5(doc_id) bucket (the same hash
+    * discipline as [[hashSample]] — repeatable across runs, engines, and
+    * re-ingestions, unlike `rand()`), and the manifest reports per
+    * (source, split) document and token mass — what a training job reads
+    * to verify the carve before consuming it. One codegen'd projection +
+    * one hash agg; nothing global.
+    */
+  def splitAssignment(docs: DataFrame): DataFrame = {
+    val bucket = md5Bucket(col("doc_id")) % 100
+    docs.select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TRAIN_PCT, "train")
+          .when(col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("split_tokens"))
+  }
+
+  def textSplit(spark: SparkSession, sfDir: String): DataFrame =
+    splitAssignment(Tables.documents(spark, sfDir))
+
+  val textSplitSql: String =
+    s"""WITH s AS (
+       |  SELECT source,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+       |           AS bucket
+       |  FROM documents)
+       |SELECT source,
+       |       CASE WHEN bucket < $TRAIN_PCT THEN 'train'
+       |            WHEN bucket < ${TRAIN_PCT + VAL_PCT} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |FROM s GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Deterministic seeded corpus shuffle
+  // --------------------------------------------------------------------
+
+  /** Seed string baked into the shuffle hash — changing it reshuffles the
+    * whole corpus deterministically (a new epoch order is one constant).
+    */
+  val SHUFFLE_SEED = "graft-epoch-0"
+
+  /** Bucket count for the two-level shuffle. At 100 TB this is the only
+    * knob: buckets bound the per-partition sort (corpus/buckets rows),
+    * and the offset table stays buckets-sized regardless of corpus size.
+    */
+  val SHUFFLE_BUCKETS = 64
+
+  /** Deterministic seeded global shuffle: assign every document its
+    * position in a pseudorandom total order — the epoch shuffle a
+    * training pipeline needs to be REPRODUCIBLE (resume mid-epoch, audit
+    * which example was step N) where `orderBy(rand())` is neither stable
+    * nor rerunnable. Order = md5(seed, doc_id); the global rank is
+    * computed WITHOUT a global sort via the two-level trick: hash-prefix
+    * buckets get cumulative offsets (a [[SHUFFLE_BUCKETS]]-row frame —
+    * the only single-partition window, bounded by the constant, never by
+    * the corpus), and each document ranks only within its bucket. The
+    * oracle states the same order as one flat `row_number()`.
+    */
+  def shuffleManifest(docs: DataFrame): DataFrame = {
+    val hk = md5(concat_ws(":", lit(SHUFFLE_SEED), col("doc_id").cast("string")))
+    val bucketed = docs
+      .select(col("doc_id"), hk.as("hk"))
+      .withColumn("bucket",
+        conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("hk"), col("doc_id"))
+    bucketed.withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("off") + col("rn") - 1).cast("long").as("pos"))
+  }
+
+  def textShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleManifest(Tables.documents(spark, sfDir))
+
+  val textShuffleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hk,
+       |         CAST(('0x' || substr(hk, 1, 4)) AS BIGINT) % $SHUFFLE_BUCKETS AS bucket
+       |  FROM (SELECT doc_id,
+       |               md5('$SHUFFLE_SEED' || ':' || CAST(doc_id AS VARCHAR)) AS hk
+       |        FROM documents))
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (ORDER BY bucket, hk, doc_id) - 1 AS BIGINT) AS pos
+       |FROM b""".stripMargin
 }

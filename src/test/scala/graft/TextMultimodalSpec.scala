@@ -502,4 +502,40 @@ class TextMultimodalSpec extends SparkSpec {
     // top-10 cap: no language reports more than 10 rows
     assert(got.groupBy(_._1).values.forall(_.length <= 10))
   }
+
+  test("split manifest: splits partition the corpus at the hash fractions, repeatably") {
+    val d = (0L until 1000L).map(i => (i, s"word a b c doc$i", "en", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = TextAnalysis.splitAssignment(d)
+      .select("source", "split", "n_docs", "split_tokens")
+      .as[(String, String, Long, Long)].collect()
+    // the three splits partition every source's documents exactly
+    assert(m.map(_._3).sum == 1000L)
+    assert(m.map(_._2).toSet == Set("train", "val", "test"))
+    // 5 tokens per doc -> token mass is exactly 5x the doc count
+    assert(m.forall(r => r._4 == 5L * r._3))
+    // md5 buckets land near the declared fractions (not a rand() carve)
+    val train = m.filter(_._2 == "train").map(_._3).sum
+    assert(train > 700L && train < 900L, s"train=$train")
+    // content-stable: a second run is bit-identical
+    val again = TextAnalysis.splitAssignment(d)
+      .select("source", "split", "n_docs", "split_tokens")
+      .as[(String, String, Long, Long)].collect()
+    assert(m.toSet == again.toSet)
+  }
+
+  test("shuffle manifest: a seeded permutation of 0..N-1, stable and non-identity") {
+    val d = (0L until 500L).map(i => (i, s"t$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pos = TextAnalysis.shuffleManifest(d)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // exactly a permutation: every position 0..N-1 hit once
+    assert(pos.values.toSet == (0L until 500L).toSet)
+    // the order is shuffled, not the identity (md5 is not monotone)
+    assert(pos.count { case (id, p) => id == p } < 50)
+    // reproducible: same seed -> same permutation
+    val again = TextAnalysis.shuffleManifest(d)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(pos == again)
+  }
 }
