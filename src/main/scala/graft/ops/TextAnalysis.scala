@@ -1133,6 +1133,59 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** False-positive rate for the decontamination Bloom pre-filter. */
+  val BLOOM_FPP = 0.01
+
+  /** Decontamination through a Bloom-filter pre-filter — the scale path
+    * for when the benchmark shingle set is too large to broadcast as an
+    * exact hash set (a many-suite eval union at 100 TB): the benchmark
+    * hashes fold into a Bloom filter DISTRIBUTED-side (Spark's own
+    * `BloomFilterAggregate`: per-partition partial Blooms, OR-merged),
+    * the corpus shingle stream probes it inside WholeStageCodegen and
+    * only the surviving ~fpp fraction reaches the exact confirm join.
+    * Bloom filters have no false negatives, so the result is IDENTICAL
+    * to [[decontam]] — same oracle — while the join input shrinks from
+    * the corpus's full shingle volume to (true hits + fpp · volume).
+    * The only driver-side state is the built filter itself (the
+    * broadcast-build-side pattern; bytes bounded by [[BLOOM_FPP]] and
+    * the benchmark size, never by the corpus).
+    */
+  def decontamBloom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.TextFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val shs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
+    val isBench = col("doc_id") % DECONTAM_MOD === 0
+    // fans into the sizing count, the Bloom build, and the confirm join
+    val bench = shs.filter(isBench)
+      .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
+    val nBench = math.max(bench.count(), 1L)
+    val nBits = graft.functions.BloomFunctions.optimalNumBits(nBench, BLOOM_FPP)
+    val bloomBytes = bench
+      .agg(call_function("bloom_agg", col("h"), lit(nBench), lit(nBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // empty benchmark -> no bloom -> nothing can be contaminated
+    val probe = if (bloomBytes == null) lit(false)
+      else call_function("bloom_might_contain", lit(bloomBytes), col("h"))
+    val counts = shs.filter(!isBench)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .filter(probe)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    docs.filter(!isBench)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .withColumn("contaminated", col("n_contam") > 0)
+  }
+
+  def textDecontamBloom(spark: SparkSession, sfDir: String): DataFrame =
+    decontamBloom(Tables.documents(spark, sfDir))
+
   /** The END-TO-END training-data assembly in one query — the README's
     * "Training-data assembly" order executed as a single composed plan
     * over the engine's own operators:

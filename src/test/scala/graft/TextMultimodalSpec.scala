@@ -503,6 +503,48 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length <= 10))
   }
 
+  test("bloom decontam is row-identical to exact decontam, and the bloom never misses") {
+    // doc_id 0 and 97 are the benchmark (≡ 0 mod DECONTAM_MOD); doc 1
+    // copies a benchmark phrase (contaminated), doc 2 shares nothing
+    val d = docs(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", "en", "s"),
+      (97L, "colorless green ideas sleep furiously every single night", "en", "s"),
+      (1L, "intro words then the quick brown fox jumps away", "en", "s"),
+      (2L, "completely disjoint vocabulary with no shared trigram here", "en", "s"))
+    val exact = TextAnalysis.decontam(d)
+      .select("doc_id", "n_contam", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val bloom = TextAnalysis.decontamBloom(d)
+      .select("doc_id", "n_contam", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(bloom == exact)
+    assert(bloom.exists { case (id, n, c) => id == 1L && n > 0L && c })
+    assert(bloom.contains((2L, 0L, false)))
+    // degenerate corpus with NO benchmark docs: everything clean
+    val noBench = docs((1L, "a b c d e", "en", "s"), (2L, "f g h i j", "en", "s"))
+    val clean = TextAnalysis.decontamBloom(noBench)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toSet
+    assert(clean == Set((1L, false), (2L, false)))
+  }
+
+  test("bloom_agg/bloom_might_contain: zero false negatives, fpp-bounded false positives") {
+    graft.functions.BloomFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val inserted = (1L to 2000L).toDF("h")
+    val nBits = graft.functions.BloomFunctions.optimalNumBits(2000L, 0.01)
+    val bf = inserted
+      .agg(call_function("bloom_agg", col("h"), lit(2000L), lit(nBits)))
+      .head.getAs[Array[Byte]](0)
+    def hits(values: org.apache.spark.sql.DataFrame): Long = values
+      .filter(call_function("bloom_might_contain", lit(bf), col("h"))).count()
+    // every inserted value must probe true — the invariant the
+    // decontam-bloom oracle equivalence rests on
+    assert(hits(inserted) == 2000L)
+    // false positives stay near the designed rate (1% + generous slack)
+    val fp = hits((100001L to 110000L).toDF("h"))
+    assert(fp < 500L, s"false positives: $fp / 10000")
+  }
+
   test("split manifest: splits partition the corpus at the hash fractions, repeatably") {
     val d = (0L until 1000L).map(i => (i, s"word a b c doc$i", "en", s"s${i % 2}"))
       .toDF("doc_id", "text", "lang", "source")
