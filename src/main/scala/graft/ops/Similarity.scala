@@ -965,6 +965,123 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Random-projection (Johnson–Lindenstrauss) recall
+  // --------------------------------------------------------------------
+
+  /** Deterministic ±1 Rademacher sign for projection component (j, i) —
+    * a splitmix-style integer mix with its own stream constants
+    * (distinct from the LSH hyperplanes), baked identically into the
+    * Spark and DuckDB expression builders; no RNG exists in either
+    * engine.
+    */
+  private def rpSign(j: Int, i: Int): Int = {
+    var x = (j.toLong * Dedup.EMB_DIM + i) * -8838822955498096741L +
+      3935559000370003845L
+    x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 29)
+    if (((x >>> 17) & 1L) == 1L) 1 else -1
+  }
+
+  private def rpSignArrSql(j: Int, dim: Int): String =
+    (0 until dim).map(i => s"CAST(${rpSign(j, i)} AS FLOAT)")
+      .mkString("array(", ", ", ")")
+
+  /** Rademacher random projection of the embedding column to `d`
+    * components: p_j = Σᵢ ±xᵢ, each component one `vec_dot` against a
+    * constant ±1 vector (codegen'd fused loop, exact: multiplying by
+    * ±1.0f is lossless and the fold is left-associated like the oracle's
+    * explicit chain), stored back as float — the dense JL sketch, the
+    * OTHER cheap dimensionality lever next to truncation ([[RECALL_DIMS]]):
+    * truncation works when the model front-loads signal (Matryoshka),
+    * random projection preserves pairwise geometry for ANY embedding at
+    * the JL distortion rate.
+    */
+  def rpProjected(emb: DataFrame, d: Int, dim: Int = Dedup.EMB_DIM): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), array((0 until d).map(j =>
+      expr(s"CAST(vec_dot(embedding, ${rpSignArrSql(j, dim)}) AS FLOAT)")): _*)
+      .as("embedding"))
+  }
+
+  /** recall@k of brute-force search in the projected space vs full-width
+    * truth, one row per projection width — the measured quality curve
+    * for the JL lever, twin of [[truncationRecall]].
+    */
+  def rpRecall(emb: DataFrame, dims: Seq[Int], isQuery: Column, k: Int): DataFrame = {
+    val truth = bruteForceTopk(emb, isQuery, k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = truth.count().toDouble
+    dims.map { d =>
+      bruteForceTopk(rpProjected(emb, d), isQuery, k)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def simsearchRecallRp(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    rpRecall(Tables.embeddings(spark, sfDir), RECALL_DIMS,
+      col("vec_id") < N_QUERIES, IVF_TOP_K)
+  }
+
+  /** Oracle: per width, project with the identical ±1 chain (left-
+    * associated, double accumulation, REAL-rounded components), unnest
+    * the projected list positionally, and replay the same top-k/recall
+    * machinery as the truncation oracle.
+    */
+  val simsearchRecallRpSql: String = {
+    def chain(j: Int): String = (0 until Dedup.EMB_DIM).map { i =>
+      val op = if (rpSign(j, i) > 0) "+" else "-"
+      s"$op CAST(embedding[${i + 1}] AS DOUBLE)"
+    }.mkString("CAST(0 AS DOUBLE) ", " ", "")
+    def topkBlock(name: String, src: String): String =
+      s"""${name}n AS (SELECT vec_id, sqrt(sum(x * x)) AS nm FROM $src GROUP BY 1),
+         |${name}d AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+         |  FROM $src a JOIN $src b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT d.q_id, d.n_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+         |    FROM ${name}d d
+         |    JOIN ${name}n n1 ON d.q_id = n1.vec_id
+         |    JOIN ${name}n n2 ON d.n_id = n2.vec_id)
+         |  WHERE rnk <= $IVF_TOP_K)""".stripMargin
+    val dimBlocks = RECALL_DIMS.map { d =>
+      val cols = (0 until d)
+        .map(j => s"CAST((${chain(j)}) AS REAL) AS x$j")
+        .mkString(",\n         ")
+      val lst = (0 until d).map(j => s"x$j").mkString("[", ", ", "]")
+      s"""p$d AS (
+         |  SELECT vec_id, $cols
+         |  FROM embeddings),
+         |u$d AS (
+         |  SELECT vec_id, CAST(unnest($lst) AS DOUBLE) AS x,
+         |         generate_subscripts($lst, 1) AS i
+         |  FROM p$d),
+         |${topkBlock(s"t$d", s"u$d")},
+         |h$d AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM t$d i JOIN bf b ON i.q_id = b.q_id AND i.n_id = b.n_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = RECALL_DIMS.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, n_hits,
+         |       round(CAST(n_hits AS DOUBLE)
+         |             / (SELECT CAST(count(*) AS DOUBLE) FROM bf), 6) AS recall_at_k
+         |FROM h$d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${UNNEST_CTE},
+       |${topkBlock("bf", "u")},
+       |$dimBlocks
+       |$selects""".stripMargin
+  }
+
   /** SemDeDup similarity threshold: within-cell pairs at or above this
     * cosine mark the higher-id member as a semantic duplicate.
     */

@@ -103,4 +103,35 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.toSeq == Seq((2L, 2L, 1.0)))
   }
+
+  test("random projection: ±1 components on basis vectors, identical vectors stay identical") {
+    // a basis vector's projection components are exactly the Rademacher
+    // signs — each must be ±1; identical inputs project identically
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val emb = Seq((0L, e0), (1L, e0), (2L, Array.fill(64)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.rpProjected(emb, 8)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(p(0L).forall(v => v == 1.0f || v == -1.0f))
+    assert(p(0L).toSeq == p(1L).toSeq)
+    assert(p(0L).length == 8)
+    // projection is deterministic across invocations
+    val again = Similarity.rpProjected(emb, 8).as[(Long, Array[Float])].collect().toMap
+    assert(p.view.mapValues(_.toSeq).toMap == again.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("rp recall: one row per width, recall within [0,1], perfect when geometry survives") {
+    // 64-dim one-hot corpus: projections of DISTINCT basis vectors are
+    // distinct sign patterns; recall is still a measured quantity in
+    // [0, 1] with exactly one output row per requested width
+    val emb = (0L until 12L).map(v =>
+      (v, Array.tabulate(64)(i => if (i == v.toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rpRecall(emb, Seq(8, 32), col("vec_id") < 2L, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(8L, 32L))
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // wider sketches can only help on this isotropic fixture
+    assert(got.last._2 >= got.head._2 - 1)
+  }
 }
