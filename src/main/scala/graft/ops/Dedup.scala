@@ -1363,4 +1363,66 @@ object Dedup {
        |FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
        |WHERE r.rn = 1""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Corpus snapshot diff
+  // --------------------------------------------------------------------
+
+  /** Simulated snapshot deltas over the fixture corpus: the "previous"
+    * snapshot is missing every [[DIFF_DROP_MOD]]-th document (those show
+    * as ADDED in the current one) and the current snapshot carries a
+    * revision marker on every [[DIFF_CHANGE_MOD]]-th document (CHANGED).
+    */
+  val DIFF_DROP_MOD = 11L
+  val DIFF_CHANGE_MOD = 13L
+
+  /** Snapshot diff — corpus versioning: given two cuts of the same
+    * document table, classify every doc_id as added / removed / changed
+    * / unchanged by content fingerprint and report counts per (source,
+    * status). The audit a curation pipeline runs between crawl drops:
+    * "what actually moved since the last snapshot, and where". One
+    * full-outer equi-join on the key, fingerprints computed scan-side —
+    * linear, shuffle only on doc_id.
+    */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), col("source").as("source_a"),
+      md5(col("text")).as("fp_a"))
+    val b = curr.select(col("doc_id"), col("source").as("source_b"),
+      md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_b"), col("source_a")).as("source"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val prev = docs.filter(col("doc_id") % DIFF_DROP_MOD =!= 0)
+    val curr = docs.withColumn("text",
+      when(col("doc_id") % DIFF_CHANGE_MOD === 0, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")))
+    snapshotDiff(prev, curr)
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, source AS source_a, md5(text) AS fp_a
+       |  FROM documents WHERE doc_id % $DIFF_DROP_MOD <> 0),
+       |b AS (
+       |  SELECT doc_id, source AS source_b,
+       |         md5(CASE WHEN doc_id % $DIFF_CHANGE_MOD = 0
+       |                  THEN text || ' rev2' ELSE text END) AS fp_b
+       |  FROM documents)
+       |SELECT coalesce(b.source_b, a.source_a) AS source,
+       |       CASE WHEN a.fp_a IS NULL THEN 'added'
+       |            WHEN b.fp_b IS NULL THEN 'removed'
+       |            WHEN a.fp_a <> b.fp_b THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -1782,6 +1782,63 @@ object TextAnalysis {
        |FROM base b CROSS JOIN dups d CROSS JOIN pii i""".stripMargin
 
   // --------------------------------------------------------------------
+  // Quality-budgeted selection (per-source nucleus)
+  // --------------------------------------------------------------------
+
+  /** Token budget per source as a percentage of the source's total. */
+  val QUALITY_BUDGET_PCT = 50L
+
+  /** Quality-budgeted selection — per-source nucleus sampling: rank each
+    * source's documents by quality (ties on doc_id), keep from the top
+    * until the kept token mass would exceed [[QUALITY_BUDGET_PCT]]% of
+    * the source's tokens, and report what survived. This is curation
+    * under an explicit token budget ("ship the best half of every
+    * source"), the selection rule quality-filter pipelines actually run
+    * — a fixed threshold keeps unpredictable mass, a budget keeps a
+    * predictable one. The cumulative sum is a per-source window over
+    * exact integer token counts (budget test in integer cross-multiplied
+    * form — no float drift), so the kept set is bit-identical across
+    * engines.
+    */
+  def qualityBudget(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    q.withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
+      .filter(col("cum") * 100 <= col("tot") * QUALITY_BUDGET_PCT)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"),
+        max(col("tot")).cast("long").as("source_tokens"),
+        round(min(col("quality_score")), 6).as("cutoff_quality"))
+  }
+
+  def textQualityBudget(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBudget(Tables.documents(spark, sfDir))
+
+  val textQualityBudgetSql: String =
+    s"""WITH q AS ($textQualitySql),
+       |c AS (
+       |  SELECT source, n_tokens, quality_score,
+       |         sum(n_tokens) OVER (PARTITION BY source
+       |                             ORDER BY quality_score DESC, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(n_tokens) OVER (PARTITION BY source) AS tot
+       |  FROM q)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |       CAST(max(tot) AS BIGINT) AS source_tokens,
+       |       round(min(quality_score), 6) AS cutoff_quality
+       |FROM c
+       |WHERE cum * 100 <= tot * $QUALITY_BUDGET_PCT
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Train/val/test split manifest
   // --------------------------------------------------------------------
 

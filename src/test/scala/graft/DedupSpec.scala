@@ -150,6 +150,24 @@ class DedupSpec extends SparkSpec {
     assert(m == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)))
   }
 
+  test("snapshot diff classifies added, removed, changed, and unchanged exactly") {
+    val prev = Seq(
+      (1L, "alpha text", "s1"), (2L, "beta text", "s1"),
+      (3L, "gamma text", "s2")) // 4 missing -> added; 3 dropped -> removed
+      .toDF("doc_id", "text", "source")
+    val curr = Seq(
+      (1L, "alpha text", "s1"),      // unchanged
+      (2L, "beta text revised", "s1"), // changed
+      (4L, "delta text", "s2"))      // added
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.snapshotDiff(prev, curr)
+      .select("source", "status", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", "unchanged", 1L), ("s1", "changed", 1L),
+      ("s2", "added", 1L), ("s2", "removed", 1L)))
+  }
+
   test("connected components: empty pair graph leaves every node a singleton") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")

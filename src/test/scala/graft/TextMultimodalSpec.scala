@@ -566,6 +566,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.toSet == again.toSet)
   }
 
+  test("quality budget keeps the best docs until the source token budget is hit") {
+    // source s: four 10-token docs with strictly ordered quality (more
+    // repetition -> lower ttr -> lower score). Budget 50% of 40 tokens
+    // = 20 tokens -> exactly the two best docs survive.
+    def doc(distinct: Int): String =
+      ((1 to distinct).map(i => s"w$i") ++ Seq.fill(10 - distinct)("w1")).mkString(" ")
+    val d = docs(
+      (1L, doc(10), "en", "s"), (2L, doc(8), "en", "s"),
+      (3L, doc(6), "en", "s"), (4L, doc(4), "en", "s"))
+    val got = TextAnalysis.qualityBudget(d)
+      .select("source", "n_docs_kept", "tokens_kept", "source_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("s", 2L, 20L, 40L)))
+    // the cutoff is doc 2's score: the worst KEPT quality
+    val cutoff = TextAnalysis.qualityBudget(d).select("cutoff_quality")
+      .as[Double].head()
+    val q2 = TextAnalysis.quality(d).filter($"doc_id" === 2L)
+      .select("quality_score").as[Double].head()
+    assert(cutoff == q2)
+  }
+
   test("shuffle manifest: a seeded permutation of 0..N-1, stable and non-identity") {
     val d = (0L until 500L).map(i => (i, s"t$i", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
