@@ -94,6 +94,65 @@ object StreamingPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class BandRow(doc_id: Long, ts: Timestamp, band_no: Int, bucket: String)
+  case class BandMatch(d1: Long, d2: Long, band_no: Int)
+
+  /** Streaming NEAR-dup candidates — the firehose twin of
+    * `Dedup.minhashPairs`: each arriving document computes its MinHash
+    * signature with the same single-pass `minhash_sig` kernel (a
+    * stateless projection, unchanged from batch) and its LSH band
+    * buckets; keyed state holds the FIRST document seen per (band,
+    * bucket) and every later arrival in that bucket emits a candidate
+    * pair against it. State is bounded two ways: one long per occupied
+    * bucket (never per document pair), aged out by the event-time
+    * timeout once the watermark passes `lateness` — the only policy
+    * that survives an unbounded crawl. A document matching on several
+    * bands emits one candidate per band (the batch operator's
+    * `n_bands` count is the same information aggregated); exact-verify
+    * (Jaccard on the pair) remains a downstream batch step, as in the
+    * batch pipeline.
+    */
+  def nearDupStream(docs: DataFrame, tsCol: String,
+      lateness: String = "1 hour"): Dataset[BandMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.TextFunctions.register(spark)
+    val bands = (0 until graft.ops.Dedup.NUM_BANDS).map { b =>
+      val parts = (0 until graft.ops.Dedup.ROWS_PER_BAND).map(r =>
+        element_at(col("sig"), b * graft.ops.Dedup.ROWS_PER_BAND + r + 1))
+      struct(lit(b).as("band_no"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    }
+    docs
+      .select(col("doc_id"), col(tsCol).as("ts"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        expr(s"minhash_sig(toks, ${graft.ops.Dedup.NUM_HASHES})").as("sig"))
+      .select(col("doc_id"), col("ts"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("ts"),
+        col("b.band_no").as("band_no"), col("b.bucket").as("bucket"))
+      .withWatermark("ts", lateness)
+      .as[BandRow]
+      .groupByKey(r => (r.band_no, r.bucket))
+      .flatMapGroupsWithState[Long, BandMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // earliest (ts, doc_id) is the bucket representative,
+            // matching the batch pair orientation (d1 < d2 by arrival)
+            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val (rep, later) =
+              if (state.exists) (state.get, batch)
+              else { state.update(batch.head.doc_id); (batch.head.doc_id, batch.tail) }
+            // keep bucket state only while the watermark can still
+            // deliver a matching document
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, lateness)
+            later.iterator.filter(_.doc_id != rep)
+              .map(r => BandMatch(rep, r.doc_id, key._1))
+          }
+      }
+  }
+
   /** Streaming corpus gate — the batch quality/sampling operators applied
     * UNCHANGED to a document stream: [[graft.ops.TextAnalysis.quality]]
     * and [[graft.ops.TextAnalysis.hashSample]]'s bucket predicate are

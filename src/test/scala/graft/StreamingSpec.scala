@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L))
   }
 
+  test("streaming near-dup emits band candidates against the first-seen bucket doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "spark table scan hash join sort merge window agg batch " +
+      "stream filter group key value row column line part query"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.nearDupStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "ts")
+      .writeStream.format("memory").queryName("neardupstream")
+      .outputMode("append").start()
+    in.addData((1L, ts("2024-01-11 01:00:00"), base))
+    q.processAllAvailable()
+    in.addData(
+      // 1-word edit of doc 1, arriving a batch later -> candidate (1, 2)
+      (2L, ts("2024-01-11 01:05:00"), base.replaceFirst("window", "vector")),
+      (3L, ts("2024-01-11 01:06:00"),
+        "dup big small fast slow the a customer data order sort key line"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardupstream")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("streaming corpus gate: batch quality/sample operators run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, String, String)]
