@@ -168,4 +168,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"), "dup coverage must not use a window")
   }
+
+  test("text_split: one projection + one hash agg, no window, no join") {
+    val p = plan("text_split")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "the split manifest is a projection + aggregation, nothing more")
+    assert(p.contains("partial_"), "split counts must combine map-side")
+  }
+
+  test("text_shuffle: per-bucket rank only — no window in global hash order") {
+    val p = plan("text_shuffle")
+    // the per-document rank runs inside (bucket) partitions
+    assert("windowspecdefinition\\(bucket#\\d+L, hk".r.findFirstIn(p).isDefined,
+      "document ranking must partition by bucket")
+    // the offset table (SHUFFLE_BUCKETS rows) broadcasts back
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
+  }
+
+  test("text_decontam_bloom: bloom probe precedes the exact confirm join") {
+    val p = plan("text_decontam_bloom")
+    assert(p.contains("might_contain"), "the Bloom probe must be in the plan")
+    assert(p.contains("BroadcastHashJoin"), "the confirm join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_pagerank: equi-joins and hash aggs only, no cross join, no window") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "rank updates are joins + aggs, not windows")
+  }
+
+  test("corpus_diff: scan-side fingerprints feed one outer join, no window") {
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), "the diff is a full-outer equi-join")
+    assert(!p.contains("Window"))
+  }
 }
