@@ -1839,6 +1839,79 @@ object TextAnalysis {
        |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Pack capacity sweep
+  // --------------------------------------------------------------------
+
+  /** Candidate sequence lengths for the packing-efficiency sweep. */
+  val PACK_SWEEP_CAPACITIES: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** Packing-efficiency sweep: for each candidate sequence capacity,
+    * what the contiguous pack layout costs — sequence count, documents
+    * split across a boundary, total boundary crossings, padding in the
+    * final partial sequence, and utilization. The capacity-tuning report
+    * a training job reads before committing to a sequence length: longer
+    * sequences cut padding but split more documents. The per-document
+    * prefix sum ([[packGeometry]]) is CAPACITY-INDEPENDENT, so the corpus
+    * is scanned once and each capacity is one aggregation over the same
+    * materialized geometry — all integer arithmetic, exact at any SF.
+    */
+  def packSweep(docs: DataFrame): DataFrame = {
+    val geo = packGeometry(docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens")))
+      .select(col("n_tokens"), col("start_off"))
+      .localCheckpoint()
+    PACK_SWEEP_CAPACITIES.map { cap =>
+      // integral DIV throughout — `/` is double division in Spark SQL
+      geo.select(col("n_tokens"),
+          expr(s"start_off DIV $cap").as("s0"),
+          expr(s"(start_off + n_tokens - 1) DIV $cap").as("s1"))
+        .agg(sum(col("n_tokens")).as("total"),
+          sum(when(col("s1") > col("s0"), 1L).otherwise(0L)).as("n_straddle_docs"),
+          sum(col("s1") - col("s0")).as("n_crossings"))
+        .select(lit(cap).as("capacity"),
+          expr(s"(total + $cap - 1) DIV $cap").as("n_seqs"),
+          col("n_straddle_docs").cast("long"),
+          col("n_crossings").cast("long"),
+          (expr(s"(total + $cap - 1) DIV $cap") * cap - col("total"))
+            .cast("long").as("pad_tokens"),
+          round(col("total").cast("double") /
+            (expr(s"(total + $cap - 1) DIV $cap") * cap).cast("double"), 6)
+            .as("utilization"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def textPackSweep(spark: SparkSession, sfDir: String): DataFrame =
+    packSweep(Tables.documents(spark, sfDir))
+
+  val textPackSweepSql: String = {
+    val capSelects = PACK_SWEEP_CAPACITIES.map { cap =>
+      s"""SELECT CAST($cap AS BIGINT) AS capacity,
+         |       CAST((total + $cap - 1) // $cap AS BIGINT) AS n_seqs,
+         |       n_straddle_docs, n_crossings,
+         |       CAST(((total + $cap - 1) // $cap) * $cap - total AS BIGINT) AS pad_tokens,
+         |       round(CAST(total AS DOUBLE)
+         |             / CAST(((total + $cap - 1) // $cap) * $cap AS DOUBLE), 6)
+         |         AS utilization
+         |FROM (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |         CAST(sum(CASE WHEN (start_off + n_tokens - 1) // $cap > start_off // $cap
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_docs,
+         |         CAST(sum((start_off + n_tokens - 1) // $cap - start_off // $cap) AS BIGINT)
+         |           AS n_crossings
+         |  FROM o)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM n)
+       |$capSelects""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Train/val/test split manifest
   // --------------------------------------------------------------------
 

@@ -566,6 +566,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.toSet == again.toSet)
   }
 
+  test("pack sweep: exact seq counts, straddles, and padding per capacity") {
+    // three docs of 40/40/50 tokens -> offsets 0, 40, 80; total 130
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, words(40), "en", "s"), (2L, words(40), "en", "s"),
+      (3L, words(50), "en", "s"))
+    val got = TextAnalysis.packSweep(d)
+      .select("capacity", "n_seqs", "n_straddle_docs", "n_crossings", "pad_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // cap 64: seqs ceil(130/64)=3, doc2 spans [40,79] crossing 64,
+    // doc3 spans [80,129] crossing 128 -> 2 straddlers, pad 192-130=62
+    assert(got(64L) == ((3L, 2L, 2L, 62L)))
+    // cap 128: seqs 2, only doc3 [80,129] crosses 128 -> 1, pad 126
+    assert(got(128L) == ((2L, 1L, 1L, 126L)))
+    // cap 256: everything fits one sequence, no straddle, pad 126
+    assert(got(256L) == ((1L, 0L, 0L, 126L)))
+  }
+
   test("quality budget keeps the best docs until the source token budget is hit") {
     // source s: four 10-token docs with strictly ordered quality (more
     // repetition -> lower ttr -> lower score). Budget 50% of 40 tokens
