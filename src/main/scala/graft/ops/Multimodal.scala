@@ -173,6 +173,59 @@ object Multimodal {
        |       md5(checksum || ':' || CAST(frame_no AS VARCHAR)) AS frame_fp
        |FROM fr""".stripMargin
 
+  /** Byte budget per media shard (fixture-scale; a production store uses
+    * ~1 GB tar shards — the constant is the only difference).
+    */
+  val MEDIA_SHARD_BYTES = 4096L
+
+  /** WebDataset-style shard planning over the DEDUPED media store: keep
+    * one copy per checksum, lay the surviving files out contiguously by
+    * media_id, and assign each file to the shard its byte offset falls
+    * in (`start_off DIV budget`) — the parallel equivalent of greedy
+    * byte packing. Greedy "close the shard when the budget fills" is
+    * inherently sequential (each boundary depends on every prior file);
+    * the offset-division rule needs only the prefix sum, reuses the
+    * two-level pack machinery ([[TextAnalysis.packGeometry]] — no
+    * global window), and yields shard sizes within one file of the
+    * budget, which is what the loader cares about. Reports per-shard
+    * file count, byte mass, and the contiguous media-id range.
+    */
+  def mediaShards(meta: DataFrame): DataFrame = {
+    val kept = mediaDedup(meta)
+      .select(col("keep_media_id").as("doc_id"), col("byte_len").as("n_tokens"))
+    TextAnalysis.packGeometry(kept)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start_off DIV $MEDIA_SHARD_BYTES").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("n_tokens")).cast("long").as("shard_bytes"),
+        min(col("doc_id")).as("min_media"),
+        max(col("doc_id")).as("max_media"))
+  }
+
+  def multimodalShards(spark: SparkSession, sfDir: String): DataFrame =
+    mediaShards(multimodalMeta(spark, sfDir))
+
+  val multimodalShardsSql: String =
+    s"""WITH m AS (
+       |  SELECT md5(text) AS checksum, doc_id AS media_id,
+       |         CAST(strlen(text) AS BIGINT) AS byte_len
+       |  FROM documents),
+       |kept AS (
+       |  SELECT min(media_id) AS media_id, min(byte_len) AS byte_len
+       |  FROM m GROUP BY checksum),
+       |o AS (
+       |  SELECT media_id, byte_len,
+       |         CAST(coalesce(sum(byte_len) OVER (ORDER BY media_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM kept)
+       |SELECT start_off // $MEDIA_SHARD_BYTES AS shard_id,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
+       |       min(media_id) AS min_media, max(media_id) AS max_media
+       |FROM o GROUP BY 1""".stripMargin
+
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,
       out_w: Int, out_h: Int, frame_fp: String)

@@ -566,6 +566,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.toSet == again.toSet)
   }
 
+  test("media shards: dedup first, then contiguous byte-budget assignment") {
+    // two 3000-byte files (one a checksum twin that must dedup away)
+    // and two 1500-byte files; budget 4096 -> offsets 0/3000/4500,
+    // shards 0/0/1
+    val meta = Seq(
+      (1L, "image", 3000L, "aa"), (2L, "image", 3000L, "aa"), // twin of 1
+      (3L, "audio", 1500L, "bb"), (4L, "audio", 1500L, "cc"))
+      .toDF("media_id", "kind", "byte_len", "checksum")
+    val got = Multimodal.mediaShards(meta)
+      .select("shard_id", "n_files", "shard_bytes", "min_media", "max_media")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 4500L, 1L, 3L), (1L, 1L, 1500L, 4L, 4L)))
+  }
+
   test("pack sweep: exact seq counts, straddles, and padding per capacity") {
     // three docs of 40/40/50 tokens -> offsets 0, 40, 80; total 130
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
