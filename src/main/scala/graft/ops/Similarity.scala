@@ -1166,4 +1166,277 @@ object Similarity {
        |                               ORDER BY cosine DESC, n_id) AS rnk
        |  FROM cos)
        |SELECT q_id, label, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Semantic (embedding-space) decontamination
+  // --------------------------------------------------------------------
+
+  /** Eval-set membership convention for the semantic decontam query —
+    * `vec_id ≡ 0 (mod 97)` stands in for "this vector embeds a held-out
+    * benchmark item", mirroring `text_decontam`'s doc-side convention so
+    * the two decontamination passes (lexical n-gram overlap, embedding
+    * proximity) select comparable eval slices.
+    */
+  val SEM_DECONTAM_MOD = 97
+
+  /** Cosine at or above which a corpus vector counts as semantically
+    * contaminated by the eval set. Deliberately lower than the near-dup
+    * thresholds: paraphrased benchmark leakage sits well below
+    * exact-duplicate cosine.
+    */
+  val SEM_DECONTAM_MIN = 0.30
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * lexical `text_decontam`: for every corpus vector, its highest cosine
+    * against the eval-set embeddings, the eval item achieving it, and a
+    * contaminated flag at [[SEM_DECONTAM_MIN]]. N-gram overlap misses
+    * paraphrases; embedding proximity is how modern pipelines catch a
+    * benchmark item that was reworded before it leaked into the crawl.
+    *
+    * Scale shape: eval suites are small and FIXED-SIZE by construction
+    * (they do not grow with the corpus), so the eval side broadcasts at
+    * any corpus scale; the corpus side is one narrow projection through
+    * the codegen'd `vec_dot`, and the per-vector argmax is a partial-agg
+    * `min(struct(−cosine, eval_id))` — map-side combinable, no window,
+    * no shuffle of the corpus beyond the final per-vector hash agg.
+    */
+  def semanticDecontam(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = withNorm(emb)
+    val eval = base.filter(col("vec_id") % SEM_DECONTAM_MOD === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+        col("nm").as("ne"))
+    val corpus = base.filter(col("vec_id") % SEM_DECONTAM_MOD =!= 0)
+      .select(col("vec_id"), col("embedding").as("ec"), col("nm").as("nc"))
+    corpus.join(broadcast(eval))
+      .withColumn("cosine",
+        round(dotExpr("ec", "ee") / (col("nc") * col("ne")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cosine")).as("ncos"), col("eval_id").as("e")))
+        .as("best"))
+      .select(col("vec_id"), col("best.e").as("nearest_eval"),
+        (-col("best.ncos")).as("max_cosine"),
+        (-col("best.ncos") >= SEM_DECONTAM_MIN).as("contaminated"))
+  }
+
+  def simsearchDecontam(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDecontam(Tables.embeddings(spark, sfDir))
+
+  val simsearchDecontamSql: String =
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |dots AS (
+       |  SELECT a.vec_id, b.vec_id AS eval_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i
+       |   AND a.vec_id % $SEM_DECONTAM_MOD <> 0
+       |   AND b.vec_id % $SEM_DECONTAM_MOD = 0
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT d.vec_id, d.eval_id,
+       |         round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.vec_id = n1.vec_id
+       |  JOIN nrm n2 ON d.eval_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, eval_id) AS rn
+       |  FROM cos)
+       |SELECT vec_id, eval_id AS nearest_eval, cosine AS max_cosine,
+       |       cosine >= $SEM_DECONTAM_MIN AS contaminated
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Radius (range) search
+  // --------------------------------------------------------------------
+
+  /** Cosine radius for the range-search query. */
+  val RANGE_MIN_COS = 0.25
+
+  /** Radius search — ALL neighbors within a cosine radius, not a fixed
+    * k (the FAISS `range_search` surface): dedup candidate pulls and
+    * "everything similar enough" retrieval want a threshold, not a count.
+    * Same broadcast-queries scan as the brute-force top-k but the
+    * selection is a stateless filter — no window, no per-query sort, so
+    * the plan stays one codegen'd projection + filter over the corpus
+    * and the output size is data-dependent by design.
+    */
+  def rangeSearch(emb: DataFrame, isQuery: Column, minCos: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = withNorm(emb)
+    val queries = base.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nm").as("nq"))
+    val cands = base.select(col("vec_id").as("n_id"),
+      col("embedding").as("ec"), col("nm").as("nc"))
+    cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+  }
+
+  def simsearchRange(spark: SparkSession, sfDir: String): DataFrame =
+    rangeSearch(Tables.embeddings(spark, sfDir), col("vec_id") < N_QUERIES,
+      RANGE_MIN_COS)
+
+  val simsearchRangeSql: String =
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT d.q_id, d.n_id, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |FROM dots d
+       |JOIN nrm n1 ON d.q_id = n1.vec_id
+       |JOIN nrm n2 ON d.n_id = n2.vec_id
+       |WHERE round(d.dot / (n1.nm * n2.nm), 6) >= $RANGE_MIN_COS""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of dense + BM25
+  // --------------------------------------------------------------------
+
+  /** RRF smoothing constant (the standard 60 from Cormack et al.) and
+    * the fused result depth.
+    */
+  val RRF_C = 60
+  val RRF_TOP_K = 5
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the dense cosine top-k
+    * (`simsearch_topk` machinery over `embeddings`) and the lexical BM25
+    * top-k (`text_bm25` over `documents`, doc_id ≡ vec_id):
+    * rrf(d) = Σ_lists 1/(C + rank_list(d)), absent treated as no
+    * contribution. Rank fusion is how production hybrid search combines
+    * incomparable score scales without calibration, and the fused list
+    * is what retrieval-based curation (dataset search, eval lookup,
+    * near-miss mining) actually consumes.
+    *
+    * Scale shape: both inputs are already top-k-bounded per query — the
+    * fusion is a full-outer equi-join on (query, candidate) over
+    * queries×k rows, a constant-size frame at any corpus scale; the
+    * heavy lifting stays inside the two retriever plans. RRF scores are
+    * the same two rationals in either engine, so the rounded fusion
+    * ranking is deterministic.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int,
+      k: Int = RRF_TOP_K): DataFrame = {
+    val dense = bruteForceTopk(emb, col("vec_id") < nQueries, k)
+      .select(col("q_id"), col("n_id").as("id"), col("rnk").as("dense_rnk"))
+    val sparse = TextAnalysis.bm25TopK(docs, nQueries, k)
+      .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("bm25_rnk"))
+    val fused = dense.join(sparse, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RRF_C) + col("dense_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_C) + col("bm25_rnk")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id"), col("dense_rnk"), col("bm25_rnk"),
+        col("rrf"), col("rnk").cast("long").as("rnk"))
+  }
+
+  def simsearchRrf(spark: SparkSession, sfDir: String): DataFrame =
+    hybridRrf(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
+      TextAnalysis.BM25_N_QUERIES)
+
+  val simsearchRrfSql: String = {
+    val denseTopk =
+      s"""dots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+         |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < ${TextAnalysis.BM25_N_QUERIES}
+         |                    AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT q_id, n_id AS id, rnk AS dense_rnk FROM (
+         |    SELECT d.q_id, d.n_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |             ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+         |    FROM dots d
+         |    JOIN nrm n1 ON d.q_id = n1.vec_id
+         |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+         |  WHERE rnk <= $RRF_TOP_K)""".stripMargin
+    val bm25Topk =
+      s"""tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |              (SELECT avg(CAST(dl AS DOUBLE)) FROM dlen) AS avgdl),
+         |qt AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < ${TextAnalysis.BM25_N_QUERIES}),
+         |scored AS (
+         |  SELECT q.q_id, t.doc_id,
+         |         round(sum(
+         |           ln((CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(t.tf AS DOUBLE) * (1.0 + ${TextAnalysis.BM25_K1})
+         |              / (CAST(t.tf AS DOUBLE)
+         |                 + ${TextAnalysis.BM25_K1} * (${1.0 - TextAnalysis.BM25_B}
+         |                    + ${TextAnalysis.BM25_B} * CAST(l.dl AS DOUBLE) / s.avgdl)))), 6) AS bm25
+         |  FROM qt q
+         |  JOIN tf t ON q.tok = t.tok AND t.doc_id <> q.q_id
+         |  JOIN dfq f ON t.tok = f.tok
+         |  JOIN dlen l ON t.doc_id = l.doc_id, st s
+         |  GROUP BY 1, 2),
+         |sparse AS (
+         |  SELECT q_id, doc_id AS id, rnk AS bm25_rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY bm25 DESC, doc_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= $RRF_TOP_K)""".stripMargin
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |${Tables.TOK_CTE},
+       |$denseTopk,
+       |$bm25Topk,
+       |fused AS (
+       |  SELECT coalesce(d.q_id, s.q_id) AS q_id, coalesce(d.id, s.id) AS id,
+       |         d.dense_rnk, s.bm25_rnk,
+       |         round(coalesce(CAST(1 AS DOUBLE) / ($RRF_C + d.dense_rnk), 0.0)
+       |               + coalesce(CAST(1 AS DOUBLE) / ($RRF_C + s.bm25_rnk), 0.0), 6) AS rrf
+       |  FROM dense d FULL OUTER JOIN sparse s
+       |    ON d.q_id = s.q_id AND d.id = s.id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY rrf DESC, id) AS rnk
+       |  FROM fused)
+       |SELECT q_id, id, dense_rnk, bm25_rnk, rrf, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $RRF_TOP_K""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // IVF index health
+  // --------------------------------------------------------------------
+
+  /** IVF index-health report — per-cell occupancy of the k-means coarse
+    * quantizer, including EMPTY cells (a left join against the full cell
+    * id range, which a bare groupBy would silently drop). Cell balance
+    * is the operational health metric of an IVF index: probe latency is
+    * bounded by the largest cell, recall is starved by empty ones, and a
+    * skewed occupancy histogram is the signal to refit or raise nlist.
+    * One zero-shuffle assignment projection + one K-sized hash agg; the
+    * cell-id range frame is K rows, broadcast.
+    */
+  def ivfIndexStats(emb: DataFrame, k: Int = KMEANS_K,
+      iters: Int = KMEANS_ITERS): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = withNorm(emb).localCheckpoint()
+    val asg = kmeansFit(base, k, iters)._2
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = broadcast(emb.agg(count(lit(1)).as("t")))
+    emb.sparkSession.range(k).select(col("id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(total)
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("n_vecs"), lit(0L)).cast("double") /
+          col("t").cast("double"), 6).as("frac"))
+  }
+
+  def simsearchIndexStats(spark: SparkSession, sfDir: String): DataFrame =
+    ivfIndexStats(Tables.embeddings(spark, sfDir))
+
+  val simsearchIndexStatsSql: String =
+    s"""$kmeansCtePrefix,
+       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM asgf GROUP BY 1),
+       |gs AS (SELECT CAST(unnest(generate_series(0, ${KMEANS_K - 1})) AS BIGINT) AS cell),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings)
+       |SELECT g.cell, coalesce(c.n, 0) AS n_vecs,
+       |       round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(s.t AS DOUBLE), 6) AS frac
+       |FROM gs g LEFT JOIN cnt c ON g.cell = c.cell, tot s""".stripMargin
 }

@@ -293,6 +293,57 @@ object TextAnalysis {
        |       round(avg(CAST(doc_toks AS DOUBLE)), 6) AS avg_doc_tokens
        |FROM per_doc GROUP BY 1, 2""".stripMargin
 
+  /** Tokenizer fertility per language — the metric a tokenizer is judged
+    * by per language: BPE tokens per whitespace word (fertility; an
+    * English-trained merge table fragments other languages into more
+    * pieces) and characters per BPE token (compression). High fertility
+    * on a language means the token budget buys fewer words there — the
+    * number that drives "language X costs 2× the tokens" decisions in
+    * mixture planning (cf. [[mixSample]]'s token budget).
+    *
+    * Shape: the same linear merge-cascade projection as
+    * [[bpeTokenStats]] rolled up by language only, joined with a
+    * doc-level char/word agg — two hash aggs keyed by language, one
+    * languages-sized join, zero windows.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("lang"),
+      explode(split(lower(col("text")), "\\s+")).as("w"))
+    val tokSide = words
+      .withColumn("n_toks", expr(bpeCountSql("w", duck = false)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("bpe_tokens"))
+    val charSide = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    charSide.join(tokSide, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
+  def textFertility(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizerFertility(Tables.documents(spark, sfDir))
+
+  val textFertilitySql: String =
+    s"""WITH words AS (
+       |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |toks AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(CAST(${bpeCountSql("w", duck = true)} AS BIGINT)) AS BIGINT) AS bpe_tokens
+       |  FROM words GROUP BY 1),
+       |chars AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT c.lang, c.n_docs, t.n_words, t.bpe_tokens,
+       |       round(CAST(t.bpe_tokens AS DOUBLE) / CAST(t.n_words AS DOUBLE), 6) AS fertility,
+       |       round(CAST(c.n_chars AS DOUBLE) / CAST(t.bpe_tokens AS DOUBLE), 6) AS chars_per_token
+       |FROM chars c JOIN toks t ON c.lang = t.lang""".stripMargin
+
   /** Fixed linear-model weights for [[qualityModel]] — stand-ins for a
     * trained quality classifier's coefficients (at production scale these
     * load from the model artifact and broadcast; the scoring plan is
@@ -507,6 +558,99 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT doc_id, tok, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= $TFIDF_TOP_K""".stripMargin
+
+  // --------------------------------------------------------------------
+  // BM25 retrieval
+  // --------------------------------------------------------------------
+
+  /** Okapi BM25 constants (the textbook defaults) and the query/result
+    * sizing for the retrieval query: the first [[BM25_N_QUERIES]]
+    * documents act as queries (their distinct tokens are the query
+    * terms), each retrieving its top-[[BM25_TOP_K]] other documents.
+    */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+  val BM25_N_QUERIES = 3
+  val BM25_TOP_K = 5
+
+  /** BM25 sparse retrieval — the lexical counterpart of the dense
+    * `simsearch_topk`: score(q, d) = Σ_{t ∈ q ∩ d} idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)), with the Lucene
+    * always-positive idf = ln((N − df + ½)/(df + ½) + 1). Every modern
+    * data pipeline keeps a lexical retriever next to the embedding one
+    * (hybrid retrieval, hard-negative mining for dense training, eval
+    * lookup), and BM25 is that retriever.
+    *
+    * Scale shape — the inverted-index join, not a pairwise scan: query
+    * terms (a fixed, small query set) broadcast against the (doc, term,
+    * tf) posting table, so candidates are bounded by postings of query
+    * terms, never corpus². df and doc-length sides are vocabulary- and
+    * corpus-keyed hash aggs; N and avgdl ride along as a broadcast 1-row
+    * frame; ranking is a per-query top-k window over the candidate list.
+    * Ranking compares the ROUNDED score with a doc tie-break so both
+    * engines order identically.
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int = BM25_N_QUERIES,
+      k: Int = BM25_TOP_K): DataFrame = {
+    val tf = Tables.tokens(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(avg(col("dl").cast("double")).as("avgdl"))))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = col("tf").cast("double") * (lit(BM25_K1) + 1.0) /
+      (col("tf").cast("double") +
+        lit(BM25_K1) * (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl").cast("double") / col("avgdl")))
+    val scored = broadcast(qterms).join(tf, Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(idf * tfNorm), 6).as("bm25"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("n_terms"), col("bm25"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, sfDir))
+
+  val textBm25Sql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |              (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl),
+       |qt AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < $BM25_N_QUERIES),
+       |scored AS (
+       |  SELECT q.q_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         round(sum(
+       |           ln((CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |           * (CAST(t.tf AS DOUBLE) * (1.0 + $BM25_K1)
+       |              / (CAST(t.tf AS DOUBLE)
+       |                 + $BM25_K1 * (${1.0 - BM25_B} + $BM25_B * CAST(l.dl AS DOUBLE) / s.avgdl)))), 6) AS bm25
+       |  FROM qt q
+       |  JOIN tf t ON q.tok = t.tok AND t.doc_id <> q.q_id
+       |  JOIN dfq f ON t.tok = f.tok
+       |  JOIN dl l ON t.doc_id = l.doc_id, st s
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, doc_id, n_terms, bm25, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $BM25_TOP_K""".stripMargin
 
   /** PII scrubbing: redact email addresses, then standalone long digit
     * runs (≥9 digits — phone/account numbers), and report counts plus the

@@ -134,4 +134,70 @@ class SimilaritySpec extends SparkSpec {
     // wider sketches can only help on this isotropic fixture
     assert(got.last._2 >= got.head._2 - 1)
   }
+
+  test("semantic decontam: planted eval twin flags, orthogonal vector passes") {
+    // 97 and 194 are eval ids (≡ 0 mod 97); 1 duplicates eval 97's
+    // direction, 2 is orthogonal to both eval vectors
+    val emb = Seq(
+      (97L, Array(1.0f, 0.0f, 0.0f), 0),
+      (194L, Array(0.0f, 1.0f, 0.0f), 0),
+      (1L, Array(3.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDecontam(emb)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // eval rows are not scored
+    assert(got(1L) == ((1L, 97L, 1.0, true)))
+    assert(got(2L)._3 == 0.0 && !got(2L)._4)
+  }
+
+  test("rrf fusion: a doc on both lists outranks single-list docs; ranks fuse reciprocally") {
+    // query 0: dense list favors 1 then 2; sparse list favors 2 then 3
+    // → doc 2 (on both) must fuse above 1 and 3 (each on one list)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0),   // dense rank 1
+      (2L, Array(1.0f, 0.2f), 0),   // dense rank 2
+      (3L, Array(0.0f, 1.0f), 0))   // dense rank 3 (cos 0)
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (0L, "alpha beta", "en", "s"),
+      (1L, "gamma delta", "en", "s"),        // no overlap → off sparse list
+      (2L, "alpha beta epsilon", "en", "s"), // sparse rank 1
+      (3L, "alpha zeta eta theta", "en", "s")) // sparse rank 2
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Similarity.hybridRrf(docs, emb, nQueries = 1, k = 3)
+      .select("id", "rrf", "rnk").as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(got.head._1 == 2L) // both lists
+    // doc 2's rrf is the sum of both reciprocal ranks
+    assert(math.abs(got.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(got.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("ivf index stats: occupancies sum to the corpus, empty cells reported as 0") {
+    // 6 vectors in 2 directions, k=4 seeds → at least one empty cell
+    val emb = (0 until 6).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.01f * i) else Array(0.01f * i, 1.0f)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfIndexStats(emb, k = 4, iters = 1)
+      .select("cell", "n_vecs", "frac").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L)) // every cell present
+    assert(got.map(_._2).sum == 6L)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("range search returns exactly the neighbors inside the radius, no k cap") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(2.0f, 0.0f), 0),   // cosine 1.0 — in
+      (2L, Array(1.0f, 1.0f), 0),   // cosine ~0.707 — in
+      (3L, Array(1.0f, 4.0f), 0),   // cosine ~0.243 — out at 0.25
+      (4L, Array(-1.0f, 0.0f), 0))  // cosine -1 — out
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.rangeSearch(emb, col("vec_id") === 0L, 0.25)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    assert(got(0)._3 == 1.0)
+  }
 }

@@ -634,4 +634,42 @@ class TextMultimodalSpec extends SparkSpec {
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(pos == again)
   }
+
+  test("bm25: heavy term overlap outranks light overlap; disjoint docs never retrieved") {
+    val d = docs(
+      (0L, "alpha beta gamma", "en", "s"),        // the query doc
+      (1L, "alpha beta gamma delta", "en", "s"),  // shares 3 terms
+      (2L, "alpha epsilon zeta eta", "en", "s"),  // shares 1 term
+      (3L, "theta iota kappa lambda", "en", "s")) // shares none
+    val got = TextAnalysis.bm25TopK(d, nQueries = 1, k = 5)
+      .select("doc_id", "n_terms", "bm25", "rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 absent: no shared terms
+    assert(got(0)._2 == 3L && got(1)._2 == 1L)
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("bm25 length normalization: same tf scores lower in a longer document") {
+    val filler = (0 until 20).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (0L, "alpha", "en", "s"),
+      (1L, "alpha beta", "en", "s"),
+      (2L, s"alpha $filler", "en", "s"))
+    val got = TextAnalysis.bm25TopK(d, nQueries = 1, k = 5)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L)) // tf=1 for 'alpha' in both; |d| differs
+  }
+
+  test("fertility: merge-friendly language costs fewer tokens per word") {
+    // 'the' fully merges (t·h → th, th·e → the) → 1 token/word;
+    // 'zq' has no merge rule → 2 tokens/word
+    val d = docs(
+      (0L, "the the the", "en", "s"),
+      (1L, "zq zq zq", "xx", "s"))
+    val got = TextAnalysis.tokenizerFertility(d)
+      .select("lang", "n_words", "bpe_tokens", "fertility", "chars_per_token")
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 3L, 3L, 1.0, 3.666667)))
+    assert(got("xx") == (("xx", 3L, 6L, 2.0, 1.333333)))
+  }
 }
