@@ -41,6 +41,61 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q3 shape — the shipping-priority query: the unshipped-revenue
+    * top-10 over a three-way customer ⋈ orders ⋈ lineitem join. The plan
+    * this wants at scale: segment-filtered customer keys BROADCAST into
+    * orders, the orders survivors shuffle-join lineitem on the order key
+    * (both sides big → partial agg before TakeOrderedAndProject, never a
+    * global sort).
+    *
+    * Revenue parity across engines: Σ price·(1−disc) over doubles is
+    * accumulation-order-dependent, so both engines sum EXACT integers
+    * instead — cents × (100 − disc_cents), recovered per row via
+    * round(x·100) (the data is cent-precise; the products are < 2⁶³ by
+    * ~10 orders) — and divide once at the end. Bit-identical at any
+    * partition layout, the same discipline as `event_anomaly`.
+    */
+  val Q3_SEGMENT = "BUILDING"
+  val Q3_CUT = "1998-01-01"
+
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === Q3_SEGMENT)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(Q3_CUT).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(Q3_CUT).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    val agg = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_u")).as("rev_sum"))
+    agg.orderBy(col("rev_sum").desc, col("o_orderkey")).limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        round(col("rev_sum").cast("double") / 10000.0, 6).as("revenue"))
+  }
+
+  val q3ShippingSql: String =
+    s"""WITH agg AS (
+       |  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+       |                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_sum
+       |  FROM customer c
+       |  JOIN orders o ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  WHERE c.c_mktsegment = '$Q3_SEGMENT'
+       |    AND o.o_orderdate < TIMESTAMP '$Q3_CUT 00:00:00'
+       |    AND l.l_shipdate > TIMESTAMP '$Q3_CUT 00:00:00'
+       |  GROUP BY 1, 2, 3)
+       |SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |       round(CAST(rev_sum AS DOUBLE) / 10000.0, 6) AS revenue
+       |FROM agg ORDER BY rev_sum DESC, o_orderkey LIMIT 10""".stripMargin
+
   /** Top 10 customers by total order value: shuffle-agg on the fact side,
     * broadcast join to the small customer dim, then `orderBy().limit(10)` —
     * Spark compiles that to TakeOrderedAndProject (per-partition heaps, no

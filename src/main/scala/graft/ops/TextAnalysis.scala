@@ -1277,6 +1277,63 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** The decontamination report INVERTED: one row per benchmark item —
+    * how many corpus documents share at least one of its 3-gram
+    * shingles, the largest per-document overlap, and the total hit
+    * count. `text_decontam` answers "which corpus docs to drop"; this
+    * answers the eval owner's question — "which benchmark items are
+    * burned, and how badly" — the leaderboard that decides whether a
+    * suite is still trustworthy. Zero-leak items are reported as 0 via
+    * the left join (a bare groupBy would silently drop exactly the rows
+    * that prove an item is clean).
+    *
+    * Same scale shape as decontam: the benchmark side broadcasts (eval
+    * suites are fixed-size), the corpus side is one shingle stream, and
+    * both rollups key on (bench, doc) pairs bounded by true overlap.
+    */
+  def decontamReport(docs: DataFrame): DataFrame = {
+    val sh = Tables.shingles(docs)
+    val isBench = col("doc_id") % DECONTAM_MOD === 0
+    val bench = sh.filter(isBench)
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val ov = sh.filter(!isBench).join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val per = ov.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_leaky_docs"), max(col("c")).as("max_overlap"),
+        sum(col("c")).as("n_hits"))
+    docs.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(per, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  def textDecontamReport(spark: SparkSession, sfDir: String): DataFrame =
+    decontamReport(Tables.documents(spark, sfDir))
+
+  val textDecontamReportSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |bsh AS (SELECT doc_id AS bench_id, shingle FROM sh
+       |        WHERE doc_id % $DECONTAM_MOD = 0),
+       |ov AS (
+       |  SELECT b.bench_id, s.doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM sh s JOIN bsh b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % $DECONTAM_MOD <> 0 GROUP BY 1, 2),
+       |per AS (
+       |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_leaky_docs,
+       |         CAST(max(c) AS BIGINT) AS max_overlap,
+       |         CAST(sum(c) AS BIGINT) AS n_hits
+       |  FROM ov GROUP BY 1)
+       |SELECT d.doc_id AS bench_id,
+       |       coalesce(p.n_leaky_docs, 0) AS n_leaky_docs,
+       |       coalesce(p.max_overlap, 0) AS max_overlap,
+       |       coalesce(p.n_hits, 0) AS n_hits
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.bench_id
+       |WHERE d.doc_id % $DECONTAM_MOD = 0""".stripMargin
+
   /** False-positive rate for the decontamination Bloom pre-filter. */
   val BLOOM_FPP = 0.01
 

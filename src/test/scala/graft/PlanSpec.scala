@@ -203,4 +203,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "the diff is a full-outer equi-join")
     assert(!p.contains("Window"))
   }
+
+  test("q3_shipping: customer keys broadcast; top-10 via TakeOrdered, not a global sort") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), "segment-filtered customer keys must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "the top-10 must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_bm25 and simsearch_decontam: query/eval sides broadcast, no self cross join") {
+    Seq("text_bm25", "simsearch_decontam", "text_decontam_report").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the small side must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian product")
+    }
+  }
 }

@@ -635,6 +635,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pos == again)
   }
 
+  test("decontam report: leaked bench item counts its leaks, clean item reports zeros") {
+    // bench ids are ≡ 0 mod 97: doc 0 leaks into 1 and 2; doc 97 is clean
+    val d = docs(
+      (0L, "the quick brown fox jumps", "en", "bench"),
+      (97L, "totally unique benchmark item here", "en", "bench"),
+      (1L, "the quick brown fox jumps high", "en", "web"), // 3 shared shingles
+      (2L, "prefix words the quick brown fox", "en", "web"), // 2 shared
+      (3L, "nothing in common at all", "en", "web"))
+    val got = TextAnalysis.decontamReport(d)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 97L))
+    assert(got(0L) == ((0L, 2L, 3L, 5L))) // 2 leaky docs, max 3, 3+2 hits
+    assert(got(97L) == ((97L, 0L, 0L, 0L)))
+  }
+
   test("bm25: heavy term overlap outranks light overlap; disjoint docs never retrieved") {
     val d = docs(
       (0L, "alpha beta gamma", "en", "s"),        // the query doc
