@@ -96,6 +96,111 @@ object Relational {
        |       round(CAST(rev_sum AS DOUBLE) / 10000.0, 6) AS revenue
        |FROM agg ORDER BY rev_sum DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape — local-supplier volume per nation inside one region
+    * and order-date year: the full snowflake chain region → nation →
+    * supplier joined with customer → orders → lineitem, plus the
+    * "local" constraint c_nationkey = s_nationkey. The dimension arm
+    * (region ∪ nation ∪ supplier) is joined FIRST and broadcast — it
+    * stays dim-sized at any corpus scale — while orders⋈customer and
+    * the lineitem probe shuffle on their keys under AQE. Revenue uses
+    * the same exact integer cent-sums as [[q3Shipping]]. Together with
+    * Q1/Q3/Q14 this closes the loop on every table in the test star
+    * schema.
+    */
+  val Q5_REGION = "ASIA"
+  val Q5_FROM = "1998-01-01"
+  val Q5_UNTIL = "1999-01-01"
+
+  def q5RegionVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === Q5_REGION)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey").as("sup_nk"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(Q5_FROM).cast("timestamp") &&
+        col("o_orderdate") < lit(Q5_UNTIL).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("sup_nk"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_u")).as("rev_sum"))
+      .select(col("n_name"),
+        round(col("rev_sum").cast("double") / 10000.0, 6).as("revenue"))
+  }
+
+  val q5RegionVolumeSql: String =
+    s"""SELECT n.n_name,
+       |       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+       |                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+       |             / 10000.0, 6) AS revenue
+       |FROM customer c
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$Q5_REGION'
+       |  AND o.o_orderdate >= TIMESTAMP '$Q5_FROM 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '$Q5_UNTIL 00:00:00'
+       |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 shape — promotion revenue share for one ship month:
+    * lineitem ⋈ part with a conditional aggregate splitting PROMO-type
+    * revenue from the total. The part side is a dimension (broadcast);
+    * the promo/total split is one conditional sum in the same partial
+    * agg — no second scan. Integer cent-sums as in [[q3Shipping]]; the
+    * share is computed once from the two exact integers.
+    */
+  val Q14_FROM = "1998-06-01"
+  val Q14_UNTIL = "1998-07-01"
+
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(Q14_FROM).cast("timestamp") &&
+        col("l_shipdate") < lit(Q14_UNTIL).cast("timestamp"))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    li.join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(lit(0L))).as("promo_u"),
+        sum(col("rev_u")).as("total_u"))
+      .select(
+        round(col("promo_u").cast("double") / 10000.0, 6).as("promo_revenue"),
+        round(col("total_u").cast("double") / 10000.0, 6).as("total_revenue"),
+        round(lit(100.0) * col("promo_u").cast("double") /
+          col("total_u").cast("double"), 6).as("promo_share"))
+  }
+
+  val q14PromoSql: String =
+    s"""WITH s AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+       |             THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+       |                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+       |             ELSE 0 END) AS BIGINT) AS promo_u,
+       |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+       |             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_u
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '$Q14_FROM 00:00:00'
+       |    AND l.l_shipdate < TIMESTAMP '$Q14_UNTIL 00:00:00')
+       |SELECT round(CAST(promo_u AS DOUBLE) / 10000.0, 6) AS promo_revenue,
+       |       round(CAST(total_u AS DOUBLE) / 10000.0, 6) AS total_revenue,
+       |       round(100.0 * CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE), 6) AS promo_share
+       |FROM s""".stripMargin
+
   /** Top 10 customers by total order value: shuffle-agg on the fact side,
     * broadcast join to the small customer dim, then `orderBy().limit(10)` —
     * Spark compiles that to TakeOrderedAndProject (per-partition heaps, no

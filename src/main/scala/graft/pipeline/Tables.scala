@@ -73,6 +73,10 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
 
   /** Regex that pulls `k` out of the props JSON ('{"k": 87}'). Used instead
     * of get_json_object so the DuckDB oracle can use the identical

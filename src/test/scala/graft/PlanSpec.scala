@@ -211,6 +211,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q5 snowflake and q14: dimension arms broadcast; date filters reach the scans") {
+    val p5 = plan("q5_region_volume")
+    assert(p5.contains("BroadcastHashJoin"), "the region-nation-supplier arm must broadcast")
+    assert(!p5.contains("CartesianProduct"))
+    assert(p5.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p5.contains("GreaterThanOrEqual(o_orderdate"), "order-date window must push to parquet")
+    val p14 = plan("q14_promo")
+    assert(p14.contains("BroadcastHashJoin"), "the part dim must broadcast")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate"), "ship-month filter must push to parquet")
+  }
+
   test("text_bm25 and simsearch_decontam: query/eval sides broadcast, no self cross join") {
     Seq("text_bm25", "simsearch_decontam", "text_decontam_report").foreach { q =>
       val p = plan(q)
