@@ -98,4 +98,67 @@ object CurationProps extends Properties("Curation") {
           h >= 0.0 && h <= math.log(n.toDouble) + 1e-6
       }
     }
+
+  // small shared vocabulary → real term overlap between documents
+  private val genVocabCorpus = for {
+    n <- Gen.choose(4, 40)
+    texts <- Gen.listOfN(n, for {
+      w <- Gen.choose(2, 10)
+      toks <- Gen.listOfN(w, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "epsilon", "zeta", "eta", "theta"))
+    } yield toks.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0") }
+
+  property("bm25: per query the rank list is dense, ids unique, scores descending on rank") =
+    forAll(genVocabCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.bm25TopK(df, nQueries = 2, k = 5)
+        .select("q_id", "doc_id", "bm25", "rnk")
+        .as[(Long, Long, Double, Long)].collect()
+      got.groupBy(_._1).forall { case (q, hits) =>
+        val sorted = hits.sortBy(_._4)
+        sorted.map(_._4).toSeq == (1L to hits.length) &&
+          sorted.map(_._2).distinct.length == hits.length &&
+          sorted.forall(_._2 != q) &&
+          sorted.sliding(2).forall {
+            case Array(a, b) => a._3 >= b._3
+            case _ => true
+          }
+      }
+    }
+
+  property("fertility: every word costs at least one token; merges only reduce the count") =
+    forAll(genVocabCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.tokenizerFertility(df)
+        .select("n_words", "bpe_tokens", "fertility")
+        .as[(Long, Long, Double)].collect()
+      val totalWords = rows.map(_._2.split("\\s+").length.toLong).sum
+      got.map(_._1).sum == totalWords && got.forall { case (w, t, f) =>
+        t >= w && f >= 1.0 // a word is never fewer than one token
+      }
+    }
+
+  property("decontam report agrees with decontam on who leaks: zero rows iff zero flags") =
+    forAll(genVocabCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val flags = TextAnalysis.decontam(df)
+        .select("doc_id", "n_contam").as[(Long, Long)].collect()
+      val report = TextAnalysis.decontamReport(df)
+        .select("bench_id", "n_leaky_docs", "max_overlap", "n_hits")
+        .as[(Long, Long, Long, Long)].collect()
+      val benchIds = rows.map(_._1).filter(_ % TextAnalysis.DECONTAM_MOD == 0)
+      val rowsComplete = report.map(_._1).sorted.toSeq == benchIds.sorted
+      // internal consistency: an item has leaks iff all three stats agree
+      val consistent = report.forall { case (_, d, m, h) =>
+        (d == 0) == (m == 0) && (m == 0) == (h == 0) && h >= m && h >= d
+      }
+      // cross-operator: a doc is flagged iff some bench item counts it,
+      // and per-bench hit totals can only refine (>=) the distinct-set
+      // counts decontam uses
+      val anyFlag = flags.exists(_._2 > 0)
+      val anyLeak = report.exists(_._4 > 0)
+      rowsComplete && consistent && (anyFlag == anyLeak) &&
+        report.map(_._4).sum >= flags.map(_._2).sum
+    }
 }
