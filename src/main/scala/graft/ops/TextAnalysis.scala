@@ -688,6 +688,54 @@ object TextAnalysis {
        |       md5(regexp_replace(t1, '$LONGNUM_RE', '<number>', 'g')) AS scrubbed_fp
        |FROM s1""".stripMargin
 
+  /** Term blocklist for the safety-filter gate — fixture stand-ins for a
+    * real unsafe-content list (which at production scale broadcasts from
+    * a policy artifact; the scoring plan is identical).
+    */
+  val BLOCKLIST: Seq[String] = Seq("slow", "dup")
+
+  /** Blocklist incidence — the safety-filter stage next to [[piiScrub]]:
+    * per (lang, source), how many documents contain a blocklisted term,
+    * the total hit count, and the flag rate. The per-document hit count
+    * is an array-side lambda over the token split (one codegen'd
+    * projection, zero shuffle — the same discipline as the quality
+    * scorer); the rollup is one hash agg keyed by slice. Per-source
+    * rates, not just per-doc flags, because safety review happens at
+    * the feed level: a 40%-flagged source gets dropped, not trimmed.
+    */
+  def blocklistStats(docs: DataFrame): DataFrame = {
+    val inList = BLOCKLIST.map(w => s"'$w'").mkString("(", ", ", ")")
+    val hits = docs.select(col("lang"), col("source"),
+      expr(s"size(filter(split(lower(text), '\\\\s+'), x -> x IN $inList))")
+        .cast("long").as("hits"))
+    hits.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("hits")).as("total_hits"))
+      .select(col("lang"), col("source"), col("n_docs"), col("flagged_docs"),
+        col("total_hits"),
+        round(col("flagged_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("flag_rate"))
+  }
+
+  def textBlocklist(spark: SparkSession, sfDir: String): DataFrame =
+    blocklistStats(Tables.documents(spark, sfDir))
+
+  val textBlocklistSql: String = {
+    val inList = BLOCKLIST.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH h AS (
+       |  SELECT lang, source,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              x -> x IN $inList)) AS BIGINT) AS hits
+       |  FROM documents)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       |       CAST(sum(hits) AS BIGINT) AS total_hits,
+       |       round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+       |FROM h GROUP BY 1, 2""".stripMargin
+  }
+
   /** Deterministic hash sampling rate, percent. */
   val SAMPLE_PCT = 20
 

@@ -635,6 +635,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pos == again)
   }
 
+  test("blocklist: multiplicity counted per doc, clean slice reports zero rate") {
+    val d = docs(
+      (0L, "slow query slow scan", "en", "s0"), // 2 hits
+      (1L, "dup row appears", "en", "s0"),      // 1 hit
+      (2L, "clean fast text", "en", "s0"),
+      (3L, "all clean here", "de", "s1"))
+    val got = TextAnalysis.blocklistStats(d)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("en", "s0")) == (("en", "s0", 3L, 2L, 3L, 0.666667)))
+    assert(got(("de", "s1")) == (("de", "s1", 1L, 0L, 0L, 0.0)))
+  }
+
   test("decontam report: leaked bench item counts its leaks, clean item reports zeros") {
     // bench ids are ≡ 0 mod 97: doc 0 leaks into 1 and 2; doc 97 is clean
     val d = docs(
