@@ -214,6 +214,20 @@ object Similarity {
   /** (vec_id, cell) after [[KMEANS_ITERS]] Lloyd rounds + final assign. */
   def kmeansCells(base: DataFrame): DataFrame = kmeansFit(base)._2
 
+  /** Fit the quantizer on a STATIC corpus and return the assignment
+    * Column for ANY frame carrying (embedding, nm) — including a
+    * streaming one: the model is K·dim driver-held constants, so
+    * assignment is a stateless codegen projection that Structured
+    * Streaming runs unchanged per micro-batch (the index-ingest path:
+    * vectors arrive, the fitted coarse quantizer routes them to cells).
+    */
+  def cellAssigner(corpusEmb: DataFrame, k: Int = KMEANS_K,
+      iters: Int = KMEANS_ITERS): Column = {
+    graft.functions.VectorFunctions.register(corpusEmb.sparkSession)
+    val base = withNorm(corpusEmb).localCheckpoint()
+    assignCol(kmeansModel(base, k, iters))
+  }
+
   /** IVF top-k with the coarse quantizer computed in-engine (vs
     * [[simsearchIvf]], which trusts a given partition label): queries scan
     * only their own k-means cell.

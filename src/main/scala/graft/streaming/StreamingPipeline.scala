@@ -199,6 +199,22 @@ object StreamingPipeline {
       .drop("shs")
   }
 
+  /** Streaming IVF ingest — the index-build twin of the batch
+    * [[graft.ops.Similarity.kmeansCells]]: the coarse quantizer fits
+    * once on the STANDING corpus (the model is K·dim driver-held
+    * constants, exactly like the batch path), and each arriving vector
+    * is routed to its cell by a stateless codegen projection — no state
+    * store, any output mode. This is how a vector index grows in
+    * production: the quantizer is refit offline; ingest only assigns.
+    * Emits (vec_id, cell) plus the vector for the downstream writer.
+    */
+  def ivfAssignStream(vectors: DataFrame, corpus: DataFrame): DataFrame = {
+    val assign = graft.ops.Similarity.cellAssigner(corpus)
+    graft.ops.Similarity.withNorm(vectors)
+      .withColumn("cell", assign)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
   /** Streaming mixture gate — the sampling half of the batch
     * [[graft.ops.TextAnalysis.mixSample]] on a document stream: the
     * per-language rates come from a profile of the STANDING corpus

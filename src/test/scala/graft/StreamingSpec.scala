@@ -236,4 +236,30 @@ class StreamingSpec extends SparkSpec {
     assert(got("2024-01-11") == ((2L, 8.0)))
     assert(got("2024-01-12") == ((1L, 7.0)))
   }
+
+  test("streaming IVF ingest assigns arriving vectors to the same cells as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: two clear direction clusters, 12 vectors, k=4 seeds
+    val corpus = (0 until 12).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.01f * i) else Array(0.01f * i, 1.0f)
+      (i.toLong, v, 0)
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding", "label")
+    val batchCells = graft.ops.Similarity
+      .kmeansCells(graft.ops.Similarity.withNorm(corpusDf).localCheckpoint())
+      .as[(Long, Long)].collect().toMap
+    val in = MemoryStream[(Long, Array[Float], Int)]
+    val q = StreamingPipeline.ivfAssignStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), corpusDf)
+      .writeStream.format("memory").queryName("ivfingest")
+      .outputMode("append").start()
+    // stream the corpus's own vectors in two micro-batches
+    in.addData(corpus.take(6).map(r => (r._1, r._2, r._3)): _*)
+    q.processAllAvailable()
+    in.addData(corpus.drop(6).map(r => (r._1, r._2, r._3)): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ivfingest")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(streamed == batchCells)
+  }
 }
