@@ -1340,11 +1340,14 @@ object TextAnalysis {
     * both rollups key on (bench, doc) pairs bounded by true overlap.
     */
   def decontamReport(docs: DataFrame): DataFrame = {
-    val sh = Tables.shingles(docs)
     val isBench = col("doc_id") % DECONTAM_MOD === 0
-    val bench = sh.filter(isBench)
+    // filter BEFORE shingling on both sides: the doc_id predicate then
+    // reaches the parquet scan directly, and the bench side shingles
+    // 1/MOD of the corpus instead of all of it
+    val bench = Tables.shingles(docs.filter(isBench))
       .select(col("shingle"), col("doc_id").as("bench_id"))
-    val ov = sh.filter(!isBench).join(broadcast(bench), Seq("shingle"))
+    val ov = Tables.shingles(docs.filter(!isBench))
+      .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("bench_id"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val per = ov.groupBy(col("bench_id"))
