@@ -2268,4 +2268,68 @@ object TextAnalysis {
        |SELECT doc_id,
        |       CAST(row_number() OVER (ORDER BY bucket, hk, doc_id) - 1 AS BIGINT) AS pos
        |FROM b""".stripMargin
+
+  /** Curriculum training order — quality-banded, shuffled within band:
+    * documents rank best-quality-first in [[CURRICULUM_BANDS]] fixed-width
+    * score bands (band 0 = top scores) and in seeded hash order inside a
+    * band, i.e. the quality-annealed ordering trainers feed early steps
+    * from, with the within-band shuffle a curriculum still needs. Global
+    * rank uses the [[shuffleManifest]] construction with a COMPOSITE
+    * bucket (band, hash sub-bucket): fixed-width bands off the round-
+    * pinned quality score need NO global quantile state (a decile split
+    * would — exact percentiles funnel the corpus into one reducer), the
+    * offset table stays bands×buckets rows (broadcast), and no window
+    * ever orders more than one sub-bucket. The oracle's single global
+    * window is the same integer arithmetic.
+    */
+  val CURRICULUM_BANDS = 10
+
+  def curriculumManifest(docs: DataFrame): DataFrame = {
+    val hk = md5(concat_ws(":", lit(SHUFFLE_SEED), col("doc_id").cast("string")))
+    val top = lit(CURRICULUM_BANDS - 1).cast("long")
+    val banded = quality(docs).select(col("doc_id"), col("quality_score"))
+      .withColumn("band",
+        top - least(floor(col("quality_score") * CURRICULUM_BANDS).cast("long"), top))
+      .withColumn("hk", hk)
+      .withColumn("sub",
+        conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS)
+    val offsets = banded.groupBy(col("band"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("band"), col("sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("sub"), col("off"))
+    val w = Window.partitionBy(col("band"), col("sub")).orderBy(col("hk"), col("doc_id"))
+    banded.withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("band", "sub"))
+      .select(col("doc_id"), col("band"),
+        (col("off") + col("rn") - 1).cast("long").as("pos"))
+  }
+
+  def textCurriculum(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumManifest(Tables.documents(spark, sfDir))
+
+  val textCurriculumSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |qs AS (
+       |  SELECT doc_id,
+       |         round((CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |               * (1.0 - CAST(n_short AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS q
+       |  FROM stats),
+       |b AS (
+       |  SELECT doc_id,
+       |         ${CURRICULUM_BANDS - 1} - least(CAST(floor(q * $CURRICULUM_BANDS) AS BIGINT),
+       |                                         ${CURRICULUM_BANDS - 1}) AS band,
+       |         md5('$SHUFFLE_SEED' || ':' || CAST(doc_id AS VARCHAR)) AS hk
+       |  FROM qs),
+       |b2 AS (
+       |  SELECT *, CAST(('0x' || substr(hk, 1, 4)) AS BIGINT) % $SHUFFLE_BUCKETS AS sub
+       |  FROM b)
+       |SELECT doc_id, band,
+       |       CAST(row_number() OVER (ORDER BY band, sub, hk, doc_id) - 1 AS BIGINT) AS pos
+       |FROM b2""".stripMargin
 }

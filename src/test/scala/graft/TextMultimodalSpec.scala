@@ -635,6 +635,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pos == again)
   }
 
+  test("curriculum: positions are a permutation, better quality bands strictly first") {
+    // high-TTR long docs (band near 0) vs a repetitive short-word doc
+    val good = (0L until 20L).map(i =>
+      (i, (0 until 12).map(j => s"distinct${i}word$j").mkString(" "), "en", "s"))
+    val bad = (20L until 30L).map(i => (i, "a a a a a a a a", "en", "s"))
+    val d = (good ++ bad).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.curriculumManifest(d)
+      .select("doc_id", "band", "pos").as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (0L until 30L)) // exact permutation
+    val bandOf = got.map(r => r._1 -> r._2).toMap
+    val posOf = got.map(r => r._1 -> r._3).toMap
+    // every good doc (ttr 1.0, no short tokens -> band 0) precedes every
+    // bad doc (ttr 1/8 of all-short tokens -> last band)
+    assert(good.forall { case (id, _, _, _) => bandOf(id) == 0L })
+    assert(bad.forall { case (id, _, _, _) => bandOf(id) == 9L })
+    val maxGood = good.map(g => posOf(g._1)).max
+    val minBad = bad.map(b => posOf(b._1)).min
+    assert(maxGood < minBad)
+    // within a band the order is the seeded hash shuffle, not doc_id
+    val goodByPos = good.map(g => g._1 -> posOf(g._1)).sortBy(_._2).map(_._1)
+    assert(goodByPos != goodByPos.sorted)
+  }
+
   test("blocklist: multiplicity counted per doc, clean slice reports zero rate") {
     val d = docs(
       (0L, "slow query slow scan", "en", "s0"), // 2 hits
