@@ -716,4 +716,122 @@ object Relational {
       |  WHERE st.n_days > 1)
       |SELECT event_type, day, n_events, z_score, abs(z_score) > 2.0 AS is_anomaly
       |FROM sc""".stripMargin
+
+  // --------------------------------------------------------------------
+  // TPC-H Q18 shape: large-volume customers (agg → HAVING → join back)
+  // --------------------------------------------------------------------
+
+  /** Q18's HAVING threshold on per-order quantity. l_quantity values are
+    * whole numbers stored as doubles, so the sums are exact in both
+    * engines at any accumulation order.
+    */
+  val Q18_QTY_MIN = 200.0
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table,
+    * keep groups over a HAVING threshold, then join the surviving KEYS
+    * back through orders→customer and re-aggregate. The scale-relevant
+    * property: the first aggregation is a full map-side-combined hash
+    * agg over lineitem, but everything after it is sized by the
+    * SURVIVORS (≈1% of orders here), so the threshold semi-join back to
+    * lineitem prunes the second pass; the final top-100 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > Q18_QTY_MIN)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $Q18_QTY_MIN)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       |       o.o_totalprice, b.total_qty
+       |FROM big b
+       |JOIN orders o ON o.o_orderkey = b.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o.o_totalprice DESC, o.o_orderkey
+       |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Z-order data layout (multi-dimensional clustering)
+  // --------------------------------------------------------------------
+
+  /** Bits per dimension in the z-order key (10-bit interleaved key).
+    * Five bits each: the day dimension genuinely spans 0..29, and the
+    * user dimension is bucketed to match — unequal bit widths would pin
+    * the high interleaved bits to zero and collapse the shard space.
+    */
+  val Z_BITS = 5
+
+  /** Z-order shard width: 10-bit key >> 4 → 64 shards of 16 z-cells. */
+  val Z_SHARD_SHIFT = 4
+
+  /** Bit-interleave two [[Z_BITS]]-bit values into a z-order key —
+    * pure integer shifts/masks, bit-identical across engines.
+    */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until Z_BITS).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  private def zInterleaveSql(a: String, b: String): String =
+    (0 until Z_BITS).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+
+  /** Z-order layout report over events — the lakehouse OPTIMIZE/ZORDER
+    * primitive (Morton-curve clustering on the two hot filter dimensions,
+    * user and day), expressed as the per-shard locality report a layout
+    * job emits: each of the 64 z-shards touches few distinct users AND
+    * few distinct days simultaneously, which is what makes BOTH
+    * `user_id = ?` and `day = ?` scans prune to a handful of files —
+    * a linear-key sort clusters one dimension and scatters the other.
+    * The z-key is a narrow codegen'd projection; writing the layout is
+    * `repartitionByRange(zkey)` on top of it (range boundaries from the
+    * sampled sketch Spark already computes), so nothing here ever
+    * global-sorts, and the report is one hash aggregation.
+    */
+  def zorderLayout(events: DataFrame): DataFrame = {
+    val ub = pmod(col("user_id"), lit(1L << Z_BITS))
+    val db = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val keyed = events.select(
+      shiftrightunsigned(zInterleave(ub, db), Z_SHARD_SHIFT).as("shard"),
+      col("user_id"), to_date(col("ts")).as("d"))
+    keyed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("d")).as("n_days"))
+  }
+
+  def eventsZorder(spark: SparkSession, sfDir: String): DataFrame =
+    zorderLayout(Tables.events(spark, sfDir))
+
+  val eventsZorderSql: String = {
+    val z = zInterleaveSql(s"(user_id % ${1L << Z_BITS})",
+      "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")
+    s"""WITH keyed AS (
+       |  SELECT ($z) >> $Z_SHARD_SHIFT AS shard, user_id, CAST(ts AS DATE) AS d
+       |  FROM events)
+       |SELECT shard, count(*) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       CAST(count(DISTINCT d) AS BIGINT) AS n_days
+       |FROM keyed GROUP BY 1""".stripMargin
+  }
 }

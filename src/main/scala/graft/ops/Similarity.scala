@@ -1453,4 +1453,46 @@ object Similarity {
        |SELECT g.cell, coalesce(c.n, 0) AS n_vecs,
        |       round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(s.t AS DOUBLE), 6) AS frac
        |FROM gs g LEFT JOIN cnt c ON g.cell = c.cell, tot s""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cluster-balanced diversity sampling
+  // --------------------------------------------------------------------
+
+  /** Vectors kept per k-means cell by [[diverseSample]]. */
+  val DIVERSE_PER_CELL = 16
+
+  /** Cluster-balanced diversity sampling (the embedding-space coreset
+    * recipe: cluster, then take equally from every cluster): fit the
+    * [[KMEANS_K]]-cell quantizer, keep the [[DIVERSE_PER_CELL]]
+    * hash-first vectors of each cell — a subset that covers every region
+    * of embedding space instead of oversampling the dense ones, which is
+    * what uniform sampling does to a skewed corpus. The in-cell draw is
+    * the engine-standard md5 order (deterministic, rerunnable). Per-cell
+    * selection is a bounded top-k window per cell — K·m rows survive;
+    * at real scale K is thousands, so no cell's window exceeds
+    * corpus/K rows and the result stays broadcast-sized.
+    */
+  def diverseSample(emb: DataFrame): DataFrame = {
+    val cells = kmeansCells(withNorm(emb).localCheckpoint())
+    val hk = md5(col("vec_id").cast("string"))
+    val w = Window.partitionBy(col("cell")).orderBy(hk, col("vec_id"))
+    cells.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DIVERSE_PER_CELL)
+      .select(col("cell"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  def simsearchDiverseSample(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    diverseSample(Tables.embeddings(spark, sfDir))
+  }
+
+  val simsearchDiverseSampleSql: String =
+    s"""$kmeansCtePrefix,
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |                                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |              AS BIGINT) AS rnk
+       |  FROM asgf)
+       |SELECT cell, vec_id, rnk FROM ranked WHERE rnk <= $DIVERSE_PER_CELL""".stripMargin
 }

@@ -2332,4 +2332,172 @@ object TextAnalysis {
        |SELECT doc_id, band,
        |       CAST(row_number() OVER (ORDER BY band, sub, hk, doc_id) - 1 AS BIGINT) AS pos
        |FROM b2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // DSIR importance resampling (data selection)
+  // --------------------------------------------------------------------
+
+  /** Hashed-feature space size for [[dsirScores]]. The whole per-bucket
+    * model is 2·[[DSIR_BUCKETS]] longs — driver/broadcast-sized at any
+    * corpus scale, which is the entire point of hashing the vocabulary.
+    */
+  val DSIR_BUCKETS = 64
+
+  /** How many documents the DSIR selection keeps. */
+  val DSIR_SELECT = 100
+
+  /** Token → hashed feature bucket, md5-derived like every other
+    * deterministic draw in the engine (see [[md5Bucket]]); DuckDB twin is
+    * `CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % B`.
+    */
+  private def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS
+
+  /** The [[quality]] composite score as a single array-side boolean —
+    * lets target-set construction FILTER rows in a narrow projection
+    * instead of computing the stats table and joining back (the join
+    * would shuffle the corpus; this shuffles nothing).
+    */
+  private def qualityKeep: Column = {
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val shortRatio =
+      size(expr("filter(split(text, '\\\\s+'), t -> length(t) <= 2)")).cast("double") / n
+    round(ttr * (lit(1.0) - shortRatio), 6) >= QUALITY_MIN
+  }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", 2023): score every document by
+    * its hashed-unigram importance weight against a TARGET distribution
+    * — here "high-quality English" (lang = en, quality ≥
+    * [[QUALITY_MIN]]), the stand-in for DSIR's Wikipedia/books target —
+    * and keep the [[DSIR_SELECT]] best. score(doc) = mean over tokens of
+    * ln p̂_target(bucket)/p̂_raw(bucket), add-1 smoothed; the feature
+    * distributions live in [[DSIR_BUCKETS]] hash buckets.
+    *
+    * Scale shape: the target side is a narrow FILTER (no join — see
+    * [[qualityKeep]]); both bucket-count frames are B rows, so the
+    * weight table broadcasts; scoring is one broadcast-hash join over
+    * the token stream plus the per-doc aggregation, and selection is
+    * TakeOrderedAndProject — never a global sort. The only corpus-sized
+    * shuffle is the per-doc mean, same as every per-doc scorer here.
+    */
+  def dsirScores(docs: DataFrame): DataFrame = {
+    val tb = Tables.tokens(docs)
+      .select(col("doc_id"), dsirBucket(col("tok")).as("b"))
+    val tgt = Tables.tokens(docs.filter(col("lang") === "en" && qualityKeep))
+      .select(dsirBucket(col("tok")).as("b"))
+    val cr = tb.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val ct = tgt.groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val nr = cr.agg(sum(col("c_raw")).as("n_raw"))
+    val nt = ct.agg(sum(col("c_tgt")).as("n_tgt"))
+    val w = cr.join(ct, Seq("b"), "left_outer")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        (log((coalesce(col("c_tgt"), lit(0L)).cast("double") + 1.0) /
+            (col("n_tgt").cast("double") + DSIR_BUCKETS)) -
+          log((col("c_raw").cast("double") + 1.0) /
+            (col("n_raw").cast("double") + DSIR_BUCKETS))).as("w"))
+    tb.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("w")), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(DSIR_SELECT)
+  }
+
+  def textDsir(spark: SparkSession, sfDir: String): DataFrame =
+    dsirScores(Tables.documents(spark, sfDir))
+
+  val textDsirSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |tb AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % $DSIR_BUCKETS AS b
+       |  FROM tok),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |tgt_ids AS (
+       |  SELECT d.doc_id FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+       |  WHERE d.lang = 'en'
+       |    AND round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |          * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |        >= $QUALITY_MIN),
+       |cr AS (SELECT b, count(*) AS c_raw FROM tb GROUP BY 1),
+       |ct AS (SELECT b, count(*) AS c_tgt FROM tb
+       |       WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY 1),
+       |nr AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM cr),
+       |nt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM ct),
+       |w AS (
+       |  SELECT cr.b,
+       |         ln((CAST(coalesce(ct.c_tgt, 0) AS DOUBLE) + 1.0)
+       |            / (CAST(nt.n_tgt AS DOUBLE) + $DSIR_BUCKETS))
+       |         - ln((CAST(cr.c_raw AS DOUBLE) + 1.0)
+       |              / (CAST(nr.n_raw AS DOUBLE) + $DSIR_BUCKETS)) AS w
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b, nr, nt)
+       |SELECT tb.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS dsir_score
+       |FROM tb JOIN w ON tb.b = w.b
+       |GROUP BY 1
+       |ORDER BY dsir_score DESC, doc_id
+       |LIMIT $DSIR_SELECT""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Temperature-scaled source mixing
+  // --------------------------------------------------------------------
+
+  /** Mixing temperature α: sampling shares ∝ (raw share)^α. α = 1
+    * reproduces the corpus, α → 0 approaches uniform-per-source; 0.5 is
+    * the classic multilingual/multi-source flattening exponent.
+    */
+  val MIX_TEMPERATURE = 0.5
+
+  /** Temperature-scaled source mixing (the mBERT/XLM-R exponent-
+    * smoothing recipe, applied per SOURCE the way a pretraining mix
+    * up-weights small high-value domains): temp_share_s ∝
+    * (token_share_s)^α, renormalized, plus the per-source up/down-
+    * sampling factor temp_share/raw_share a sampler would apply.
+    * One source-sized aggregation; every derived frame is
+    * sources-count rows, broadcast-sized at any corpus scale.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("corpus_tokens"))
+    val withShare = perSrc.crossJoin(broadcast(tot))
+      .withColumn("raw_share",
+        col("src_tokens").cast("double") / col("corpus_tokens").cast("double"))
+      .withColumn("wt", pow(col("raw_share"), MIX_TEMPERATURE))
+    val z = withShare.agg(sum(col("wt")).as("z"))
+    withShare.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("raw_share"), 6).as("raw_share"),
+        round(col("wt") / col("z"), 6).as("temp_share"),
+        round(col("wt") / col("z") / col("raw_share"), 6).as("sample_factor"))
+  }
+
+  def textMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    mixTemperature(Tables.documents(spark, sfDir))
+
+  val textMixTemperatureSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens FROM per_src),
+       |sh AS (
+       |  SELECT source, n_docs, src_tokens,
+       |         CAST(src_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS raw_share,
+       |         pow(CAST(src_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE),
+       |             $MIX_TEMPERATURE) AS wt
+       |  FROM per_src, tot),
+       |z AS (SELECT sum(wt) AS z FROM sh)
+       |SELECT source, n_docs, src_tokens,
+       |       round(raw_share, 6) AS raw_share,
+       |       round(wt / z.z, 6) AS temp_share,
+       |       round(wt / z.z / raw_share, 6) AS sample_factor
+       |FROM sh, z""".stripMargin
 }

@@ -230,4 +230,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: no cartesian product")
     }
   }
+
+  test("q18: partial agg before the HAVING, survivors join back, top-100 via TakeOrdered") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("partial_"), "the lineitem agg must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "the top-100 must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_zorder: hash aggregation only — no window, no join, no global sort") {
+    val p = plan("events_zorder")
+    assert(!p.contains("Window"), "the z-key is a projection, not a rank")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("text_dsir: bucket weights broadcast back; selection via TakeOrdered") {
+    val p = plan("text_dsir")
+    assert(p.contains("BroadcastHashJoin"), "the B-row weight table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "DSIR selection must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -200,4 +200,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(1L, 2L))
     assert(got(0)._3 == 1.0)
   }
+
+  test("diverse sample: caps every cell, covers every non-empty cell, reruns identically") {
+    val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.diverseSample(emb)
+      .as[(Long, Long, Long)].collect()
+    val perCell = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= Similarity.DIVERSE_PER_CELL))
+    val cells = Similarity.kmeansCells(
+      Similarity.withNorm(emb).localCheckpoint())
+      .select("cell").distinct().as[Long].collect().toSet
+    assert(perCell.keySet == cells, "every non-empty cell must contribute")
+    assert(got.map(_._2).distinct.length == got.length, "no vector sampled twice")
+    val again = Similarity.diverseSample(emb).as[(Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
 }

@@ -658,6 +658,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(goodByPos != goodByPos.sorted)
   }
 
+  test("dsir: on-target vocabulary outscores off-target regardless of the doc's own lang") {
+    // target = high-quality en docs, which here all use vocabulary A;
+    // the probe pair are both de (so neither is IN the target set) —
+    // the one WRITTEN in vocabulary A must outscore the vocabulary-B one
+    val vocabA = (0 until 12).map(i => s"alphaword$i").mkString(" ")
+    val vocabB = (0 until 12).map(i => s"betaword$i").mkString(" ")
+    val d = docs(
+      (0L, vocabA, "en", "s"), (1L, vocabA, "en", "s"), (2L, vocabA, "en", "s"),
+      (3L, vocabB, "de", "s"), (4L, vocabB, "de", "s"),
+      (5L, vocabA, "de", "s"),  // on-target text, off-target lang
+      (6L, vocabB, "de", "s"))
+    val got = TextAnalysis.dsirScores(d)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(got(5L) > got(6L), s"on-target vocab must win: $got")
+    assert(got(0L) == got(5L), "score depends only on the text's buckets")
+    // deterministic rerun
+    val again = TextAnalysis.dsirScores(d)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(got == again)
+  }
+
+  test("mix temperature: flattens shares toward uniform, factors cross 1 by size") {
+    val big = (0L until 18L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "srcbig"))
+    val small = (18L until 20L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "srcsmall"))
+    val got = TextAnalysis.mixTemperature((big ++ small).toDF("doc_id", "text", "lang", "source"))
+      .select("source", "raw_share", "temp_share", "sample_factor")
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, rawB, tempB, facB) = got("srcbig")
+    val (_, rawS, tempS, facS) = got("srcsmall")
+    assert(rawB == 0.9 && rawS == 0.1)
+    assert(tempB < rawB && tempS > rawS, "temperature must flatten toward uniform")
+    assert(facS > 1.0 && facB < 1.0, "small source upsamples, large downsamples")
+    assert(math.abs(tempB + tempS - 1.0) < 1e-5, "temp shares renormalize")
+  }
+
   test("blocklist: multiplicity counted per doc, clean slice reports zero rate") {
     val d = docs(
       (0L, "slow query slow scan", "en", "s0"), // 2 hits
