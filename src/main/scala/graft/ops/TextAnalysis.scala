@@ -2367,45 +2367,65 @@ object TextAnalysis {
     round(ttr * (lit(1.0) - shortRatio), 6) >= QUALITY_MIN
   }
 
+  /** Fit the DSIR importance model: the per-bucket log-ratio weight
+    * w(b) = ln p̂_target(b) − ln p̂_raw(b), add-1 smoothed, with the
+    * TARGET being "high-quality English" (lang = en, quality ≥
+    * [[QUALITY_MIN]]) — the stand-in for DSIR's Wikipedia/books target.
+    * The target side is a narrow FILTER (no join — see [[qualityKeep]]);
+    * both count frames are ≤[[DSIR_BUCKETS]] rows, so the fitted model
+    * is 64 driver-held doubles — exactly the k-means-centroids pattern:
+    * fit distributed, hold the tiny model, apply stateless.
+    */
+  def dsirModel(docs: DataFrame): Array[Double] = {
+    val cr = Tables.tokens(docs)
+      .select(dsirBucket(col("tok")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = Tables.tokens(docs.filter(col("lang") === "en" && qualityKeep))
+      .select(dsirBucket(col("tok")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nr = cr.values.sum.toDouble
+    val nt = ct.values.sum.toDouble
+    Array.tabulate(DSIR_BUCKETS) { b =>
+      math.log((ct.getOrElse(b.toLong, 0L) + 1.0) / (nt + DSIR_BUCKETS)) -
+        math.log((cr.getOrElse(b.toLong, 0L) + 1.0) / (nr + DSIR_BUCKETS))
+    }
+  }
+
+  /** Score any (doc_id, text, …) frame against a fitted DSIR model —
+    * ONE codegen'd projection (the weight array is a literal; the
+    * per-token lookup and mean run inside an `aggregate` HOF), so
+    * scoring shuffles NOTHING and runs unchanged on a stream (see
+    * [[graft.streaming.StreamingPipeline.dsirScoreStream]]).
+    */
+  def dsirScored(docs: DataFrame, model: Array[Double]): DataFrame =
+    docs.withColumn("warr", typedLit(model.toSeq))
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("dsir_score", round(
+        expr(s"""aggregate(toks, 0D, (acc, t) -> acc +
+                |  element_at(warr, CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10)
+                |                             AS BIGINT) % $DSIR_BUCKETS + 1 AS INT)))"""
+          .stripMargin) / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"))
+
   /** DSIR-style data selection (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", 2023): score every document by
-    * its hashed-unigram importance weight against a TARGET distribution
-    * — here "high-quality English" (lang = en, quality ≥
-    * [[QUALITY_MIN]]), the stand-in for DSIR's Wikipedia/books target —
-    * and keep the [[DSIR_SELECT]] best. score(doc) = mean over tokens of
-    * ln p̂_target(bucket)/p̂_raw(bucket), add-1 smoothed; the feature
+    * its hashed-unigram importance weight against the target
+    * distribution and keep the [[DSIR_SELECT]] best. score(doc) = mean
+    * over tokens of ln p̂_target(bucket)/p̂_raw(bucket); the feature
     * distributions live in [[DSIR_BUCKETS]] hash buckets.
     *
-    * Scale shape: the target side is a narrow FILTER (no join — see
-    * [[qualityKeep]]); both bucket-count frames are B rows, so the
-    * weight table broadcasts; scoring is one broadcast-hash join over
-    * the token stream plus the per-doc aggregation, and selection is
-    * TakeOrderedAndProject — never a global sort. The only corpus-sized
-    * shuffle is the per-doc mean, same as every per-doc scorer here.
+    * Scale shape: fitting is two bucket-count aggregations ([[dsirModel]]
+    * — the only shuffles, both map-side-combined to ≤B rows); scoring is
+    * a zero-shuffle projection; selection is TakeOrderedAndProject —
+    * never a global sort, never a corpus-sized shuffle.
     */
-  def dsirScores(docs: DataFrame): DataFrame = {
-    val tb = Tables.tokens(docs)
-      .select(col("doc_id"), dsirBucket(col("tok")).as("b"))
-    val tgt = Tables.tokens(docs.filter(col("lang") === "en" && qualityKeep))
-      .select(dsirBucket(col("tok")).as("b"))
-    val cr = tb.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
-    val ct = tgt.groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
-    val nr = cr.agg(sum(col("c_raw")).as("n_raw"))
-    val nt = ct.agg(sum(col("c_tgt")).as("n_tgt"))
-    val w = cr.join(ct, Seq("b"), "left_outer")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .select(col("b"),
-        (log((coalesce(col("c_tgt"), lit(0L)).cast("double") + 1.0) /
-            (col("n_tgt").cast("double") + DSIR_BUCKETS)) -
-          log((col("c_raw").cast("double") + 1.0) /
-            (col("n_raw").cast("double") + DSIR_BUCKETS))).as("w"))
-    tb.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("w")), 6).as("dsir_score"))
+  def dsirScores(docs: DataFrame): DataFrame =
+    dsirScored(docs, dsirModel(docs))
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(DSIR_SELECT)
-  }
 
   def textDsir(spark: SparkSession, sfDir: String): DataFrame =
     dsirScores(Tables.documents(spark, sfDir))

@@ -215,6 +215,19 @@ object StreamingPipeline {
       .select(col("vec_id"), col("cell"), col("embedding"))
   }
 
+  /** Streaming DSIR scoring — the online half of the batch
+    * [[graft.ops.TextAnalysis.dsirScores]]: the importance model fits
+    * once on the STANDING corpus ([[graft.ops.TextAnalysis.dsirModel]],
+    * 64 driver-held doubles), and each arriving document is scored by
+    * the same zero-shuffle projection the batch path uses — no state
+    * store, any output mode. This is how importance-based data selection
+    * runs in production: refit the cheap model offline, score the
+    * firehose online, keep what clears the bar downstream.
+    */
+  def dsirScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.dsirScored(docs,
+      graft.ops.TextAnalysis.dsirModel(corpus))
+
   /** Streaming mixture gate — the sampling half of the batch
     * [[graft.ops.TextAnalysis.mixSample]] on a document stream: the
     * per-language rates come from a profile of the STANDING corpus

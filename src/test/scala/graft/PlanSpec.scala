@@ -244,10 +244,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("text_dsir: bucket weights broadcast back; selection via TakeOrdered") {
+  test("text_dsir: scoring is a zero-shuffle projection; selection via TakeOrdered") {
     val p = plan("text_dsir")
-    assert(p.contains("BroadcastHashJoin"), "the B-row weight table must broadcast")
+    assert(!p.contains("Exchange"),
+      "the fitted model is a literal — scoring must not shuffle or join")
     assert(p.contains("TakeOrderedAndProject"), "DSIR selection must not global-sort")
-    assert(!p.contains("CartesianProduct"))
   }
 }

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(2L) && streamed.contains(1L))
   }
 
+  test("streaming dsir: corpus-fitted model scores the stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocabA = (0 until 12).map(i => s"alphaword$i").mkString(" ")
+    val vocabB = (0 until 12).map(i => s"betaword$i").mkString(" ")
+    val corpus = Seq(
+      (0L, vocabA, "en", "s"), (1L, vocabA, "en", "s"),
+      (2L, vocabB, "de", "s"), (3L, vocabB, "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.dsirScoreStream(
+        in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("dsirstream")
+      .outputMode("append").start()
+    in.addData((10L, vocabA), (11L, vocabB), (12L, "neverseen tokens here"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsirstream")
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    val batch = graft.ops.TextAnalysis.dsirScored(
+        Seq((10L, vocabA), (11L, vocabB), (12L, "neverseen tokens here"))
+          .toDF("doc_id", "text"),
+        graft.ops.TextAnalysis.dsirModel(corpus))
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed(10L) > streamed(11L), "on-target text must outscore off-target")
+  }
+
   test("streaming decontamination: static benchmark set filters the stream statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((0L, "a b c d", "en", "s0"))
