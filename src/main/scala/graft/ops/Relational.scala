@@ -783,8 +783,10 @@ object Relational {
 
   /** Bit-interleave two [[Z_BITS]]-bit values into a z-order key —
     * pure integer shifts/masks, bit-identical across engines.
+    * Public so the property suite can check the Morton coding is a
+    * bijection on the [0, 2^[[Z_BITS]])² domain.
     */
-  private def zInterleave(a: Column, b: Column): Column =
+  def zInterleave(a: Column, b: Column): Column =
     (0 until Z_BITS).map { i =>
       shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))

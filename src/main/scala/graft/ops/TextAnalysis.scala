@@ -2430,8 +2430,12 @@ object TextAnalysis {
   def textDsir(spark: SparkSession, sfDir: String): DataFrame =
     dsirScores(Tables.documents(spark, sfDir))
 
-  val textDsirSql: String =
-    s"""WITH ${Tables.TOK_CTE},
+  /** The DSIR CTE chain shared by [[textDsirSql]] and
+    * [[textSelectPackSql]]: token buckets, the target set, both
+    * smoothed distributions, and the per-bucket weight.
+    */
+  private val DSIR_CTES: String =
+    s"""${Tables.TOK_CTE},
        |tb AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % $DSIR_BUCKETS AS b
@@ -2457,12 +2461,52 @@ object TextAnalysis {
        |            / (CAST(nt.n_tgt AS DOUBLE) + $DSIR_BUCKETS))
        |         - ln((CAST(cr.c_raw AS DOUBLE) + 1.0)
        |              / (CAST(nr.n_raw AS DOUBLE) + $DSIR_BUCKETS)) AS w
-       |  FROM cr LEFT JOIN ct ON cr.b = ct.b, nr, nt)
-       |SELECT tb.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS dsir_score
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b, nr, nt)""".stripMargin
+
+  /** The final DSIR selection as SQL text, reused verbatim as a CTE body
+    * by [[textSelectPackSql]].
+    */
+  private val DSIR_SELECT_SQL: String =
+    s"""SELECT tb.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS dsir_score
        |FROM tb JOIN w ON tb.b = w.b
        |GROUP BY 1
        |ORDER BY dsir_score DESC, doc_id
        |LIMIT $DSIR_SELECT""".stripMargin
+
+  val textDsirSql: String =
+    s"""WITH $DSIR_CTES
+       |$DSIR_SELECT_SQL""".stripMargin
+
+  /** Selection composed with packing — the "pick the corpus, then cut
+    * the batches" join-up a training run actually executes: the
+    * [[dsirScores]] top-[[DSIR_SELECT]] documents packed into
+    * [[PACK_CAPACITY]]-token sequences by the two-level
+    * [[packGeometry]] prefix sum. The selected frame already carries
+    * exact n_tokens, so packing adds no re-tokenization; sparse
+    * surviving doc_ids pack identically to a dense corpus (shards are
+    * id RANGES). Demonstrates operator composition: TakeOrdered
+    * selection → bounded windows, no global sort anywhere.
+    */
+  def textSelectPack(spark: SparkSession, sfDir: String): DataFrame =
+    packGeometry(dsirScores(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens")))
+
+  val textSelectPackSql: String =
+    s"""WITH $DSIR_CTES,
+       |sel AS (
+       |${DSIR_SELECT_SQL.linesIterator.map("  " + _).mkString("\n")}),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS start_off
+       |  FROM sel)
+       |SELECT doc_id, n_tokens, start_off,
+       |       start_off // $PACK_CAPACITY AS start_seq,
+       |       (start_off + n_tokens - 1) // $PACK_CAPACITY AS end_seq,
+       |       (start_off + n_tokens - 1) // $PACK_CAPACITY
+       |         > start_off // $PACK_CAPACITY AS straddles
+       |FROM o""".stripMargin
 
   // --------------------------------------------------------------------
   // Temperature-scaled source mixing
@@ -2482,7 +2526,7 @@ object TextAnalysis {
     * One source-sized aggregation; every derived frame is
     * sources-count rows, broadcast-sized at any corpus scale.
     */
-  def mixTemperature(docs: DataFrame): DataFrame = {
+  def mixTemperature(docs: DataFrame, alpha: Double = MIX_TEMPERATURE): DataFrame = {
     val perSrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), "\\s+")).cast("long")).as("src_tokens"))
@@ -2490,7 +2534,7 @@ object TextAnalysis {
     val withShare = perSrc.crossJoin(broadcast(tot))
       .withColumn("raw_share",
         col("src_tokens").cast("double") / col("corpus_tokens").cast("double"))
-      .withColumn("wt", pow(col("raw_share"), MIX_TEMPERATURE))
+      .withColumn("wt", pow(col("raw_share"), alpha))
     val z = withShare.agg(sum(col("wt")).as("z"))
     withShare.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("src_tokens"),

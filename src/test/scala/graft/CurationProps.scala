@@ -161,4 +161,60 @@ object CurationProps extends Properties("Curation") {
       rowsComplete && consistent && (anyFlag == anyLeak) &&
         report.map(_._4).sum >= flags.map(_._2).sum
     }
+
+  property("z-order Morton coding is a bijection on its domain") = {
+    import org.apache.spark.sql.functions.col
+    val n = 1 << graft.ops.Relational.Z_BITS
+    val pairs = for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong)
+    val keys = pairs.toDF("a", "b")
+      .select(graft.ops.Relational.zInterleave(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    keys.length == n * n && keys.distinct.length == n * n &&
+      keys.min == 0L && keys.max == n.toLong * n - 1
+  }
+
+  property("temperature mixing: α=1 is the identity, α<1 flattens, shares renormalize") =
+    forAll(genCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+        // spread docs over sources so shares differ
+        .withColumn("source",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("s"),
+            org.apache.spark.sql.functions.col("doc_id") % 3))
+      val id = TextAnalysis.mixTemperature(df, 1.0)
+        .select("source", "raw_share", "temp_share", "sample_factor")
+        .as[(String, Double, Double, Double)].collect()
+      val identity = id.forall { case (_, raw, temp, fac) =>
+        math.abs(raw - temp) <= 2e-6 && math.abs(fac - 1.0) <= 2e-6
+      }
+      val half = TextAnalysis.mixTemperature(df, 0.5)
+        .select("source", "raw_share", "temp_share")
+        .as[(String, Double, Double)].collect()
+      // flattening contracts the extremes (the largest share can only
+      // shrink, the smallest only grow — mid shares may cross the mean,
+      // so per-source direction is NOT an invariant) and preserves order
+      val normalized = math.abs(half.map(_._3).sum - 1.0) <= 1e-4
+      val byRaw = half.sortBy(_._2)
+      val orderKept = byRaw.map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b + 2e-6
+        case _ => true
+      }
+      val contracted = half.isEmpty ||
+        (byRaw.last._3 <= byRaw.last._2 + 2e-6 &&
+          byRaw.head._3 >= byRaw.head._2 - 2e-6)
+      identity && normalized && orderKept && contracted
+    }
+
+  property("curriculum: pos is a 0..N-1 permutation and bands never decrease along it") =
+    forAll(genCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.curriculumManifest(df)
+        .select("doc_id", "band", "pos").as[(Long, Long, Long)].collect()
+      val perm = got.map(_._3).sorted.toSeq == (0L until rows.length.toLong)
+      val ordered = got.sortBy(_._3).map(_._2).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      }
+      perm && ordered
+    }
 }
