@@ -797,6 +797,81 @@ object Relational {
       s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})"
     }.mkString(" | ")
 
+  /** Unpivot (melt) — the inverse of [[eventTypePivot]], through Spark's
+    * native `unpivot` operator (an Expand node: one pass, rows×types
+    * output, no shuffle beyond the pivot's own aggregation). Zero-filled
+    * cells are dropped on the way back, so pivot∘unpivot lands exactly
+    * on the long-form daily counts — which is what the oracle states
+    * directly: the round-trip is the identity, and THAT is the checked
+    * property.
+    */
+  def eventTypeUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    eventTypePivot(spark, sfDir)
+      .unpivot(Array(col("day")), EVENT_TYPES.map(col).toArray, "event_type", "n")
+      .filter(col("n") =!= 0L)
+
+  val eventTypeUnpivotSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |       count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // SCD2 state intervals (gaps and islands)
+  // --------------------------------------------------------------------
+
+  /** Slowly-changing-dimension (type 2) build over the event stream: each
+    * user's DAILY state is the event_type of their last event that day,
+    * and consecutive same-state days collapse into validity intervals
+    * [valid_from, valid_to] — the change-feed → dimension-table
+    * compression every warehouse maintains, via the gaps-and-islands
+    * pattern (island id = day rank − day rank within state; two window
+    * ranks, both partitioned by user, so no window ever sees more than
+    * one user's days and the corpus never global-sorts). The interval
+    * roll-up is one hash aggregation on (user, state, island).
+    */
+  def userStateScd2(events: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d"), col("event_type").as("state"))
+    val allDays = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val inState = Window.partitionBy(col("user_id"), col("state")).orderBy(col("d"))
+    daily
+      .withColumn("grp",
+        row_number().over(allDays) - row_number().over(inState))
+      .groupBy(col("user_id"), col("state"), col("grp"))
+      .agg(min(col("d")).cast("string").as("valid_from"),
+        max(col("d")).cast("string").as("valid_to"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+  }
+
+  def eventsScd2(spark: SparkSession, sfDir: String): DataFrame =
+    userStateScd2(Tables.events(spark, sfDir))
+
+  val eventsScd2Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, d, state FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS d, event_type AS state,
+      |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |grps AS (
+      |  SELECT user_id, state, d,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |           - row_number() OVER (PARTITION BY user_id, state ORDER BY d) AS grp
+      |  FROM daily)
+      |SELECT user_id, state,
+      |       CAST(min(d) AS VARCHAR) AS valid_from,
+      |       CAST(max(d) AS VARCHAR) AS valid_to,
+      |       count(*) AS n_days
+      |FROM grps GROUP BY user_id, state, grp""".stripMargin
+
   /** Z-order layout report over events — the lakehouse OPTIMIZE/ZORDER
     * primitive (Morton-curve clustering on the two hot filter dimensions,
     * user and day), expressed as the per-shard locality report a layout

@@ -244,6 +244,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("events_scd2: every window is user-partitioned — no global window or sort") {
+    val p = plan("events_scd2")
+    assert(!p.contains("SinglePartition"),
+      "gaps-and-islands ranks must partition by user, never collapse to one task")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("events_unpivot: one Expand pass over the pivot, no extra shuffle") {
+    val p = plan("events_unpivot")
+    assert(p.contains("Expand"), "unpivot must compile to the Expand operator")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      "only the pivot aggregation's own exchanges may appear")
+  }
+
   test("text_dsir: scoring is a zero-shuffle projection; selection via TakeOrdered") {
     val p = plan("text_dsir")
     assert(!p.contains("Exchange"),

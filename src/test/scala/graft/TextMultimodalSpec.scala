@@ -658,6 +658,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(goodByPos != goodByPos.sorted)
   }
 
+  test("scd2: consecutive same-state days collapse; a revisited state opens a NEW interval") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // user 1: A A B A  -> [A 1-2] [B 3-3] [A 4-4] (A twice, never merged)
+    // day 2 has two events; the LATER one (B at 09:00 < A at 17:00) loses
+    val ev = Seq(
+      (1L, ts(1, 9), 1L, "A", 0.0, "{}"),
+      (2L, ts(2, 9), 1L, "B", 0.0, "{}"),
+      (3L, ts(2, 17), 1L, "A", 0.0, "{}"),
+      (4L, ts(3, 9), 1L, "B", 0.0, "{}"),
+      (5L, ts(4, 9), 1L, "A", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Relational.userStateScd2(ev)
+      .select("user_id", "state", "valid_from", "valid_to", "n_days")
+      .as[(Long, String, String, String, Long)].collect()
+      .sortBy(_._3)
+    assert(got.toSeq == Seq(
+      (1L, "A", "2024-01-01", "2024-01-02", 2L),
+      (1L, "B", "2024-01-03", "2024-01-03", 1L),
+      (1L, "A", "2024-01-04", "2024-01-04", 1L)))
+  }
+
   test("dsir: on-target vocabulary outscores off-target regardless of the doc's own lang") {
     // target = high-quality en docs, which here all use vocabulary A;
     // the probe pair are both de (so neither is IN the target set) —
