@@ -429,6 +429,119 @@ object TextAnalysis {
        |JOIN cp ON g.prev = cp.prev
        |GROUP BY 1""".stripMargin
 
+  /** Stupid Backoff discount (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale LM smoothing that
+    * needs no held-out tuning).
+    */
+  val BACKOFF_ALPHA = 0.4
+
+  /** Stupid-Backoff bigram scoring against a TARGET-slice LM — the
+    * CCNet shape done honestly: the LM trains on the high-quality
+    * English slice (same target set as [[dsirModel]]), and EVERY
+    * document scores against it, so unseen bigrams genuinely occur and
+    * back off (score = c(prev,cur)/c(prev) if the bigram is in the LM,
+    * else α·c(cur)/N, else the α/N OOV floor) — unlike
+    * [[bigramLogprob]], whose self-trained LM can never see a novel
+    * pair. Per doc: mean −ln p, plus how many pairs backed off and how
+    * many hit the OOV floor (the "how far is this doc from the target
+    * LM" diagnostics a filter threshold is tuned on).
+    *
+    * Scale shape: both LM tables are vocab-sized (broadcast below; at a
+    * vocabulary too big to broadcast they become shuffle joins on the
+    * token key — still linear); scoring is the doc-bigram stream joined
+    * twice + one per-doc aggregation, the [[unigramLogprob]] plan with
+    * one more probe.
+    */
+  def backoffLogprob(docs: DataFrame): DataFrame = {
+    val tgt = docs.filter(col("lang") === "en" && qualityKeep)
+    val tgtToks = Tables.tokens(tgt)
+    val uni = tgtToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val nTot = uni.agg(sum(col("cu")).as("n_tot"))
+    val bigrams = tgt
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
+          .stripMargin)).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val docBg = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val scored = docBg
+      .join(broadcast(bigrams), Seq("prev", "cur"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("prev"), col("cu").as("cu_prev"))),
+        Seq("prev"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("cur"), col("cu").as("cu_cur"))),
+        Seq("cur"), "left_outer")
+      .crossJoin(broadcast(nTot))
+      .withColumn("p",
+        when(col("cb").isNotNull,
+          col("cb").cast("double") / col("cu_prev").cast("double"))
+          .when(col("cu_cur").isNotNull,
+            lit(BACKOFF_ALPHA) * col("cu_cur").cast("double") / col("n_tot").cast("double"))
+          .otherwise(lit(BACKOFF_ALPHA) / col("n_tot").cast("double")))
+      .withColumn("backed_off", col("cb").isNull)
+      .withColumn("oov", col("cb").isNull && col("cu_cur").isNull)
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backed_off"), 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        round(avg(-log(col("p"))), 6).as("avg_neg_logprob"))
+  }
+
+  def textBackoffLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    backoffLogprob(Tables.documents(spark, sfDir))
+
+  val textBackoffLogprobSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+       |  FROM tok GROUP BY 1),
+       |tgt_ids AS (
+       |  SELECT d.doc_id FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+       |  WHERE d.lang = 'en'
+       |    AND round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |          * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |        >= $QUALITY_MIN),
+       |uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tot FROM uni),
+       |bg_all AS (
+       |  SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |cb AS (
+       |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM bg_all
+       |  WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY 1, 2),
+       |p AS (
+       |  SELECT g.doc_id,
+       |         cb.cb IS NULL AS backed_off,
+       |         cb.cb IS NULL AND uc.cu IS NULL AS oov,
+       |         CASE
+       |           WHEN cb.cb IS NOT NULL
+       |             THEN CAST(cb.cb AS DOUBLE) / CAST(up.cu AS DOUBLE)
+       |           WHEN uc.cu IS NOT NULL
+       |             THEN $BACKOFF_ALPHA * CAST(uc.cu AS DOUBLE) / CAST(nt.n_tot AS DOUBLE)
+       |           ELSE $BACKOFF_ALPHA / CAST(nt.n_tot AS DOUBLE)
+       |         END AS p
+       |  FROM bg_all g
+       |  LEFT JOIN cb ON g.prev = cb.prev AND g.cur = cb.cur
+       |  LEFT JOIN uni up ON g.prev = up.tok
+       |  LEFT JOIN uni uc ON g.cur = uc.tok, nt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       round(avg(-ln(p)), 6) AS avg_neg_logprob
+       |FROM p GROUP BY 1""".stripMargin
+
   /** Unigram log-probability scoring — the perplexity-filter shape of LM
     * quality filtering, with the LM being the corpus's own unigram
     * distribution: score(doc) = mean(−ln p(tok)), p from corpus token

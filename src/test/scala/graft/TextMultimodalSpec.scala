@@ -680,6 +680,26 @@ class TextMultimodalSpec extends SparkSpec {
       (1L, "A", "2024-01-04", "2024-01-04", 1L)))
   }
 
+  test("backoff: in-LM bigrams score exact, novel pairs back off, OOV hits the floor") {
+    // target LM slice = en high-quality docs: "x1 .. x11" twice
+    val lmText = (0 until 12).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      (0L, lmText, "en", "s"), (1L, lmText, "en", "s"),
+      (2L, "word0 word1 word2 word3", "de", "s"), // all bigrams in the LM
+      (3L, "word3 word1 word5 word2", "de", "s"), // seen words, unseen pairs -> backoff
+      (4L, "zzz word0 qqq word1", "de", "s"))     // zzz/qqq unseen -> OOV floor
+    val got = TextAnalysis.backoffLogprob(d)
+      .select("doc_id", "n_bigrams", "n_backoff", "n_oov", "avg_neg_logprob")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L)._3 == 0 && got(2L)._4 == 0, "doc 2 never backs off")
+    assert(got(3L)._3 == 3 && got(3L)._4 == 0, "doc 3 backs off on every pair, no OOV")
+    // doc 4: pairs (zz,x0) backoff+cur seen, (x0,qq) OOV, (qq,x1) backoff
+    assert(got(4L)._3 == 3 && got(4L)._4 == 1)
+    assert(got(2L)._5 < got(3L)._5 && got(3L)._5 < got(4L)._5,
+      "scores order by distance from the target LM")
+  }
+
   test("dsir: on-target vocabulary outscores off-target regardless of the doc's own lang") {
     // target = high-quality en docs, which here all use vocabulary A;
     // the probe pair are both de (so neither is IN the target set) —
