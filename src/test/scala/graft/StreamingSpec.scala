@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(2L) && streamed.contains(1L))
   }
 
+  test("streaming scd2: closed intervals across micro-batches equal the batch non-final ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.{Date, Timestamp}
+    val in = MemoryStream[(Long, Date, String)]
+    val q = StreamingPipeline.scd2Stream(
+        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3)))
+      .writeStream.format("memory").queryName("scd2stream")
+      .outputMode("append").start()
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // batch 1: user 1 holds A for two days; batch 2: B then back to A
+    in.addData((1L, d(1), "A"), (1L, d(2), "A"))
+    q.processAllAvailable()
+    in.addData((1L, d(3), "B"), (1L, d(4), "A"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2stream")
+      .select("user_id", "state", "valid_from", "valid_to", "n_days")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._3)
+    // batch twin over the same facts as events (one event per day)
+    val ev = Seq(
+      (1L, "2024-01-01", "A"), (2L, "2024-01-02", "A"),
+      (3L, "2024-01-03", "B"), (4L, "2024-01-04", "A"))
+      .map { case (id, day, st) =>
+        (id, Timestamp.valueOf(s"$day 09:00:00"), 1L, st, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = graft.ops.Relational.userStateScd2(ev)
+      .select("user_id", "state", "valid_from", "valid_to", "n_days")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._3)
+    // the stream has emitted every batch interval except the still-open last
+    assert(streamed.toSeq == batch.toSeq.dropRight(1))
+    assert(streamed.toSeq == Seq(
+      (1L, "A", "2024-01-01", "2024-01-02", 2L),
+      (1L, "B", "2024-01-03", "2024-01-03", 1L)))
+  }
+
   test("streaming dsir: corpus-fitted model scores the stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     val vocabA = (0 until 12).map(i => s"alphaword$i").mkString(" ")
