@@ -242,6 +242,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("events_zorder")
     assert(!p.contains("Window"), "the z-key is a projection, not a rank")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      "the scan must read exactly the two layout dimensions")
+  }
+
+  test("column pruning reaches the scans of the new relational shapes") {
+    assert(plan("q18_large_orders")
+      .contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "q18's lineitem scan must read only the agg key and measure")
+    assert(plan("events_scd2")
+      .contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "scd2 must not read value/props")
   }
 
   test("events_scd2: every window is user-partitioned — no global window or sort") {
