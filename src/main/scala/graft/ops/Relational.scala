@@ -872,6 +872,74 @@ object Relational {
       |       count(*) AS n_days
       |FROM grps GROUP BY user_id, state, grp""".stripMargin
 
+  /** Histogram bins for [[columnStats]]. */
+  val STATS_BINS = 10
+
+  /** ANALYZE-style column statistics — the stats-collection pass a
+    * cost-based optimizer (and every capacity planner) runs over a
+    * table: per tracked column the row/NDV counts, min/max, and an
+    * equi-width [[STATS_BINS]]-bin histogram. One long-format union of
+    * narrow projections (column pruning still reaches the scan — each
+    * arm reads its own column), one stats aggregation, the bin pass
+    * against the broadcast per-column ranges, one final hash agg. The
+    * bin expression is a single double-precision formula evaluated
+    * identically in both engines. NDV here is exact (count distinct);
+    * the sketched version of the same number is `approx_stats`.
+    */
+  def columnStats(events: DataFrame): DataFrame = {
+    val long = events.select(lit("user_id").as("col_name"),
+        col("user_id").cast("double").as("x"))
+      .unionByName(events.select(lit("value").as("col_name"),
+        col("value").cast("double").as("x")))
+      .unionByName(events.select(lit("day").as("col_name"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("double").as("x")))
+    val stats = long.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("ndv"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    // constant column → one bin, stated explicitly: 0/0 NaN-vs-NULL
+    // semantics differ across engines, so neither side may reach it
+    val bin = when(col("vmax") === col("vmin"), lit(0L))
+      .otherwise(least(
+        floor((col("x") - col("vmin")) * STATS_BINS /
+          (col("vmax") - col("vmin"))).cast("long"),
+        lit(STATS_BINS - 1L)))
+    long.join(broadcast(stats), Seq("col_name"))
+      .withColumn("bin", bin)
+      .groupBy(col("col_name"), col("bin"))
+      .agg(first(col("n")).as("n"), first(col("ndv")).as("ndv"),
+        round(first(col("vmin")), 6).as("vmin"),
+        round(first(col("vmax")), 6).as("vmax"),
+        count(lit(1)).as("bin_count"))
+  }
+
+  def eventsColumnStats(spark: SparkSession, sfDir: String): DataFrame =
+    columnStats(Tables.events(spark, sfDir))
+
+  val eventsColumnStatsSql: String =
+    s"""WITH long AS (
+       |  SELECT 'user_id' AS col_name, CAST(user_id AS DOUBLE) AS x FROM events
+       |  UNION ALL
+       |  SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS x FROM events
+       |  UNION ALL
+       |  SELECT 'day' AS col_name,
+       |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+       |  FROM events),
+       |stats AS (
+       |  SELECT col_name, count(*) AS n, CAST(count(DISTINCT x) AS BIGINT) AS ndv,
+       |         min(x) AS vmin, max(x) AS vmax
+       |  FROM long GROUP BY 1)
+       |SELECT l.col_name,
+       |       CASE WHEN s.vmax = s.vmin THEN 0
+       |            ELSE least(CAST(floor((l.x - s.vmin) * $STATS_BINS
+       |                                  / (s.vmax - s.vmin)) AS BIGINT),
+       |                       ${STATS_BINS - 1}) END AS bin,
+       |       first(s.n) AS n, first(s.ndv) AS ndv,
+       |       round(first(s.vmin), 6) AS vmin, round(first(s.vmax), 6) AS vmax,
+       |       count(*) AS bin_count
+       |FROM long l JOIN stats s ON l.col_name = s.col_name
+       |GROUP BY 1, 2""".stripMargin
+
   /** Z-order layout report over events — the lakehouse OPTIMIZE/ZORDER
     * primitive (Morton-curve clustering on the two hot filter dimensions,
     * user and day), expressed as the per-shard locality report a layout

@@ -658,6 +658,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(goodByPos != goodByPos.sorted)
   }
 
+  test("column stats: exact ndv/min/max, equi-width bins, constant column takes one bin") {
+    import java.sql.Timestamp
+    // value 0..9 over one day (day constant -> the guarded single-bin branch)
+    val ev = (0 until 10).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 09:00:00"), i.toLong % 3,
+        "t", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Relational.columnStats(ev)
+      .select("col_name", "bin", "n", "ndv", "vmin", "vmax", "bin_count")
+      .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+    val byCol = got.groupBy(_._1)
+    val v = byCol("value").sortBy(_._2)
+    assert(v.map(_._2).toSeq == (0L to 9L), "value 0..9 fills every equi-width bin")
+    assert(v.forall(r => r._3 == 10L && r._4 == 10L && r._5 == 0.0 && r._6 == 9.0 && r._7 == 1L))
+    val d = byCol("day")
+    assert(d.length == 1 && d.head._2 == 0L && d.head._7 == 10L,
+      "a constant column lands wholly in bin 0, not in NaN")
+    assert(byCol("user_id").map(_._7).sum == 10L &&
+      byCol("user_id").head._4 == 3L)
+  }
+
   test("scd2: consecutive same-state days collapse; a revisited state opens a NEW interval") {
     import java.sql.Timestamp
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
