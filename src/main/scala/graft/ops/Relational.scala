@@ -887,6 +887,8 @@ object Relational {
     * the sketched version of the same number is `approx_stats`.
     */
   def columnStats(events: DataFrame): DataFrame = {
+    // checkpointed: the long frame feeds both the stats aggregation and
+    // the bin probe — without it each consumer re-scans events ×3 arms
     val long = events.select(lit("user_id").as("col_name"),
         col("user_id").cast("double").as("x"))
       .unionByName(events.select(lit("value").as("col_name"),
@@ -894,6 +896,7 @@ object Relational {
       .unionByName(events.select(lit("day").as("col_name"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("double").as("x")))
+      .localCheckpoint()
     val stats = long.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("ndv"),
         min(col("x")).as("vmin"), max(col("x")).as("vmax"))
@@ -969,7 +972,10 @@ object Relational {
     zorderLayout(Tables.events(spark, sfDir))
 
   val eventsZorderSql: String = {
-    val z = zInterleaveSql(s"(user_id % ${1L << Z_BITS})",
+    // pmod twin: DuckDB % is signed where Spark's pmod is not — keep the
+    // bucket non-negative for any sentinel/negative user_id
+    val m = 1L << Z_BITS
+    val z = zInterleaveSql(s"(((user_id % $m) + $m) % $m)",
       "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")
     s"""WITH keyed AS (
        |  SELECT ($z) >> $Z_SHARD_SHIFT AS shard, user_id, CAST(ts AS DATE) AS d

@@ -146,6 +146,18 @@ object TextAnalysis {
     * short-token ratio, and a composite score — the length/ratio heuristics
     * a pretraining filter runs per document.
     */
+  /** THE composite quality score — the single Scala definition of
+    * round(ttr · (1 − short_ratio), 6) over per-doc counts, shared by
+    * [[quality]] and the target-set gates ([[qualityKeep]]) so the
+    * formula can never fork.
+    */
+  private def qualityScore(nDistinct: Column, nTokens: Column,
+      nShort: Column): Column = {
+    val ttr = nDistinct.cast("double") / nTokens.cast("double")
+    val shortRatio = nShort.cast("double") / nTokens.cast("double")
+    round(ttr * (lit(1.0) - shortRatio), 6)
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     // All stats computed array-side (higher-order functions inside one
     // codegen'd projection): zero explode, zero shuffle, zero join — the
@@ -167,7 +179,8 @@ object TextAnalysis {
         round(col("sum_len").cast("double") / col("n_tokens").cast("double"), 6)
           .as("avg_token_len"),
         round(shortRatio, 6).as("short_ratio"),
-        round(ttr * (lit(1.0) - shortRatio), 6).as("quality_score"))
+        qualityScore(col("n_distinct"), col("n_tokens"), col("n_short"))
+          .as("quality_score"))
   }
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
@@ -394,14 +407,7 @@ object TextAnalysis {
     * corpus) and join broadcast-friendly.
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
-    val bg = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
-          .stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bg = Tables.bigrams(docs)
     val cb = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
     val cp = cb.groupBy(col("prev")).agg(sum(col("c")).as("n"))
     bg.join(cb, Seq("prev", "cur"))
@@ -454,26 +460,17 @@ object TextAnalysis {
     */
   def backoffLogprob(docs: DataFrame): DataFrame = {
     val tgt = docs.filter(col("lang") === "en" && qualityKeep)
-    val tgtToks = Tables.tokens(tgt)
-    val uni = tgtToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    // vocab-sized LM tables, checkpointed once: uni fans into the total
+    // and TWO probe joins, cb into one — without the checkpoint every
+    // consumer re-tokenizes the target slice
+    val uni = Tables.tokens(tgt)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
     val nTot = uni.agg(sum(col("cu")).as("n_tot"))
-    val bigrams = tgt
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
-          .stripMargin)).as("bg"))
-      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bigrams = Tables.bigrams(tgt)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-    val docBg = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
-          .stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .localCheckpoint()
+    val docBg = Tables.bigrams(docs)
     val scored = docBg
       .join(broadcast(bigrams), Seq("prev", "cur"), "left_outer")
       .join(broadcast(uni.select(col("tok").as("prev"), col("cu").as("cu_prev"))),
@@ -2350,22 +2347,44 @@ object TextAnalysis {
     * the corpus), and each document ranks only within its bucket. The
     * oracle states the same order as one flat `row_number()`.
     */
-  def shuffleManifest(docs: DataFrame): DataFrame = {
-    val hk = md5(concat_ws(":", lit(SHUFFLE_SEED), col("doc_id").cast("string")))
-    val bucketed = docs
-      .select(col("doc_id"), hk.as("hk"))
-      .withColumn("bucket",
-        conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS)
-    val offsets = bucketed.groupBy(col("bucket"))
+  /** The seeded per-doc shuffle hash and its hash-prefix sub-bucket —
+    * one definition for every two-level-rank consumer.
+    */
+  private def shuffleHash: Column =
+    md5(concat_ws(":", lit(SHUFFLE_SEED), col("doc_id").cast("string")))
+
+  private def shuffleSubBucket: Column =
+    conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS
+
+  /** The two-level global-rank construction (rank WITHOUT a global
+    * sort): per-bucket cumulative offsets over the buckets×…-sized
+    * summary frame (the ONLY unpartitioned window — bounded by the
+    * bucket-key cardinality, never the corpus), plus a per-bucket
+    * `row_number` in seeded-hash order. `bucketCols` is the composite
+    * bucket key ordered MAJOR-first; `keyed` must carry doc_id, hk, and
+    * those columns. Shared by [[shuffleManifest]] and
+    * [[curriculumManifest]] so the offset/rank arithmetic lives once.
+    */
+  private def twoLevelPos(keyed: DataFrame, bucketCols: Seq[String]): DataFrame = {
+    val bc = bucketCols.map(col)
+    val offsets = keyed.groupBy(bc: _*)
       .agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(
-        sum(col("c")).over(Window.orderBy(col("bucket"))
+        sum(col("c")).over(Window.orderBy(bc: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("off"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("hk"), col("doc_id"))
-    bucketed.withColumn("rn", row_number().over(w))
-      .join(broadcast(offsets), Seq("bucket"))
-      .select(col("doc_id"), (col("off") + col("rn") - 1).cast("long").as("pos"))
+      .select(bc :+ col("off"): _*)
+    val w = Window.partitionBy(bc: _*).orderBy(col("hk"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), bucketCols)
+      .withColumn("pos", (col("off") + col("rn") - 1).cast("long"))
+  }
+
+  def shuffleManifest(docs: DataFrame): DataFrame = {
+    val bucketed = docs
+      .select(col("doc_id"), shuffleHash.as("hk"))
+      .withColumn("bucket", shuffleSubBucket)
+    twoLevelPos(bucketed, Seq("bucket"))
+      .select(col("doc_id"), col("pos"))
   }
 
   def textShuffle(spark: SparkSession, sfDir: String): DataFrame =
@@ -2398,25 +2417,14 @@ object TextAnalysis {
   val CURRICULUM_BANDS = 10
 
   def curriculumManifest(docs: DataFrame): DataFrame = {
-    val hk = md5(concat_ws(":", lit(SHUFFLE_SEED), col("doc_id").cast("string")))
     val top = lit(CURRICULUM_BANDS - 1).cast("long")
     val banded = quality(docs).select(col("doc_id"), col("quality_score"))
       .withColumn("band",
         top - least(floor(col("quality_score") * CURRICULUM_BANDS).cast("long"), top))
-      .withColumn("hk", hk)
-      .withColumn("sub",
-        conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS)
-    val offsets = banded.groupBy(col("band"), col("sub"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum(col("c")).over(Window.orderBy(col("band"), col("sub"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("band"), col("sub"), col("off"))
-    val w = Window.partitionBy(col("band"), col("sub")).orderBy(col("hk"), col("doc_id"))
-    banded.withColumn("rn", row_number().over(w))
-      .join(broadcast(offsets), Seq("band", "sub"))
-      .select(col("doc_id"), col("band"),
-        (col("off") + col("rn") - 1).cast("long").as("pos"))
+      .withColumn("hk", shuffleHash)
+      .withColumn("sub", shuffleSubBucket)
+    twoLevelPos(banded, Seq("band", "sub"))
+      .select(col("doc_id"), col("band"), col("pos"))
   }
 
   def textCurriculum(spark: SparkSession, sfDir: String): DataFrame =
@@ -2473,11 +2481,11 @@ object TextAnalysis {
     */
   private def qualityKeep: Column = {
     val toks = split(col("text"), "\\s+")
-    val n = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / n
-    val shortRatio =
-      size(expr("filter(split(text, '\\\\s+'), t -> length(t) <= 2)")).cast("double") / n
-    round(ttr * (lit(1.0) - shortRatio), 6) >= QUALITY_MIN
+    qualityScore(
+      size(array_distinct(toks)).cast("long"),
+      size(toks).cast("long"),
+      size(expr("filter(split(text, '\\\\s+'), t -> length(t) <= 2)")).cast("long")
+    ) >= QUALITY_MIN
   }
 
   /** Fit the DSIR importance model: the per-bucket log-ratio weight
@@ -2490,14 +2498,18 @@ object TextAnalysis {
     * fit distributed, hold the tiny model, apply stateless.
     */
   def dsirModel(docs: DataFrame): Array[Double] = {
-    val cr = Tables.tokens(docs)
-      .select(dsirBucket(col("tok")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ct = Tables.tokens(docs.filter(col("lang") === "en" && qualityKeep))
-      .select(dsirBucket(col("tok")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one corpus pass: tag each token with target membership and count
+    // both distributions in the same bucket aggregation
+    val rows = docs
+      .select((col("lang") === "en" && qualityKeep).as("is_tgt"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("is_tgt"), dsirBucket(col("tok")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .collect()
+    val cr = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     val nr = cr.values.sum.toDouble
     val nt = ct.values.sum.toDouble
     Array.tabulate(DSIR_BUCKETS) { b =>
@@ -2567,7 +2579,7 @@ object TextAnalysis {
        |ct AS (SELECT b, count(*) AS c_tgt FROM tb
        |       WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY 1),
        |nr AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM cr),
-       |nt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM ct),
+       |nt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM ct),
        |w AS (
        |  SELECT cr.b,
        |         ln((CAST(coalesce(ct.c_tgt, 0) AS DOUBLE) + 1.0)
@@ -2640,9 +2652,12 @@ object TextAnalysis {
     * sources-count rows, broadcast-sized at any corpus scale.
     */
   def mixTemperature(docs: DataFrame, alpha: Double = MIX_TEMPERATURE): DataFrame = {
+    // sources-count rows after ONE corpus scan; checkpointed because the
+    // frame fans into the total, the normalizer, and the final select
     val perSrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), "\\s+")).cast("long")).as("src_tokens"))
+      .localCheckpoint()
     val tot = perSrc.agg(sum(col("src_tokens")).as("corpus_tokens"))
     val withShare = perSrc.crossJoin(broadcast(tot))
       .withColumn("raw_share",

@@ -187,6 +187,19 @@ object Tables {
       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
 
+  /** Adjacent-token (prev, cur) pairs per document — the bigram unit
+    * shared by the LM scorers, built array-side like [[shingles]].
+    */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+
   /** Raw (multiplicity-preserving) word 3-gram shingles — the repetition
     * statistics unit: a doc repeating one phrase must count it every time.
     */

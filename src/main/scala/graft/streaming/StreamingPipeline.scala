@@ -293,50 +293,6 @@ object StreamingPipeline {
     * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
     * matching the batch window's ordering.
     */
-  case class StateChange(user_id: Long, d: java.sql.Date, state: String)
-  case class OpenInterval(state: String, from: java.sql.Date, to: java.sql.Date,
-      days: Long)
-  case class ClosedInterval(user_id: Long, state: String, valid_from: String,
-      valid_to: String, n_days: Long)
-
-  /** Streaming SCD2 maintenance — the CDC twin of the batch
-    * [[graft.ops.Relational.userStateScd2]]: keyed state holds ONE open
-    * interval per user (constant state per key — never per event), each
-    * arriving daily state either extends it or closes it (emitting the
-    * finished dimension row) and opens the next. Emitted rows are exactly
-    * the batch operator's non-final intervals; the still-open interval
-    * per user lives in the state store (production closes it with an
-    * event-time timeout at retention age; a test reads it implicitly by
-    * diffing against batch). Within a micro-batch the group iterator is
-    * sorted by day; cross-batch exactness assumes per-user event-time
-    * order across batches — the same contract every CDC consumer states.
-    */
-  def scd2Stream(changes: Dataset[StateChange]): Dataset[ClosedInterval] = {
-    import changes.sparkSession.implicits._
-    changes.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenInterval, ClosedInterval](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user, rows, st: GroupState[OpenInterval]) =>
-          val out = scala.collection.mutable.ListBuffer[ClosedInterval]()
-          var cur = st.getOption
-          rows.toSeq.sortBy(_.d.toLocalDate.toEpochDay).foreach { r =>
-            cur match {
-              case Some(o) if o.state == r.state =>
-                if (r.d.toLocalDate.isAfter(o.to.toLocalDate))
-                  cur = Some(o.copy(to = r.d, days = o.days + 1))
-              case Some(o) =>
-                out += ClosedInterval(user, o.state, o.from.toString,
-                  o.to.toString, o.days)
-                cur = Some(OpenInterval(r.state, r.d, r.d, 1L))
-              case None =>
-                cur = Some(OpenInterval(r.state, r.d, r.d, 1L))
-            }
-          }
-          cur.foreach(st.update)
-          out.iterator
-      }
-  }
-
   def firstSeen(tx: Dataset[TxRow]): Dataset[FirstSeen] = {
     import tx.sparkSession.implicits._
     tx.groupByKey(r => (r.chain, r.stashId))
@@ -351,4 +307,66 @@ object StreamingPipeline {
           }
       }
   }
+
+  case class StateChange(user_id: Long, d: java.sql.Date, state: String)
+  /** `prevTo` remembers the observed day BEFORE the last extension so a
+    * same-day revision (a later event changes an already-seen day's
+    * state — the batch rule is last-event-wins) can retract exactly that
+    * day instead of emitting overlapping intervals.
+    */
+  case class OpenInterval(state: String, from: java.sql.Date, to: java.sql.Date,
+      prevTo: java.sql.Date, days: Long)
+  case class ClosedInterval(user_id: Long, state: String, valid_from: String,
+      valid_to: String, n_days: Long)
+
+  /** Streaming SCD2 maintenance — the CDC twin of the batch
+    * [[graft.ops.Relational.userStateScd2]]: keyed state holds ONE open
+    * interval per user (constant state per key — never per event), each
+    * arriving daily state either extends it or closes it (emitting the
+    * finished dimension row) and opens the next. Emitted rows are exactly
+    * the batch operator's non-final intervals; the still-open interval
+    * per user lives in the state store (production closes it with an
+    * event-time timeout at retention age; a test reads it implicitly by
+    * diffing against batch). Within a micro-batch the group iterator is
+    * sorted by day; cross-batch exactness assumes per-user event-time
+    * order across batches — the same contract every CDC consumer states.
+    * A SAME-day revision (a later event flips a day already absorbed —
+    * batch rule: last event wins the day) retracts that day from the
+    * open interval rather than emitting overlapping rows.
+    */
+  def scd2Stream(changes: Dataset[StateChange]): Dataset[ClosedInterval] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenInterval, ClosedInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, st: GroupState[OpenInterval]) =>
+          val out = scala.collection.mutable.ListBuffer[ClosedInterval]()
+          var cur = st.getOption
+          rows.toSeq.sortBy(_.d.toLocalDate.toEpochDay).foreach { r =>
+            cur match {
+              case Some(o) if o.state == r.state =>
+                if (r.d.toLocalDate.isAfter(o.to.toLocalDate))
+                  cur = Some(o.copy(to = r.d, prevTo = o.to, days = o.days + 1))
+              case Some(o) if !r.d.toLocalDate.isAfter(o.to.toLocalDate) =>
+                // same-day revision: the later event wins the day (the
+                // batch rule), so retract it from the open interval —
+                // wholesale if it was the only day, else close at the
+                // previous observed day — and reopen under the new state
+                if (o.days > 1L)
+                  out += ClosedInterval(user, o.state, o.from.toString,
+                    o.prevTo.toString, o.days - 1L)
+                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
+              case Some(o) =>
+                out += ClosedInterval(user, o.state, o.from.toString,
+                  o.to.toString, o.days)
+                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
+              case None =>
+                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
+            }
+          }
+          cur.foreach(st.update)
+          out.iterator
+      }
+  }
+
 }

@@ -155,6 +155,31 @@ class StreamingSpec extends SparkSpec {
       (1L, "B", "2024-01-03", "2024-01-03", 1L)))
   }
 
+  test("streaming scd2: a same-day revision retracts the day instead of overlapping") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    val in = MemoryStream[(Long, Date, String)]
+    val q = StreamingPipeline.scd2Stream(
+        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3)))
+      .writeStream.format("memory").queryName("scd2rev")
+      .outputMode("append").start()
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    in.addData((1L, d(1), "A"), (1L, d(2), "A"))
+    q.processAllAvailable()
+    // a later event on day 2 revises it to B: A must close at day 1
+    in.addData((1L, d(2), "B"))
+    q.processAllAvailable()
+    // and a second same-day revision replaces the 1-day B wholesale
+    in.addData((1L, d(2), "C"), (1L, d(3), "A"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2rev")
+      .select("user_id", "state", "valid_from", "valid_to", "n_days")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._3)
+    assert(streamed.toSeq == Seq(
+      (1L, "A", "2024-01-01", "2024-01-01", 1L),   // day 2 retracted
+      (1L, "C", "2024-01-02", "2024-01-02", 1L)))  // B never emitted
+  }
+
   test("streaming dsir: corpus-fitted model scores the stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     val vocabA = (0 until 12).map(i => s"alphaword$i").mkString(" ")
