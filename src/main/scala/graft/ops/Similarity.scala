@@ -1455,6 +1455,55 @@ object Similarity {
        |FROM gs g LEFT JOIN cnt c ON g.cell = c.cell, tot s""".stripMargin
 
   // --------------------------------------------------------------------
+  // Cluster tightness (quantization-error report)
+  // --------------------------------------------------------------------
+
+  /** K-means cluster-quality report — the quantization-error numbers an
+    * IVF deployment watches next to [[ivfIndexStats]]'s occupancy: per
+    * cell, how many vectors and how tightly they sit around their
+    * centroid (mean and worst cosine-to-centroid). A loose cell means
+    * the coarse quantizer underfits there — recall for queries landing
+    * in it needs more nprobe or more cells. Assignment and the cosine
+    * are both stateless projections against the K·dim broadcast model;
+    * the report is one hash aggregation.
+    */
+  def clusterQuality(emb: DataFrame): DataFrame = {
+    val base = withNorm(emb).localCheckpoint()
+    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val cos = round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6)
+    base.withColumn("cell", assignCol(model))
+      .join(broadcast(centsDf(base, model)), Seq("cell"))
+      .withColumn("cos", cos)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("avg_cos"),
+        round(min(col("cos")), 6).as("min_cos"))
+  }
+
+  def simsearchClusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    clusterQuality(Tables.embeddings(spark, sfDir))
+  }
+
+  val simsearchClusterQualitySql: String =
+    s"""$kmeansCtePrefix,
+       |d AS (
+       |  SELECT a.vec_id, a.cell, sum(u.x * c.x) AS dot
+       |  FROM asgf a
+       |  JOIN u ON u.vec_id = a.vec_id
+       |  JOIN cent$KMEANS_ITERS c ON c.cell = a.cell AND c.i = u.i
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT d.cell, round(d.dot / (n.nm * cn.cn), 6) AS cos
+       |  FROM d
+       |  JOIN nrm n ON d.vec_id = n.vec_id
+       |  JOIN cn$KMEANS_ITERS cn ON d.cell = cn.cell)
+       |SELECT cell, count(*) AS n_vecs,
+       |       round(avg(cos), 6) AS avg_cos,
+       |       round(min(cos), 6) AS min_cos
+       |FROM cs GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
   // Cluster-balanced diversity sampling
   // --------------------------------------------------------------------
 

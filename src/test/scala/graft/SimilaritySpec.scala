@@ -201,6 +201,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0)._3 == 1.0)
   }
 
+  test("cluster quality: covers every cell exactly, bounded cosines, deterministic") {
+    val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.clusterQuality(emb)
+      .select("cell", "n_vecs", "avg_cos", "min_cos")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._2).sum == emb.count(), "every vector lands in exactly one cell")
+    val cells = Similarity.kmeansCells(
+      Similarity.withNorm(emb).localCheckpoint())
+      .select("cell").distinct().as[Long].collect().toSet
+    assert(got.map(_._1).toSet == cells, "one report row per non-empty cell")
+    got.foreach { case (_, n, avg, mn) =>
+      assert(n > 0 && mn <= avg && avg <= 1.0 && mn >= -1.0)
+    }
+    // members sit closer to their OWN centroid than a random vector does
+    // to a random centroid on this isotropic fixture
+    assert(got.map(_._3).min > 0.0, "mean cosine-to-own-centroid is positive")
+    val again = Similarity.clusterQuality(emb)
+      .select("cell", "n_vecs", "avg_cos", "min_cos")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("diverse sample: caps every cell, covers every non-empty cell, reruns identically") {
     val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.diverseSample(emb)
