@@ -872,6 +872,48 @@ object Relational {
       |       count(*) AS n_days
       |FROM grps GROUP BY user_id, state, grp""".stripMargin
 
+  /** Decay half-life in days for [[decayValue]]. */
+  val DECAY_HALF_LIFE_DAYS = 7.0
+
+  /** Rows kept by [[decayValue]]. */
+  val DECAY_TOP = 100
+
+  /** Recency-weighted user value — the exponential time-decay
+    * aggregation every engagement/LTV/freshness scorer runs: each
+    * event's value counts as value·2^(−age/half-life) with age measured
+    * back from the corpus as-of date, summed per user, top-k by decayed
+    * value. The weight is one closed-form expression per row (identical
+    * IEEE ops in both engines), the sum is a map-side-combined hash agg,
+    * and selection is TakeOrderedAndProject. The same weighting applied
+    * to documents is how a pretraining mix up-weights fresh crawl.
+    */
+  def decayValue(events: DataFrame, asOf: String = Tables.ASOF_DATE): DataFrame = {
+    val age = datediff(lit(asOf).cast("date"), to_date(col("ts"))).cast("double")
+    val w = pow(lit(2.0), -age / DECAY_HALF_LIFE_DAYS)
+    events
+      .select(col("user_id"), (col("value") * w).as("dv"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("raw_value"),
+        round(sum(col("dv")), 4).as("decayed_value"))
+      .orderBy(col("decayed_value").desc, col("user_id"))
+      .limit(DECAY_TOP)
+  }
+
+  def userDecayValue(spark: SparkSession, sfDir: String): DataFrame =
+    decayValue(Tables.events(spark, sfDir))
+
+  val userDecayValueSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       round(sum(value), 4) AS raw_value,
+       |       round(sum(value * pow(2.0,
+       |         -CAST(date_diff('day', CAST(ts AS DATE), DATE '${Tables.ASOF_DATE}') AS DOUBLE)
+       |           / $DECAY_HALF_LIFE_DAYS)), 4) AS decayed_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY decayed_value DESC, user_id
+       |LIMIT $DECAY_TOP""".stripMargin
+
   /** Histogram bins for [[columnStats]]. */
   val STATS_BINS = 10
 

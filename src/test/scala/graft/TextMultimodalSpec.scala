@@ -658,6 +658,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(goodByPos != goodByPos.sorted)
   }
 
+  test("decay value: exact half-life weights; recent activity outranks bigger old totals") {
+    import java.sql.Timestamp
+    def ev(id: Long, day: String, user: Long, v: Double) =
+      (id, Timestamp.valueOf(s"$day 09:00:00"), user, "t", v, "{}")
+    // as-of 2024-01-30: user 1 = 1.0 at age 0 + 1.0 at age 7 -> 1.5 decayed
+    // user 2 = 2.5 all at age 28 (weight 1/16) -> 0.15625 decayed, bigger raw
+    val d = Seq(
+      ev(1, "2024-01-30", 1L, 1.0), ev(2, "2024-01-23", 1L, 1.0),
+      ev(3, "2024-01-02", 2L, 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Relational.decayValue(d)
+      .select("user_id", "n_events", "raw_value", "decayed_value")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2.0, 1.5)))
+    assert(got(2L) == ((2L, 1L, 2.5, 0.1563)))
+    assert(got(1L)._4 > got(2L)._4 && got(1L)._3 < got(2L)._3,
+      "decay must invert the raw ordering for stale users")
+  }
+
   test("column stats: exact ndv/min/max, equi-width bins, constant column takes one bin") {
     import java.sql.Timestamp
     // value 0..9 over one day (day constant -> the guarded single-bin branch)
