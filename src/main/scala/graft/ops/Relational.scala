@@ -890,29 +890,48 @@ object Relational {
   def decayValue(events: DataFrame, asOf: String = Tables.ASOF_DATE): DataFrame = {
     val age = datediff(lit(asOf).cast("date"), to_date(col("ts"))).cast("double")
     val w = pow(lit(2.0), -age / DECAY_HALF_LIFE_DAYS)
+    // fixed-point micro-units per row (one deterministic IEEE expression
+    // per event in both engines), then EXACT integer sums — the
+    // engine-parity discipline of q3/q5/event_anomaly: accumulation
+    // order can never flip a rounding boundary, and the top-100 cut
+    // orders on an exact integer
     events
-      .select(col("user_id"), (col("value") * w).as("dv"), col("value"))
+      .select(col("user_id"),
+        round(col("value") * w * 1e6).cast("long").as("dv_u"),
+        round(col("value") * 1e6).cast("long").as("v_u"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("raw_value"),
-        round(sum(col("dv")), 4).as("decayed_value"))
-      .orderBy(col("decayed_value").desc, col("user_id"))
+        sum(col("v_u")).as("raw_u"),
+        sum(col("dv_u")).as("dec_u"))
+      .orderBy(col("dec_u").desc, col("user_id"))
       .limit(DECAY_TOP)
+      .select(col("user_id"), col("n_events"),
+        round(col("raw_u").cast("double") / 1e6, 4).as("raw_value"),
+        round(col("dec_u").cast("double") / 1e6, 4).as("decayed_value"))
   }
 
   def userDecayValue(spark: SparkSession, sfDir: String): DataFrame =
     decayValue(Tables.events(spark, sfDir))
 
   val userDecayValueSql: String =
-    s"""SELECT user_id, count(*) AS n_events,
-       |       round(sum(value), 4) AS raw_value,
-       |       round(sum(value * pow(2.0,
-       |         -CAST(date_diff('day', CAST(ts AS DATE), DATE '${Tables.ASOF_DATE}') AS DOUBLE)
-       |           / $DECAY_HALF_LIFE_DAYS)), 4) AS decayed_value
-       |FROM events
-       |GROUP BY 1
-       |ORDER BY decayed_value DESC, user_id
-       |LIMIT $DECAY_TOP""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         CAST(round(value * pow(2.0,
+       |           -CAST(date_diff('day', CAST(ts AS DATE), DATE '${Tables.ASOF_DATE}') AS DOUBLE)
+       |             / $DECAY_HALF_LIFE_DAYS) * 1e6) AS BIGINT) AS dv_u,
+       |         CAST(round(value * 1e6) AS BIGINT) AS v_u
+       |  FROM events),
+       |agg AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         CAST(sum(v_u) AS BIGINT) AS raw_u,
+       |         CAST(sum(dv_u) AS BIGINT) AS dec_u
+       |  FROM u GROUP BY 1
+       |  ORDER BY dec_u DESC, user_id
+       |  LIMIT $DECAY_TOP)
+       |SELECT user_id, n_events,
+       |       round(CAST(raw_u AS DOUBLE) / 1e6, 4) AS raw_value,
+       |       round(CAST(dec_u AS DOUBLE) / 1e6, 4) AS decayed_value
+       |FROM agg""".stripMargin
 
   /** Histogram bins for [[columnStats]]. */
   val STATS_BINS = 10

@@ -142,10 +142,6 @@ object TextAnalysis {
        |       round(CAST(m.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share
        |FROM m JOIN t ON m.lang = t.lang""".stripMargin
 
-  /** Quality scoring: token count, type-token ratio, mean token length,
-    * short-token ratio, and a composite score — the length/ratio heuristics
-    * a pretraining filter runs per document.
-    */
   /** THE composite quality score — the single Scala definition of
     * round(ttr · (1 − short_ratio), 6) over per-doc counts, shared by
     * [[quality]] and the target-set gates ([[qualityKeep]]) so the
@@ -158,6 +154,10 @@ object TextAnalysis {
     round(ttr * (lit(1.0) - shortRatio), 6)
   }
 
+  /** Quality scoring: token count, type-token ratio, mean token length,
+    * short-token ratio, and a composite score — the length/ratio heuristics
+    * a pretraining filter runs per document.
+    */
   def quality(docs: DataFrame): DataFrame = {
     // All stats computed array-side (higher-order functions inside one
     // codegen'd projection): zero explode, zero shuffle, zero join — the

@@ -308,7 +308,13 @@ object StreamingPipeline {
       }
   }
 
-  case class StateChange(user_id: Long, d: java.sql.Date, state: String)
+  /** `seq` is the event-order tiebreaker within a day (event_id /
+    * offset / ts-micros — anything monotone in event order): the batch
+    * rule is last-event-wins per day, and without an explicit order the
+    * post-shuffle group iterator would pick an arbitrary winner.
+    */
+  case class StateChange(user_id: Long, d: java.sql.Date, state: String,
+      seq: Long = 0L)
   /** `prevTo` remembers the observed day BEFORE the last extension so a
     * same-day revision (a later event changes an already-seen day's
     * state — the batch rule is last-event-wins) can retract exactly that
@@ -342,7 +348,14 @@ object StreamingPipeline {
         case (user, rows, st: GroupState[OpenInterval]) =>
           val out = scala.collection.mutable.ListBuffer[ClosedInterval]()
           var cur = st.getOption
-          rows.toSeq.sortBy(_.d.toLocalDate.toEpochDay).foreach { r =>
+          // resolve each day to its FINAL event first (batch rule:
+          // last event wins the day) so an intra-batch revise-away-and-
+          // back never emits an interval the batch twin doesn't have,
+          // then fold the per-day states in day order
+          val daily = rows.toSeq
+            .groupBy(_.d.toLocalDate.toEpochDay).toSeq.sortBy(_._1)
+            .map { case (_, evs) => evs.maxBy(_.seq) }
+          daily.foreach { r =>
             cur match {
               case Some(o) if o.state == r.state =>
                 if (r.d.toLocalDate.isAfter(o.to.toLocalDate))

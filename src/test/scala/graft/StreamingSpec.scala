@@ -158,19 +158,19 @@ class StreamingSpec extends SparkSpec {
   test("streaming scd2: a same-day revision retracts the day instead of overlapping") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Date
-    val in = MemoryStream[(Long, Date, String)]
+    val in = MemoryStream[(Long, Date, String, Long)]
     val q = StreamingPipeline.scd2Stream(
-        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3)))
+        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3, r._4)))
       .writeStream.format("memory").queryName("scd2rev")
       .outputMode("append").start()
     def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
-    in.addData((1L, d(1), "A"), (1L, d(2), "A"))
+    in.addData((1L, d(1), "A", 1L), (1L, d(2), "A", 2L))
     q.processAllAvailable()
     // a later event on day 2 revises it to B: A must close at day 1
-    in.addData((1L, d(2), "B"))
+    in.addData((1L, d(2), "B", 3L))
     q.processAllAvailable()
     // and a second same-day revision replaces the 1-day B wholesale
-    in.addData((1L, d(2), "C"), (1L, d(3), "A"))
+    in.addData((1L, d(2), "C", 4L), (1L, d(3), "A", 5L))
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("scd2rev")
       .select("user_id", "state", "valid_from", "valid_to", "n_days")
@@ -178,6 +178,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == Seq(
       (1L, "A", "2024-01-01", "2024-01-01", 1L),   // day 2 retracted
       (1L, "C", "2024-01-02", "2024-01-02", 1L)))  // B never emitted
+  }
+
+  test("streaming scd2: intra-batch revise-away-and-back emits nothing, like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    val in = MemoryStream[(Long, Date, String, Long)]
+    val q = StreamingPipeline.scd2Stream(
+        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3, r._4)))
+      .writeStream.format("memory").queryName("scd2oneb")
+      .outputMode("append").start()
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // one micro-batch: day 2 is B then revised to A by a later event —
+    // the day's FINAL state is A, so the open interval is A(d1..d2)
+    // and nothing closes (the batch twin emits nothing here either)
+    in.addData((1L, d(1), "A", 1L), (1L, d(2), "B", 2L), (1L, d(2), "A", 3L))
+    q.processAllAvailable()
+    assert(spark.table("scd2oneb").count() == 0L,
+      "revise-away-and-back within a batch must not emit a phantom interval")
+    // the next day's different state closes the merged A interval
+    in.addData((1L, d(3), "B", 4L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2oneb")
+      .select("state", "valid_from", "valid_to", "n_days")
+      .as[(String, String, String, Long)].collect()
+    assert(streamed.toSeq == Seq(("A", "2024-01-01", "2024-01-02", 2L)))
   }
 
   test("streaming dsir: corpus-fitted model scores the stream identically to batch") {
