@@ -810,10 +810,16 @@ object Relational {
       .unpivot(Array(col("day")), EVENT_TYPES.map(col).toArray, "event_type", "n")
       .filter(col("n") =!= 0L)
 
-  val eventTypeUnpivotSql: String =
-    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
-      |       count(*) AS n
-      |FROM events GROUP BY 1, 2""".stripMargin
+  val eventTypeUnpivotSql: String = {
+    // the engine side can only melt the pivot's declared EVENT_TYPES
+    // columns, so the oracle states the SAME vocabulary — without the
+    // IN filter an out-of-vocabulary event_type would appear in the
+    // oracle but be silently dropped by the pivot∘unpivot round-trip
+    val vocab = EVENT_TYPES.map(t => s"'$t'").mkString(", ")
+    s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       |       count(*) AS n
+       |FROM events WHERE event_type IN ($vocab) GROUP BY 1, 2""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // SCD2 state intervals (gaps and islands)
@@ -878,27 +884,51 @@ object Relational {
   /** Rows kept by [[decayValue]]. */
   val DECAY_TOP = 100
 
+  /** Decay weight per integer age day in exact micro-units:
+    * W(a) = round(2^(−a/half-life)·1e6), computed ONCE driver-side and
+    * embedded as the same literal lookup table in BOTH engines. Neither
+    * JVM `Math.pow` nor DuckDB's C `pow` is correctly rounded, so
+    * evaluating the weight per row in each engine risks a 1-ulp
+    * divergence that flips a .5 rounding boundary at some age the
+    * fixture never exercises; a shared integer table is bit-identical
+    * BY CONSTRUCTION at any scale factor or date span. The table runs
+    * until the weight rounds to 0 (~21 half-lives) and ends in an
+    * explicit 0 entry; older events clamp onto it, future-dated events
+    * clamp to age 0 (weight 1).
+    */
+  val DECAY_W_MICROS: IndexedSeq[Long] =
+    (Iterator.from(0)
+      .map(a => math.round(math.pow(2.0, -a / DECAY_HALF_LIFE_DAYS) * 1e6))
+      .takeWhile(_ > 0L).toIndexedSeq :+ 0L)
+
   /** Recency-weighted user value — the exponential time-decay
     * aggregation every engagement/LTV/freshness scorer runs: each
     * event's value counts as value·2^(−age/half-life) with age measured
     * back from the corpus as-of date, summed per user, top-k by decayed
-    * value. The weight is one closed-form expression per row (identical
-    * IEEE ops in both engines), the sum is a map-side-combined hash agg,
-    * and selection is TakeOrderedAndProject. The same weighting applied
-    * to documents is how a pretraining mix up-weights fresh crawl.
+    * value. The weight is a [[DECAY_W_MICROS]] integer table lookup
+    * (never a per-row transcendental), value quantizes to exact micros
+    * first, and the per-event decayed value is one integer
+    * multiply-then-divide — `value` is non-negative by contract, so
+    * Spark's truncating `DIV` and DuckDB's flooring `//` agree. The sum
+    * is a map-side-combined hash agg and selection is
+    * TakeOrderedAndProject. The same weighting applied to documents is
+    * how a pretraining mix up-weights fresh crawl.
     */
   def decayValue(events: DataFrame, asOf: String = Tables.ASOF_DATE): DataFrame = {
-    val age = datediff(lit(asOf).cast("date"), to_date(col("ts"))).cast("double")
-    val w = pow(lit(2.0), -age / DECAY_HALF_LIFE_DAYS)
-    // fixed-point micro-units per row (one deterministic IEEE expression
-    // per event in both engines), then EXACT integer sums — the
+    val maxAge = DECAY_W_MICROS.size - 1
+    val age = datediff(lit(asOf).cast("date"), to_date(col("ts")))
+    val w = element_at(typedLit(DECAY_W_MICROS),
+      least(greatest(age, lit(0)), lit(maxAge)).cast("int") + lit(1))
+    // fixed-point micro-units per row, then EXACT integer sums — the
     // engine-parity discipline of q3/q5/event_anomaly: accumulation
     // order can never flip a rounding boundary, and the top-100 cut
     // orders on an exact integer
     events
       .select(col("user_id"),
-        round(col("value") * w * 1e6).cast("long").as("dv_u"),
-        round(col("value") * 1e6).cast("long").as("v_u"))
+        round(col("value") * 1e6).cast("long").as("v_u"),
+        w.as("w_micros"))
+      .select(col("user_id"), col("v_u"),
+        expr("v_u * w_micros DIV 1000000").as("dv_u"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("v_u")).as("raw_u"),
@@ -913,12 +943,19 @@ object Relational {
   def userDecayValue(spark: SparkSession, sfDir: String): DataFrame =
     decayValue(Tables.events(spark, sfDir))
 
-  val userDecayValueSql: String =
+  val userDecayValueSql: String = {
+    // the SAME driver-computed integer weight table as the engine —
+    // never re-derive the weight with the other engine's pow
+    val wList = DECAY_W_MICROS.mkString("[", ", ", "]")
+    val maxAge = DECAY_W_MICROS.size - 1
     s"""WITH u AS (
        |  SELECT user_id,
-       |         CAST(round(value * pow(2.0,
-       |           -CAST(date_diff('day', CAST(ts AS DATE), DATE '${Tables.ASOF_DATE}') AS DOUBLE)
-       |             / $DECAY_HALF_LIFE_DAYS) * 1e6) AS BIGINT) AS dv_u,
+       |         CAST(round(value * 1e6) AS BIGINT)
+       |           * list_extract($wList,
+       |               least(greatest(date_diff('day', CAST(ts AS DATE),
+       |                                        DATE '${Tables.ASOF_DATE}'), 0),
+       |                     $maxAge) + 1)
+       |           // 1000000 AS dv_u,
        |         CAST(round(value * 1e6) AS BIGINT) AS v_u
        |  FROM events),
        |agg AS (
@@ -932,6 +969,7 @@ object Relational {
        |       round(CAST(raw_u AS DOUBLE) / 1e6, 4) AS raw_value,
        |       round(CAST(dec_u AS DOUBLE) / 1e6, 4) AS decayed_value
        |FROM agg""".stripMargin
+  }
 
   /** Histogram bins for [[columnStats]]. */
   val STATS_BINS = 10
@@ -1018,8 +1056,15 @@ object Relational {
     */
   def zorderLayout(events: DataFrame): DataFrame = {
     val ub = pmod(col("user_id"), lit(1L << Z_BITS))
-    val db = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
-      .cast("long")
+    // the day dimension is bucketed mod 2^Z_BITS EXPLICITLY, like the
+    // user dimension: zInterleave only reads bits 0..Z_BITS−1, so an
+    // implicit truncation would silently alias distinct days on any
+    // corpus spanning ≥ 2^Z_BITS days while the report kept claiming
+    // locality — the stated contract is now "day RESIDUE locality",
+    // loud in the code and identical in both engines
+    val db = pmod(
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"),
+      lit(1L << Z_BITS))
     val keyed = events.select(
       shiftrightunsigned(zInterleave(ub, db), Z_SHARD_SHIFT).as("shard"),
       col("user_id"), to_date(col("ts")).as("d"))
@@ -1037,7 +1082,7 @@ object Relational {
     // bucket non-negative for any sentinel/negative user_id
     val m = 1L << Z_BITS
     val z = zInterleaveSql(s"(((user_id % $m) + $m) % $m)",
-      "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")
+      s"(((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % $m) + $m) % $m)")
     s"""WITH keyed AS (
        |  SELECT ($z) >> $Z_SHARD_SHIFT AS shard, user_id, CAST(ts AS DATE) AS d
        |  FROM events)

@@ -2662,7 +2662,11 @@ object TextAnalysis {
     val withShare = perSrc.crossJoin(broadcast(tot))
       .withColumn("raw_share",
         col("src_tokens").cast("double") / col("corpus_tokens").cast("double"))
-      .withColumn("wt", pow(col("raw_share"), alpha))
+      // α = 0.5 routes through sqrt: IEEE 754 requires sqrt to be
+      // correctly rounded in BOTH engines, where pow(x, 0.5) is not —
+      // the only transcendental in this query becomes exact
+      .withColumn("wt",
+        if (alpha == 0.5) sqrt(col("raw_share")) else pow(col("raw_share"), alpha))
     val z = withShare.agg(sum(col("wt")).as("z"))
     withShare.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("src_tokens"),
@@ -2674,7 +2678,13 @@ object TextAnalysis {
   def textMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
     mixTemperature(Tables.documents(spark, sfDir))
 
-  val textMixTemperatureSql: String =
+  val textMixTemperatureSql: String = {
+    // the oracle mirrors the engine's sqrt-vs-pow branch so a future
+    // MIX_TEMPERATURE change cannot silently split the two engines
+    val shareSql = "CAST(src_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)"
+    val wtSql =
+      if (MIX_TEMPERATURE == 0.5) s"sqrt($shareSql)"
+      else s"pow($shareSql, $MIX_TEMPERATURE)"
     s"""WITH per_src AS (
        |  SELECT source, count(*) AS n_docs,
        |         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS src_tokens
@@ -2682,9 +2692,8 @@ object TextAnalysis {
        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens FROM per_src),
        |sh AS (
        |  SELECT source, n_docs, src_tokens,
-       |         CAST(src_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS raw_share,
-       |         pow(CAST(src_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE),
-       |             $MIX_TEMPERATURE) AS wt
+       |         $shareSql AS raw_share,
+       |         $wtSql AS wt
        |  FROM per_src, tot),
        |z AS (SELECT sum(wt) AS z FROM sh)
        |SELECT source, n_docs, src_tokens,
@@ -2692,4 +2701,5 @@ object TextAnalysis {
        |       round(wt / z.z, 6) AS temp_share,
        |       round(wt / z.z / raw_share, 6) AS sample_factor
        |FROM sh, z""".stripMargin
+  }
 }

@@ -677,6 +677,50 @@ class TextMultimodalSpec extends SparkSpec {
       "decay must invert the raw ordering for stale users")
   }
 
+  test("decay value: ages beyond the weight table clamp to 0, future events to weight 1") {
+    import java.sql.Timestamp
+    val tbl = graft.ops.Relational.DECAY_W_MICROS
+    assert(tbl.head == 1000000L && tbl.last == 0L,
+      "the weight table must span full weight down to an explicit 0 entry")
+    def ev(id: Long, day: String, user: Long, v: Double) =
+      (id, Timestamp.valueOf(s"$day 09:00:00"), user, "t", v, "{}")
+    // user 1: one event ~2 years before as-of (age 760 >> table) -> decays to 0
+    // user 2: one event dated AFTER as-of (age -5) -> clamps to weight 1
+    val d = Seq(
+      ev(1, "2022-01-01", 1L, 3.0), ev(2, "2024-02-04", 2L, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Relational.decayValue(d)
+      .select("user_id", "raw_value", "decayed_value")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3.0, 0.0)), "beyond-table age must hit the 0 entry")
+    assert(got(2L) == ((2L, 3.0, 3.0)), "future-dated events must clamp to age 0")
+  }
+
+  test("z-order layout: the day dimension buckets mod 2^Z_BITS explicitly (no silent alias)") {
+    import java.sql.Timestamp
+    val m = 1 << graft.ops.Relational.Z_BITS
+    // one event per day over 40 days (> 2^Z_BITS) for one user: days d and
+    // d+32 MUST share a shard — stated residue bucketing, not truncation
+    val ev = (0 until 40).map { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+      (d.toLong, Timestamp.valueOf(s"$day 09:00:00"), 7L, "t", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Relational.zorderLayout(ev)
+      .select("shard", "n_events").as[(Long, Long)].collect().toMap
+    // sequential reference of the STATED semantics: both dimensions
+    // reduce mod 2^Z_BITS before interleaving, so day d and d+32 share
+    // a shard by definition rather than by silent bit truncation
+    def zkey(u: Long, d: Long): Long =
+      (0 until graft.ops.Relational.Z_BITS).foldLeft(0L) { (z, i) =>
+        z | (((u >> i) & 1L) << (2 * i + 1)) | (((d >> i) & 1L) << (2 * i))
+      }
+    val expected = (0 until 40)
+      .map(d => zkey(7L % m, d.toLong % m) >> graft.ops.Relational.Z_SHARD_SHIFT)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+    assert(got.values.sum == 40L)
+  }
+
   test("column stats: exact ndv/min/max, equi-width bins, constant column takes one bin") {
     import java.sql.Timestamp
     // value 0..9 over one day (day constant -> the guarded single-bin branch)
