@@ -324,30 +324,48 @@ object StreamingPipeline {
       prevTo: java.sql.Date, days: Long)
   case class ClosedInterval(user_id: Long, state: String, valid_from: String,
       valid_to: String, n_days: Long)
+  /** Keyed state for [[scd2Stream]]: the open interval plus at most ONE
+    * pending closed interval — the most recently closed one, held back
+    * until a strictly later day proves it final. Still constant state
+    * per key.
+    */
+  case class Scd2State(pending: Option[ClosedInterval], open: OpenInterval)
 
   /** Streaming SCD2 maintenance — the CDC twin of the batch
     * [[graft.ops.Relational.userStateScd2]]: keyed state holds ONE open
-    * interval per user (constant state per key — never per event), each
-    * arriving daily state either extends it or closes it (emitting the
-    * finished dimension row) and opens the next. Emitted rows are exactly
-    * the batch operator's non-final intervals; the still-open interval
-    * per user lives in the state store (production closes it with an
-    * event-time timeout at retention age; a test reads it implicitly by
-    * diffing against batch). Within a micro-batch the group iterator is
-    * sorted by day; cross-batch exactness assumes per-user event-time
-    * order across batches — the same contract every CDC consumer states.
-    * A SAME-day revision (a later event flips a day already absorbed —
-    * batch rule: last event wins the day) retracts that day from the
-    * open interval rather than emitting overlapping rows.
+    * interval per user plus at most one PENDING closed interval
+    * (constant state per key — never per event). Each arriving daily
+    * state either extends the open interval or closes it and opens the
+    * next. A closed interval is NOT emitted at close time: under the
+    * per-user in-order contract the only mutable day is the newest one,
+    * so the just-closed interval is final exactly when a strictly LATER
+    * day arrives — it waits in `pending` until then. That one-day delay
+    * is what makes a cross-batch wholesale retraction exact: if a later
+    * event revises the single-day open interval BACK to the pending
+    * interval's state (…A | B, then B→A), the two merge into one open
+    * interval, matching the batch twin's single island, instead of the
+    * stream having emitted an A-interval batch never produces. Emitted
+    * rows are therefore exactly the batch operator's non-final intervals
+    * MINUS the per-user most-recent close when no later day has arrived
+    * yet; the open and pending tail lives in the state store (production
+    * drains both with an event-time timeout at retention age). Within a
+    * micro-batch each day resolves to its final event first (batch rule:
+    * last event wins the day); cross-batch exactness assumes per-user
+    * event-time order across batches — the same contract every CDC
+    * consumer states. A SAME-day revision (a later event flips a day
+    * already absorbed) retracts that day from the open interval rather
+    * than emitting overlapping rows.
     */
   def scd2Stream(changes: Dataset[StateChange]): Dataset[ClosedInterval] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenInterval, ClosedInterval](
+      .flatMapGroupsWithState[Scd2State, ClosedInterval](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (user, rows, st: GroupState[OpenInterval]) =>
+        case (user, rows, st: GroupState[Scd2State]) =>
           val out = scala.collection.mutable.ListBuffer[ClosedInterval]()
           var cur = st.getOption
+          def closed(o: OpenInterval): ClosedInterval =
+            ClosedInterval(user, o.state, o.from.toString, o.to.toString, o.days)
           // resolve each day to its FINAL event first (batch rule:
           // last event wins the day) so an intra-batch revise-away-and-
           // back never emits an interval the batch twin doesn't have,
@@ -357,24 +375,45 @@ object StreamingPipeline {
             .map { case (_, evs) => evs.maxBy(_.seq) }
           daily.foreach { r =>
             cur match {
-              case Some(o) if o.state == r.state =>
-                if (r.d.toLocalDate.isAfter(o.to.toLocalDate))
-                  cur = Some(o.copy(to = r.d, prevTo = o.to, days = o.days + 1))
-              case Some(o) if !r.d.toLocalDate.isAfter(o.to.toLocalDate) =>
-                // same-day revision: the later event wins the day (the
-                // batch rule), so retract it from the open interval —
-                // wholesale if it was the only day, else close at the
-                // previous observed day — and reopen under the new state
-                if (o.days > 1L)
-                  out += ClosedInterval(user, o.state, o.from.toString,
-                    o.prevTo.toString, o.days - 1L)
-                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
-              case Some(o) =>
-                out += ClosedInterval(user, o.state, o.from.toString,
-                  o.to.toString, o.days)
-                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
               case None =>
-                cur = Some(OpenInterval(r.state, r.d, r.d, r.d, 1L))
+                cur = Some(Scd2State(None, OpenInterval(r.state, r.d, r.d, r.d, 1L)))
+              case Some(Scd2State(pending, o)) =>
+                if (r.d.toLocalDate.isAfter(o.to.toLocalDate)) {
+                  // a strictly later day: every earlier day is now
+                  // immutable, so the pending interval is final — flush it
+                  pending.foreach(out += _)
+                  cur =
+                    if (r.state == o.state)
+                      Some(Scd2State(None,
+                        o.copy(to = r.d, prevTo = o.to, days = o.days + 1L)))
+                    else
+                      Some(Scd2State(Some(closed(o)),
+                        OpenInterval(r.state, r.d, r.d, r.d, 1L)))
+                } else if (r.state != o.state) {
+                  // same-day revision: the later event wins the day (the
+                  // batch rule), so retract it from the open interval
+                  if (o.days > 1L) {
+                    // partial retraction: the surviving prefix proves any
+                    // pending interval final (defensive — extension
+                    // already flushed it), and itself becomes pending
+                    pending.foreach(out += _)
+                    cur = Some(Scd2State(
+                      Some(ClosedInterval(user, o.state, o.from.toString,
+                        o.prevTo.toString, o.days - 1L)),
+                      OpenInterval(r.state, r.d, r.d, r.d, 1L)))
+                  } else pending match {
+                    // wholesale retraction of a single-day interval that
+                    // reopens the prior state: MERGE with the pending
+                    // interval — the batch twin sees one island here
+                    case Some(p) if p.state == r.state =>
+                      cur = Some(Scd2State(None, OpenInterval(r.state,
+                        java.sql.Date.valueOf(p.valid_from), r.d,
+                        java.sql.Date.valueOf(p.valid_to), p.n_days + 1L)))
+                    case _ =>
+                      cur = Some(Scd2State(pending,
+                        OpenInterval(r.state, r.d, r.d, r.d, 1L)))
+                  }
+                } // same day, same state: the day's final state already holds
             }
           }
           cur.foreach(st.update)

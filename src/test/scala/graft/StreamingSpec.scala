@@ -130,10 +130,13 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("scd2stream")
       .outputMode("append").start()
     def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
-    // batch 1: user 1 holds A for two days; batch 2: B then back to A
+    // batch 1: user 1 holds A for two days; batch 2: B then back to A;
+    // batch 3: C confirms the A[d4] close so B's interval can flush
     in.addData((1L, d(1), "A"), (1L, d(2), "A"))
     q.processAllAvailable()
     in.addData((1L, d(3), "B"), (1L, d(4), "A"))
+    q.processAllAvailable()
+    in.addData((1L, d(5), "C"))
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("scd2stream")
       .select("user_id", "state", "valid_from", "valid_to", "n_days")
@@ -141,15 +144,18 @@ class StreamingSpec extends SparkSpec {
     // batch twin over the same facts as events (one event per day)
     val ev = Seq(
       (1L, "2024-01-01", "A"), (2L, "2024-01-02", "A"),
-      (3L, "2024-01-03", "B"), (4L, "2024-01-04", "A"))
+      (3L, "2024-01-03", "B"), (4L, "2024-01-04", "A"),
+      (5L, "2024-01-05", "C"))
       .map { case (id, day, st) =>
         (id, Timestamp.valueOf(s"$day 09:00:00"), 1L, st, 0.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val batch = graft.ops.Relational.userStateScd2(ev)
       .select("user_id", "state", "valid_from", "valid_to", "n_days")
       .as[(Long, String, String, String, Long)].collect().sortBy(_._3)
-    // the stream has emitted every batch interval except the still-open last
-    assert(streamed.toSeq == batch.toSeq.dropRight(1))
+    // the stream has emitted every batch interval except the open last
+    // AND the most recent close (A[d4,d4]) — pending until a day after
+    // d5 proves it final (the still-retractable-tail contract)
+    assert(streamed.toSeq == batch.toSeq.dropRight(2))
     assert(streamed.toSeq == Seq(
       (1L, "A", "2024-01-01", "2024-01-02", 2L),
       (1L, "B", "2024-01-03", "2024-01-03", 1L)))
@@ -169,15 +175,18 @@ class StreamingSpec extends SparkSpec {
     // a later event on day 2 revises it to B: A must close at day 1
     in.addData((1L, d(2), "B", 3L))
     q.processAllAvailable()
-    // and a second same-day revision replaces the 1-day B wholesale
+    // and a second same-day revision replaces the 1-day B wholesale;
+    // days 3 and 4 then confirm A[d1,d1] and C[d2,d2] as final
     in.addData((1L, d(2), "C", 4L), (1L, d(3), "A", 5L))
+    q.processAllAvailable()
+    in.addData((1L, d(4), "B", 6L))
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("scd2rev")
       .select("user_id", "state", "valid_from", "valid_to", "n_days")
       .as[(Long, String, String, String, Long)].collect().sortBy(_._3)
     assert(streamed.toSeq == Seq(
       (1L, "A", "2024-01-01", "2024-01-01", 1L),   // day 2 retracted
-      (1L, "C", "2024-01-02", "2024-01-02", 1L)))  // B never emitted
+      (1L, "C", "2024-01-02", "2024-01-02", 1L)))  // B never emitted; A[d3] pending
   }
 
   test("streaming scd2: intra-batch revise-away-and-back emits nothing, like batch") {
@@ -196,12 +205,46 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.table("scd2oneb").count() == 0L,
       "revise-away-and-back within a batch must not emit a phantom interval")
-    // the next day's different state closes the merged A interval
+    // the next day's different state closes the merged A interval; the
+    // day after that proves the close final and flushes it
     in.addData((1L, d(3), "B", 4L))
+    q.processAllAvailable()
+    in.addData((1L, d(4), "C", 5L))
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("scd2oneb")
       .select("state", "valid_from", "valid_to", "n_days")
       .as[(String, String, String, Long)].collect()
+    assert(streamed.toSeq == Seq(("A", "2024-01-01", "2024-01-02", 2L)))
+  }
+
+  test("streaming scd2: a CROSS-batch revise-back merges with the held interval, like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Date
+    val in = MemoryStream[(Long, Date, String, Long)]
+    val q = StreamingPipeline.scd2Stream(
+        in.toDS().map(r => StreamingPipeline.StateChange(r._1, r._2, r._3, r._4)))
+      .writeStream.format("memory").queryName("scd2xrev")
+      .outputMode("append").start()
+    def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+    // batch 1 closes A[d1,d1] against B[d2]; batch 2 revises d2 BACK to
+    // A — the batch twin's daily states are d1=A, d2=A: ONE island,
+    // nothing non-final, so the stream must emit NOTHING here (the old
+    // eager-emit design leaked a phantom A[d1,d1])
+    in.addData((1L, d(1), "A", 1L), (1L, d(2), "B", 2L))
+    q.processAllAvailable()
+    in.addData((1L, d(2), "A", 3L))
+    q.processAllAvailable()
+    assert(spark.table("scd2xrev").count() == 0L,
+      "cross-batch revise-back must merge with the held interval, not emit")
+    // the merged interval then closes as ONE island and flushes once
+    // a later day proves it final — exactly the batch interval
+    in.addData((1L, d(3), "C", 4L))
+    q.processAllAvailable()
+    in.addData((1L, d(4), "D", 5L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scd2xrev")
+      .select("state", "valid_from", "valid_to", "n_days")
+      .as[(String, String, String, Long)].collect().sortBy(_._2)
     assert(streamed.toSeq == Seq(("A", "2024-01-01", "2024-01-02", 2L)))
   }
 
