@@ -1213,17 +1213,27 @@ object TextAnalysis {
     * offset, start/end sequence ids, and whether it straddles a cut —
     * which is exactly what a loader needs to materialize packed batches.
     *
-    * The running offset is a TWO-LEVEL prefix sum: a partitioned window
-    * inside fixed doc_id ranges ([[PACK_SHARD_DOCS]] docs per shard),
-    * plus a prefix over the per-shard totals — one summary row per
-    * shard, so the unpartitioned window touches |corpus|/shard rows,
-    * never the corpus (a single global ORDER BY window would funnel
-    * 100 TB through one task). Integer arithmetic throughout — the
-    * two-level sum is exactly the global cumulative sum the oracle
-    * computes with one window.
+    * The running offset is a HIERARCHICAL prefix sum: a partitioned
+    * window inside fixed doc_id ranges ([[PACK_SHARD_DOCS]] docs per
+    * shard), a second partitioned window over the per-shard totals
+    * inside [[PACK_SUPER_SHARDS]]-shard ranges, and an unpartitioned
+    * prefix only over the per-super-shard totals —
+    * |corpus|/(shard·super) rows, ~4 rows per 10⁹ documents, so NO
+    * window input ever scales with the corpus through one task (a
+    * single global ORDER BY window would funnel 100 TB through one;
+    * the earlier two-level form still put corpus/64 summary rows
+    * there). Integer arithmetic throughout — the hierarchical sum is
+    * exactly the global cumulative sum the oracle computes with one
+    * window.
     */
   val PACK_CAPACITY = 128L
   val PACK_SHARD_DOCS = 64L
+
+  /** Shards per super-shard in the recursive level of the pack prefix
+    * sum — together with [[PACK_SHARD_DOCS]] it bounds the one
+    * unpartitioned window to corpus/262144 rows.
+    */
+  val PACK_SUPER_SHARDS = 4096L
 
   def packSequences(docs: DataFrame): DataFrame =
     packGeometry(docs.select(col("doc_id"),
@@ -1241,14 +1251,28 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = perDoc
       .withColumn("in_off", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    // summary rows (one per shard): the only unpartitioned window, over
-    // |corpus|/PACK_SHARD_DOCS rows — the bucket-seed discipline
-    val wSh = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = perDoc.groupBy(col("shard"))
+    // shard summaries (one row per shard) RECURSE the same construction:
+    // a window inside super-shard ranges plus an unpartitioned prefix
+    // over per-super totals only — corpus/(64·4096) rows in the one
+    // single-partition window, so even a 10⁹-doc corpus puts ~4k rows
+    // there instead of ~15M (the r6 scale flag)
+    val summaries = perDoc.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("shard_n"))
-      .withColumn("shard_off", coalesce(sum(col("shard_n")).over(wSh), lit(0L)))
-      .select(col("shard"), col("shard_off"))
+      .withColumn("super", expr(s"shard DIV $PACK_SUPER_SHARDS"))
+    val wShIn = Window.partitionBy(col("super")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSup = Window.orderBy(col("super"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOffs = summaries.groupBy(col("super"))
+      .agg(sum(col("shard_n")).as("super_n"))
+      .withColumn("super_off", coalesce(sum(col("super_n")).over(wSup), lit(0L)))
+      .select(col("super"), col("super_off"))
+    val prefixes = summaries
+      .withColumn("in_super_off",
+        coalesce(sum(col("shard_n")).over(wShIn), lit(0L)))
+      .join(broadcast(superOffs), Seq("super"))
+      .select(col("shard"),
+        (col("super_off") + col("in_super_off")).as("shard_off"))
     within.join(prefixes, Seq("shard"))
       .withColumn("start_off", col("shard_off") + col("in_off"))
       .withColumn("start_seq", expr(s"start_off DIV $PACK_CAPACITY"))

@@ -108,7 +108,7 @@ class PlanSpec extends SparkSpec {
       "no corpus-sized join side should appear in the decontam plan")
   }
 
-  test("text_pack: both prefix windows are bounded, none over the raw corpus order") {
+  test("text_pack: all prefix windows are bounded, none over a corpus-scaled frame") {
     val p = plan("text_pack")
     // the row-level window must partition by shard (ordering by doc_id
     // inside it); a regression to one global doc-ordered window would
@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       "the row-level cumulative sum must run inside (shard) partitions")
     assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isEmpty,
       "no window may scan the corpus in global doc_id order")
+    // the shard-summary prefix must recurse: shard order runs inside
+    // (super) partitions, and the ONLY unpartitioned window orders the
+    // per-super totals (corpus/262144 rows) — an unpartitioned window
+    // whose spec STARTS at shard would put corpus/64 rows in one task
+    assert("windowspecdefinition\\(super#\\d+L, shard".r.findFirstIn(p).isDefined,
+      "the shard-level prefix must run inside (super) partitions")
+    assert("windowspecdefinition\\(shard#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "no unpartitioned window may read the corpus/64 shard summaries")
+    assert("windowspecdefinition\\(super#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "the single unpartitioned window reads only the super-shard totals")
   }
 
   test("text_mix and text_length_outliers: per-stratum tables broadcast back") {
@@ -147,6 +157,8 @@ class PlanSpec extends SparkSpec {
       "the row-level prefix sum must run inside (shard) partitions")
     assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isEmpty,
       "no window may scan the corpus in global doc_id order")
+    assert("windowspecdefinition\\(shard#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "the shard-summary prefix must recurse through (super) partitions")
     // and the full query must not smuggle a global doc-ordered window in
     assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan("text_shards")).isEmpty)
   }
