@@ -971,8 +971,19 @@ object Dedup {
       ngramJaccardPairs(docs).select(col("d1"), col("d2")))
       .select(col("id").as("doc_id"), col("rep_id"), col("cluster_size"))
 
+  /** The cluster assignment for a session's `documents` table, computed
+    * once and shared by [[dedupClusters]], [[dedupClusterBest]] and
+    * [[dedupSourceStats]] — the Jaccard+CC chain is deterministic, so
+    * the memoized checkpoint is exactly what each query's own run would
+    * produce; three consumers previously re-ran it end to end.
+    */
+  private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"dup_clusters:$sfDir") {
+      duplicateClusters(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    duplicateClusters(Tables.documents(spark, sfDir))
+    sharedClusters(spark, sfDir)
 
   /** Quality-aware cluster canonicalization: after duplicate clusters
     * are assigned, keep the BEST-quality member of each cluster — what a
@@ -985,7 +996,10 @@ object Dedup {
     * same member (max quality, then min doc_id).
     */
   def clusterBest(docs: DataFrame): DataFrame =
-    duplicateClusters(docs)
+    clusterBest(docs, duplicateClusters(docs))
+
+  def clusterBest(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters
       .join(TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score")),
         Seq("doc_id"))
       .groupBy(col("rep_id"))
@@ -996,7 +1010,7 @@ object Dedup {
         round(-col("best.ns"), 6).as("best_quality"), col("cluster_size"))
 
   def dedupClusterBest(spark: SparkSession, sfDir: String): DataFrame =
-    clusterBest(Tables.documents(spark, sfDir))
+    clusterBest(Tables.documents(spark, sfDir), sharedClusters(spark, sfDir))
 
   /** The oracle states the fixpoint directly: transitive reachability over
     * the symmetric pair graph (recursive CTE, UNION set semantics
@@ -1040,7 +1054,10 @@ object Dedup {
     * cluster assignment itself, never quadratic.
     */
   def sourceDupStats(docs: DataFrame): DataFrame =
-    duplicateClusters(docs)
+    sourceDupStats(docs, duplicateClusters(docs))
+
+  def sourceDupStats(docs: DataFrame, clusters: DataFrame): DataFrame =
+    clusters
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -1051,7 +1068,7 @@ object Dedup {
           col("n_docs").cast("double"), 6).as("dup_rate"))
 
   def dedupSourceStats(spark: SparkSession, sfDir: String): DataFrame =
-    sourceDupStats(Tables.documents(spark, sfDir))
+    sourceDupStats(Tables.documents(spark, sfDir), sharedClusters(spark, sfDir))
 
   val dedupSourceStatsSql: String =
     s"""WITH RECURSIVE $CLUSTER_REP_CTES

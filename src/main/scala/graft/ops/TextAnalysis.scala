@@ -2572,12 +2572,26 @@ object TextAnalysis {
     * never a global sort, never a corpus-sized shuffle.
     */
   def dsirScores(docs: DataFrame): DataFrame =
-    dsirScored(docs, dsirModel(docs))
+    dsirSelected(docs, dsirModel(docs))
+
+  private def dsirSelected(docs: DataFrame, model: Array[Double]): DataFrame =
+    dsirScored(docs, model)
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(DSIR_SELECT)
 
+  /** The DSIR model for a session's `documents` table, fitted once and
+    * shared by [[textDsir]] and [[textSelectPack]] — the fit is the one
+    * corpus token pass; scoring is a zero-shuffle projection each query
+    * re-runs cheaply. Deterministic (integer bucket counts), so the
+    * memoized 64 doubles are exactly what each query's own fit returns.
+    */
+  private def sharedDsirModel(spark: SparkSession, sfDir: String): Array[Double] =
+    SharedFits.memo(spark, s"dsir_model:$sfDir") {
+      dsirModel(Tables.documents(spark, sfDir))
+    }
+
   def textDsir(spark: SparkSession, sfDir: String): DataFrame =
-    dsirScores(Tables.documents(spark, sfDir))
+    dsirSelected(Tables.documents(spark, sfDir), sharedDsirModel(spark, sfDir))
 
   /** The DSIR CTE chain shared by [[textDsirSql]] and
     * [[textSelectPackSql]]: token buckets, the target set, both
@@ -2637,8 +2651,9 @@ object TextAnalysis {
     * selection → bounded windows, no global sort anywhere.
     */
   def textSelectPack(spark: SparkSession, sfDir: String): DataFrame =
-    packGeometry(dsirScores(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("n_tokens")))
+    packGeometry(
+      dsirSelected(Tables.documents(spark, sfDir), sharedDsirModel(spark, sfDir))
+        .select(col("doc_id"), col("n_tokens")))
 
   val textSelectPackSql: String =
     s"""WITH $DSIR_CTES,

@@ -310,6 +310,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster entry points share one memoized assignment per (session, dir)") {
+    val dir = "/root/testdata/sf0.001"
+    // the memo returns the SAME checkpointed frame on every hit…
+    assert(Dedup.dedupClusters(spark, dir) eq Dedup.dedupClusters(spark, dir))
+    // …and it is value-identical to an unshared end-to-end recomputation
+    val shared = Dedup.dedupClusters(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val fresh = Dedup.duplicateClusters(
+      graft.pipeline.Tables.documents(spark, dir))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(shared.sameElements(fresh))
+  }
+
   test("source dup stats: near-dup pair counts against its source, clean source reports 0") {
     val nearDup = base.replaceFirst("window", "vector")
     val d = Seq(
