@@ -2673,6 +2673,80 @@ object TextAnalysis {
        |FROM o""".stripMargin
 
   // --------------------------------------------------------------------
+  // Fixed-token overlapping chunks (retrieval prep)
+  // --------------------------------------------------------------------
+
+  /** Chunk size / overlap for [[chunkSpans]] — the standard RAG-prep
+    * shape: consecutive chunks share [[CHUNK_OVERLAP]] tokens so a fact
+    * straddling a cut appears whole in at least one chunk.
+    */
+  val CHUNK_TOKENS = 32L
+  val CHUNK_OVERLAP = 8L
+  private val CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+  /** Split every document into fixed-token overlapping chunks — the
+    * assembly-line stage between `documents` and the chunk-level
+    * embedding index the `simsearch_*` family serves. Chunk k covers
+    * token span [k·stride, k·stride+[[CHUNK_TOKENS]]) clipped to the
+    * document, stride = size − overlap; the chunk count is
+    * 1 + ⌈max(n − size, 0)/stride⌉, so a short document yields exactly
+    * one chunk and the final chunk is the only one allowed to run
+    * short. Emits (doc_id, chunk_id, start_tok, end_tok exclusive,
+    * chunk_tokens, chunk_text) — offsets in tokens, the unit the
+    * tokenizer downstream actually consumes.
+    *
+    * Scale shape: ONE zero-shuffle projection + explode — chunking is
+    * per-document, so unlike [[packGeometry]] it needs no prefix sum at
+    * all; at 100 TB it pipelines inside the scan stage with nothing
+    * crossing the cluster. All arithmetic is integer and the text is
+    * re-joined from the same whitespace split both engines use, so the
+    * output is exact-hash comparable.
+    */
+  def chunkSpans(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"1L + (greatest(n_tokens - $CHUNK_TOKENS, 0L) + ${CHUNK_STRIDE - 1}L) DIV $CHUNK_STRIDE"))
+      .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1L)")))
+      .withColumn("start_tok", col("chunk_id") * lit(CHUNK_STRIDE))
+      .withColumn("end_tok",
+        least(col("start_tok") + lit(CHUNK_TOKENS), col("n_tokens")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("chunk_tokens"),
+        array_join(
+          slice(col("toks"), (col("start_tok") + 1L).cast("int"),
+            (col("end_tok") - col("start_tok")).cast("int")), " ")
+          .as("chunk_text"))
+
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunkSpans(Tables.documents(spark, sfDir))
+
+  val textChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         1 + (greatest(CAST(len(toks) AS BIGINT) - $CHUNK_TOKENS, 0)
+       |              + ${CHUNK_STRIDE - 1}) // $CHUNK_STRIDE AS n_chunks
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |         CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, chunk_id,
+       |       chunk_id * $CHUNK_STRIDE AS start_tok,
+       |       least(chunk_id * $CHUNK_STRIDE + $CHUNK_TOKENS, n_tokens) AS end_tok,
+       |       least(chunk_id * $CHUNK_STRIDE + $CHUNK_TOKENS, n_tokens)
+       |         - chunk_id * $CHUNK_STRIDE AS chunk_tokens,
+       |       array_to_string(
+       |         toks[chunk_id * $CHUNK_STRIDE + 1
+       |              : least(chunk_id * $CHUNK_STRIDE + $CHUNK_TOKENS, n_tokens)],
+       |         ' ') AS chunk_text
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------------------------
   // Temperature-scaled source mixing
   // --------------------------------------------------------------------
 

@@ -30,6 +30,11 @@ class PlanSpec extends SparkSpec {
       "array-side stats must not shuffle")
   }
 
+  test("text_chunks: per-doc chunking is one zero-shuffle projection") {
+    assert(!plan("text_chunks").contains("Exchange"),
+      "chunking is per-document — nothing may cross the cluster")
+  }
+
   test("top_customers: top-k via TakeOrdered, not a global sort") {
     assert(plan("top_customers").contains("TakeOrderedAndProject"))
   }

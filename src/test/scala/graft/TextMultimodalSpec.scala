@@ -485,6 +485,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, 128L, 1L, 2L), (1L, 2L, 52L, 2L, 3L)))
   }
 
+  test("chunks: overlapping spans clip at the doc end, short docs yield one chunk") {
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    // 57 tokens -> 3 chunks [0,32) [24,56) [48,57); 10 tokens -> 1 chunk
+    val d = docs((1L, words(1, 57), "en", "s"), (2L, words(1, 10), "en", "s"))
+    val got = TextAnalysis.chunkSpans(d)
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, 0L, 0L, 32L, 32L), (1L, 1L, 24L, 56L, 32L), (1L, 2L, 48L, 57L, 9L),
+      (2L, 0L, 0L, 10L, 10L)))
+    // the straddling fact: chunk 1 repeats chunk 0's last 8 tokens w25..w32
+    assert(got(0)._6.endsWith("w25 w26 w27 w28 w29 w30 w31 w32"))
+    assert(got(1)._6.startsWith("w25 w26 w27 w28 w29 w30 w31 w32 w33"))
+    // the short tail chunk carries exactly the last 9 tokens
+    assert(got(2)._6 == words(49, 57))
+    assert(got(3)._6 == words(1, 10))
+  }
+
   test("ngram topk: per-language rank by count with shingle tie-break") {
     val d = docs(
       (1L, "x y z x y z x y z", "en", "s"), // 'x y z'×3, 'y z x'×2, 'z x y'×2
