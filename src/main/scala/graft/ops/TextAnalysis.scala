@@ -397,6 +397,111 @@ object TextAnalysis {
        |                                + $QM_W_AVGLEN * avg_token_len + ($QM_BIAS)))), 6) >= 0.5 AS keep
        |FROM q""".stripMargin
 
+  /** Learning rate / round count for [[qualityTrain]] — lr is sized for
+    * the raw feature scales (avg_token_len² ≈ 30 dominates the GD
+    * stability bound lr < 2/λmax ≈ 0.067).
+    */
+  val QT_LR = 0.05
+  val QT_ROUNDS = 5
+
+  /** In-engine training of the quality classifier — completes the
+    * [[qualityModel]] story the way `text_bpe_train` completed the
+    * tokenizer: instead of shipping pinned weights, DISTILL the
+    * heuristic gate (quality_score ≥ [[QUALITY_MIN]]) into a linear
+    * model by [[QT_ROUNDS]] gradient-descent rounds over the
+    * round-pinned features (the fastText-stage pattern: train a cheap
+    * classifier on rule labels). Squared loss, so every training op is
+    * +/×/− (correctly rounded in IEEE 754 — no transcendental drift
+    * feeding back through rounds); each per-document gradient term is
+    * round-pinned and summed as DECIMAL, making the only
+    * order-sensitive step exact and partitioning-independent. One
+    * aggregation per round over a checkpointed feature frame; weights
+    * are 4 driver-held doubles (the k-means pattern). Output: the
+    * weight trajectory and entering mean-squared-error per round; the
+    * oracle replays the identical rounds as unrolled CTEs.
+    */
+  def qualityTrain(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val feats = quality(docs)
+      .select(col("ttr"), col("short_ratio"), col("avg_token_len"),
+        when(col("quality_score") >= QUALITY_MIN, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    def dec(c: Column) = sum(round(c, 9).cast("decimal(28,9)"))
+    var w = Array(0.0, 0.0, 0.0, 0.0) // ttr, short_ratio, avg_token_len, bias
+    val rows = Seq.newBuilder[(Long, Double, Double, Double, Double, Double)]
+    for (r <- 1 to QT_ROUNDS) {
+      val res = lit(w(0)) * col("ttr") + lit(w(1)) * col("short_ratio") +
+        lit(w(2)) * col("avg_token_len") + lit(w(3)) - col("y")
+      val g = feats.agg(
+        count(lit(1)).as("n"),
+        dec(res * col("ttr")).as("gt"),
+        dec(res * col("short_ratio")).as("gs"),
+        dec(res * col("avg_token_len")).as("ga"),
+        dec(res).as("gb"),
+        dec(res * res).as("sse")).head()
+      val n = g.getLong(0).toDouble
+      def gd(i: Int) = g.getDecimal(i).doubleValue
+      val mse = gd(5) / n
+      w = Array(
+        w(0) - QT_LR * (gd(1) / n), w(1) - QT_LR * (gd(2) / n),
+        w(2) - QT_LR * (gd(3) / n), w(3) - QT_LR * (gd(4) / n))
+      rows += ((r.toLong, w(0), w(1), w(2), w(3), mse))
+    }
+    rows.result()
+      .toDF("round", "w_ttr", "w_short", "w_avglen", "bias", "mse")
+      .select(col("round"),
+        round(col("w_ttr"), 6).as("w_ttr"),
+        round(col("w_short"), 6).as("w_short"),
+        round(col("w_avglen"), 6).as("w_avglen"),
+        round(col("bias"), 6).as("bias"),
+        round(col("mse"), 6).as("mse"))
+  }
+
+  def textQualityTrain(spark: SparkSession, sfDir: String): DataFrame =
+    qualityTrain(Tables.documents(spark, sfDir))
+
+  val textQualityTrainSql: String = {
+    def dsum(e: String) =
+      s"CAST(sum(CAST(round($e, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"WITH q AS (\n$textQualitySql),\n"
+    sb ++= ("f AS (SELECT ttr, short_ratio, avg_token_len,\n" +
+      s"  CASE WHEN quality_score >= $QUALITY_MIN THEN 1.0 ELSE 0.0 END AS y FROM q),\n")
+    sb ++= ("w0 AS (SELECT CAST(0.0 AS DOUBLE) AS wt, CAST(0.0 AS DOUBLE) AS ws,\n" +
+      "  CAST(0.0 AS DOUBLE) AS wa, CAST(0.0 AS DOUBLE) AS wb,\n" +
+      "  CAST(0.0 AS DOUBLE) AS mse),\n")
+    for (r <- 1 to QT_ROUNDS) {
+      val p = s"w${r - 1}"
+      val res =
+        s"($p.wt * f.ttr + $p.ws * f.short_ratio + $p.wa * f.avg_token_len + $p.wb - f.y)"
+      sb ++= s"""g$r AS (
+                |  SELECT CAST(count(*) AS DOUBLE) AS n,
+                |         ${dsum(s"$res * f.ttr")} AS gt,
+                |         ${dsum(s"$res * f.short_ratio")} AS gs,
+                |         ${dsum(s"$res * f.avg_token_len")} AS ga,
+                |         ${dsum(res)} AS gb,
+                |         ${dsum(s"$res * $res")} AS sse
+                |  FROM f, $p),
+                |w$r AS (
+                |  SELECT $p.wt - $QT_LR * (g$r.gt / g$r.n) AS wt,
+                |         $p.ws - $QT_LR * (g$r.gs / g$r.n) AS ws,
+                |         $p.wa - $QT_LR * (g$r.ga / g$r.n) AS wa,
+                |         $p.wb - $QT_LR * (g$r.gb / g$r.n) AS wb,
+                |         g$r.sse / g$r.n AS mse
+                |  FROM g$r, $p),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= "\n"
+    sb ++= (1 to QT_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, round(wt, 6) AS w_ttr,
+         |       round(ws, 6) AS w_short, round(wa, 6) AS w_avglen,
+         |       round(wb, 6) AS bias, round(mse, 6) AS mse
+         |FROM w$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** Bigram-LM surprise scoring: score(doc) = mean(−ln p(cur | prev))
     * with the conditional from the corpus's own bigram/context counts —
     * the next rung of the perplexity-filter ladder after

@@ -485,6 +485,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, 128L, 1L, 2L), (1L, 2L, 52L, 2L, 3L)))
   }
 
+  test("quality train: loss falls every round and the learned model ranks like the pinned one") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")          // ttr 1.0, no shorts
+    val junk = Seq.fill(15)("a b").mkString(" ")                     // ttr 2/30, all short
+    val mid = ((1 to 10).map(i => s"term$i") ++ Seq.fill(10)("ok")).mkString(" ")
+    val d = docs((1L, clean, "en", "s"), (2L, junk, "en", "s"), (3L, mid, "en", "s"),
+      (4L, clean + " extra", "en", "s"), (5L, junk + " a b", "en", "s"))
+    val trail = TextAnalysis.qualityTrain(d)
+      .select("round", "w_ttr", "w_short", "w_avglen", "bias", "mse")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(trail.length == TextAnalysis.QT_ROUNDS)
+    // entering mse strictly decreases: GD is actually descending
+    trail.sliding(2).foreach { case Array(a, b) => assert(b._6 < a._6) }
+    // the learned direction reproduces the pinned classifier's ranking
+    val (_, wt, ws, wa, wb, _) = trail.last
+    val feats = TextAnalysis.quality(d)
+      .select("doc_id", "ttr", "short_ratio", "avg_token_len")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (wt * r._2 + ws * r._3 + wa * r._4 + wb)).toMap
+    val pinned = TextAnalysis.qualityModel(d)
+      .select("doc_id", "model_score").as[(Long, Double)].collect().toMap
+    // same pairwise order for the clean-vs-junk pairs the gate separates
+    for ((hi, lo) <- Seq((1L, 2L), (4L, 5L), (3L, 2L))) {
+      assert(pinned(hi) > pinned(lo))
+      assert(feats(hi) > feats(lo),
+        s"learned model must rank doc $hi above doc $lo like the pinned classifier")
+    }
+  }
+
   test("chunks: overlapping spans clip at the doc end, short docs yield one chunk") {
     def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
     // 57 tokens -> 3 chunks [0,32) [24,56) [48,57); 10 tokens -> 1 chunk
