@@ -42,6 +42,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated subset for local A/B runs (e.g. re-timing
+    // one round's query list in isolation); the driver never sets it.
+    val bench: Map[String, (SparkSession, String) => DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(names) =>
+          val keep = names.split(",").toSet
+          SparkEntry.queries.filter { case (n, _) => keep.contains(n) }
+        case None => SparkEntry.queries
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,11 +64,11 @@ object Bench {
     // differ), so this pre-pays Janino compilation and JIT — per-query
     // first-run overhead (measured up to 10s on trivial queries) is session
     // setup, not query cost. Standard JMH-style warmup iteration.
-    runAll(spark, SparkEntry.queries, "/root/testdata/sf0.001")
+    runAll(spark, bench, "/root/testdata/sf0.001")
     // No clearCache between queries: operators own their intermediate
     // storage (localCheckpoint, reclaimed by the context cleaner) — the
     // bench must not paper over a leaky operator.
-    val (results, errors) = runAll(spark, SparkEntry.queries, sfDir)
+    val (results, errors) = runAll(spark, bench, sfDir)
     def jsonStr(s: String): String =
       s.map {
         case '"' => "\\\""

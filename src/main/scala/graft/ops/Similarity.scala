@@ -185,10 +185,14 @@ object Similarity {
   /** The fitted model: final centroids after `iters` Lloyd rounds from
     * the first-`k`-vectors seed. `base` must carry (vec_id, embedding,
     * nm) and should be checkpointed by the caller (it is scanned once
-    * per round).
+    * per round). `seedPred` picks the seed rows (default: the first `k`
+    * vec_ids); pass a wider predicate when `base` is a slice whose ids
+    * are not dense from 0 — cell ids are always the seed vec_ids.
     */
-  private def kmeansModel(base: DataFrame, k: Int, iters: Int): Seq[Cent] = {
-    val seeds: Seq[Cent] = base.filter(col("vec_id") < k)
+  private def kmeansModel(base: DataFrame, k: Int, iters: Int,
+      seedPred: Column = null): Seq[Cent] = {
+    val seeds: Seq[Cent] = base
+      .filter(Option(seedPred).getOrElse(col("vec_id") < k))
       .select(col("vec_id").cast("long"), col("embedding"), col("nm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
@@ -703,36 +707,45 @@ object Similarity {
     * Spark side; ends with the final centroids (cent/cn `last`) and
     * assignment `asgf`.
     */
+  private def kmCnBlock(name: String, cent: String): String =
+    s"$name AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM $cent GROUP BY 1)"
+
+  /** Assignment CTE over the unnested vectors of `src` (aliased `u`
+    * inside — pass "u" for the whole corpus, a filtered CTE for a
+    * slice).
+    */
+  private def kmAsgBlock(name: String, cent: String, cn: String,
+      src: String = "u"): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS rn
+       |    FROM (SELECT u.vec_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM $src u JOIN $cent c ON u.i = c.i GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.vec_id = n.vec_id
+       |    JOIN $cn c ON d.cell = c.cell)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmCentBlock(name: String, asg: String,
+      src: String = "u"): String =
+    s"""$name AS (
+       |  SELECT a.cell, u.i, CAST(CAST(round(avg(u.x), 6) AS FLOAT) AS DOUBLE) AS x
+       |  FROM $src u JOIN $asg a ON u.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+
   private lazy val kmeansCtePrefix: String = {
-    def cnBlock(name: String, cent: String): String =
-      s"$name AS (SELECT cell, sqrt(sum(x * x)) AS cn FROM $cent GROUP BY 1)"
-    def asgBlock(name: String, cent: String, cn: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT d.vec_id, d.cell,
-         |           row_number() OVER (PARTITION BY d.vec_id
-         |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS rn
-         |    FROM (SELECT u.vec_id, c.cell, sum(u.x * c.x) AS dot
-         |          FROM u JOIN $cent c ON u.i = c.i GROUP BY 1, 2) d
-         |    JOIN nrm n ON d.vec_id = n.vec_id
-         |    JOIN $cn c ON d.cell = c.cell)
-         |  WHERE rn = 1)""".stripMargin
-    def centBlock(name: String, asg: String): String =
-      s"""$name AS (
-         |  SELECT a.cell, u.i, CAST(CAST(round(avg(u.x), 6) AS FLOAT) AS DOUBLE) AS x
-         |  FROM u JOIN $asg a ON u.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     val iterBlocks = (0 until KMEANS_ITERS).flatMap { r =>
-      Seq(cnBlock(s"cn$r", s"cent$r"),
-        asgBlock(s"asg${r + 1}", s"cent$r", s"cn$r"),
-        centBlock(s"cent${r + 1}", s"asg${r + 1}"))
+      Seq(kmCnBlock(s"cn$r", s"cent$r"),
+        kmAsgBlock(s"asg${r + 1}", s"cent$r", s"cn$r"),
+        kmCentBlock(s"cent${r + 1}", s"asg${r + 1}"))
     }
     val last = KMEANS_ITERS
     s"""WITH ${UNNEST_CTE},
        |${NORM_CTE},
        |cent0 AS (SELECT vec_id AS cell, i, x FROM u WHERE vec_id < $KMEANS_K),
        |${iterBlocks.mkString(",\n")},
-       |${cnBlock(s"cn$last", s"cent$last")},
-       |${asgBlock("asgf", s"cent$last", s"cn$last")}""".stripMargin
+       |${kmCnBlock(s"cn$last", s"cent$last")},
+       |${kmAsgBlock("asgf", s"cent$last", s"cn$last")}""".stripMargin
   }
 
   val simsearchIvfKmeansSql: String =
@@ -1502,6 +1515,143 @@ object Similarity {
        |       round(avg(cos), 6) AS avg_cos,
        |       round(min(cos), 6) AS min_cos
        |FROM cs GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Incremental index maintenance (occupancy + quantization drift)
+  // --------------------------------------------------------------------
+
+  /** `qerr_delta` above this marks a cell for re-fit in [[indexDrift]]. */
+  val DRIFT_QERR_THRESHOLD = 0.01
+
+  /** |`occ_drift`| above this marks a cell for re-fit in [[indexDrift]]. */
+  val DRIFT_OCC_THRESHOLD = 0.05
+
+  /** Incremental index-maintenance report — the decision table an IVF
+    * deployment consults when a new batch arrives against a STANDING
+    * fit (the `dedup_incremental` split: even vec_ids are the indexed
+    * prior corpus, odd the arriving batch). The quantizer is fitted on
+    * the prior half only — seeds are its first [[KMEANS_K]] vectors —
+    * and both halves are then assigned against those frozen centroids,
+    * exactly what an online index does between re-fits. Per cell:
+    * occupancy of each slice (`frac_prior` vs `frac_new`, their
+    * `occ_drift`), mean cosine-to-centroid of each slice
+    * (`avg_cos_prior` vs `avg_cos_new`, their `qerr_delta` — positive
+    * means the new data sits farther from the standing centroids than
+    * the data the index was built for), and `refit_flag` = 1 when
+    * either drift crosses its threshold ([[DRIFT_QERR_THRESHOLD]] /
+    * [[DRIFT_OCC_THRESHOLD]]) — the re-fit trigger metric.
+    *
+    * Scale shape: the model is K·dim driver-held constants
+    * ([[kmeansModel]]), so both assignments are zero-shuffle codegen
+    * projections; the report is one K-row hash aggregation plus a
+    * broadcast 1-row totals frame. Drift columns derive from the
+    * ROUND-PINNED output columns (not raw doubles), so engine and
+    * oracle subtract bit-identical inputs.
+    */
+  def indexDrift(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = withNorm(emb).localCheckpoint()
+    val isNew = col("vec_id") % 2 === 1
+    val model = kmeansModel(base.filter(!isNew), KMEANS_K, KMEANS_ITERS,
+      seedPred = col("vec_id") < 2L * KMEANS_K)
+    val scored = base.withColumn("cell", assignCol(model))
+      .join(broadcast(centsDf(base, model)), Seq("cell"))
+      .withColumn("cos",
+        round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6))
+    val stat = scored.groupBy(col("cell")).agg(
+      count(when(!isNew, 1)).as("n_prior"),
+      count(when(isNew, 1)).as("n_new"),
+      round(avg(when(!isNew, col("cos"))), 6).as("avg_cos_prior"),
+      round(avg(when(isNew, col("cos"))), 6).as("avg_cos_new"))
+    val tot = broadcast(base.agg(
+      count(when(!isNew, 1)).as("tp"), count(when(isNew, 1)).as("tn")))
+    val cells = emb.sparkSession
+      .createDataFrame(model.map(c => Tuple1(c._1))).toDF("cell")
+    cells.join(broadcast(stat), Seq("cell"), "left").crossJoin(tot)
+      .select(col("cell"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_prior"), lit(0L)).cast("double") /
+          col("tp").cast("double"), 6).as("frac_prior"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("tn").cast("double"), 6).as("frac_new"),
+        col("avg_cos_prior"), col("avg_cos_new"))
+      .withColumn("occ_drift", round(col("frac_new") - col("frac_prior"), 6))
+      .withColumn("qerr_delta",
+        round(col("avg_cos_prior") - col("avg_cos_new"), 6))
+      .select(col("cell"), col("n_prior"), col("n_new"),
+        col("frac_prior"), col("frac_new"), col("occ_drift"),
+        col("avg_cos_prior"), col("avg_cos_new"), col("qerr_delta"),
+        (coalesce(col("qerr_delta") > lit(DRIFT_QERR_THRESHOLD), lit(false))
+          || abs(col("occ_drift")) > lit(DRIFT_OCC_THRESHOLD))
+          .cast("long").as("refit_flag"))
+  }
+
+  def simsearchIndexDrift(spark: SparkSession, sfDir: String): DataFrame =
+    indexDrift(Tables.embeddings(spark, sfDir))
+
+  /** Same fit, prior-only: the k-means rounds run over the `up` slice
+    * (src param of the shared CTE builders) with seeds = its first
+    * [[KMEANS_K]] vectors (`vec_id < 2K`, even); the final assignment
+    * covers ALL of `u`.
+    */
+  private lazy val driftCtePrefix: String = {
+    val iterBlocks = (0 until KMEANS_ITERS).flatMap { r =>
+      Seq(kmCnBlock(s"cn$r", s"cent$r"),
+        kmAsgBlock(s"asg${r + 1}", s"cent$r", s"cn$r", "up"),
+        kmCentBlock(s"cent${r + 1}", s"asg${r + 1}", "up"))
+    }
+    val last = KMEANS_ITERS
+    s"""WITH ${UNNEST_CTE},
+       |${NORM_CTE},
+       |up AS (SELECT * FROM u WHERE vec_id % 2 = 0),
+       |cent0 AS (SELECT vec_id AS cell, i, x FROM up WHERE vec_id < ${2 * KMEANS_K}),
+       |${iterBlocks.mkString(",\n")},
+       |${kmCnBlock(s"cn$last", s"cent$last")},
+       |${kmAsgBlock("asgf", s"cent$last", s"cn$last", "u")}""".stripMargin
+  }
+
+  val simsearchIndexDriftSql: String = {
+    val last = KMEANS_ITERS
+    s"""$driftCtePrefix,
+       |d AS (
+       |  SELECT a.vec_id, a.cell, sum(u.x * c.x) AS dot
+       |  FROM asgf a
+       |  JOIN u ON u.vec_id = a.vec_id
+       |  JOIN cent$last c ON c.cell = a.cell AND c.i = u.i
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT d.vec_id, d.cell, round(d.dot / (n.nm * cn.cn), 6) AS cos
+       |  FROM d
+       |  JOIN nrm n ON d.vec_id = n.vec_id
+       |  JOIN cn$last cn ON d.cell = cn.cell),
+       |stat AS (
+       |  SELECT cell,
+       |         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_prior,
+       |         CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new,
+       |         round(avg(cos) FILTER (WHERE vec_id % 2 = 0), 6) AS avg_cos_prior,
+       |         round(avg(cos) FILTER (WHERE vec_id % 2 = 1), 6) AS avg_cos_new
+       |  FROM cs GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS tp,
+       |               CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS tn
+       |        FROM nrm),
+       |rep AS (
+       |  SELECT c.cell,
+       |         coalesce(s.n_prior, 0) AS n_prior,
+       |         coalesce(s.n_new, 0) AS n_new,
+       |         round(CAST(coalesce(s.n_prior, 0) AS DOUBLE) / t.tp, 6) AS frac_prior,
+       |         round(CAST(coalesce(s.n_new, 0) AS DOUBLE) / t.tn, 6) AS frac_new,
+       |         s.avg_cos_prior, s.avg_cos_new
+       |  FROM (SELECT DISTINCT cell FROM cent$last) c
+       |  LEFT JOIN stat s ON c.cell = s.cell, tot t)
+       |SELECT cell, n_prior, n_new, frac_prior, frac_new,
+       |       round(frac_new - frac_prior, 6) AS occ_drift,
+       |       avg_cos_prior, avg_cos_new,
+       |       round(avg_cos_prior - avg_cos_new, 6) AS qerr_delta,
+       |       CAST((coalesce(round(avg_cos_prior - avg_cos_new, 6) > $DRIFT_QERR_THRESHOLD, false)
+       |             OR abs(round(frac_new - frac_prior, 6)) > $DRIFT_OCC_THRESHOLD) AS BIGINT) AS refit_flag
+       |FROM rep""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // Cluster-balanced diversity sampling

@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"))
   }
 
+  test("simsearch_index_drift: model-broadcast assignment — no corpus self-join") {
+    val p = plan("simsearch_index_drift")
+    assert(p.contains("vec_dot"), "assignment scores against centroid literals")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "both slices assign against the K-constant model, never against each other; " +
+        "the K-row report joins stay broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid frame and per-cell stats stay broadcast")
+  }
+
   test("dedup_simhash_pairs: banded LSH plan, no cross/nested-loop join") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -223,6 +223,66 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("index drift: standing fit on prior half, drift columns and refit flag behave") {
+    val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.indexDrift(emb)
+      .select("cell", "n_prior", "n_new", "frac_prior", "frac_new",
+        "occ_drift", "qerr_delta", "refit_flag")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double], Long)]
+      .collect()
+    val nPrior = emb.filter(col("vec_id") % 2 === 0).count()
+    val nNew = emb.filter(col("vec_id") % 2 === 1).count()
+    assert(got.map(_._2).sum == nPrior, "every prior vector in exactly one cell")
+    assert(got.map(_._3).sum == nNew, "every new vector in exactly one cell")
+    // cell ids are the prior half's seed vec_ids (even, < 2K)
+    assert(got.forall(r => r._1 % 2 == 0 && r._1 < 2L * Similarity.KMEANS_K))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4, "prior fracs sum to 1")
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "new fracs sum to 1")
+    got.foreach { r =>
+      assert(math.abs(r._6 - (r._5 - r._4)) < 2e-6, "occ_drift = frac_new - frac_prior")
+      val expectFlag = r._7.exists(_ > Similarity.DRIFT_QERR_THRESHOLD) ||
+        math.abs(r._6) > Similarity.DRIFT_OCC_THRESHOLD
+      assert((r._8 == 1L) == expectFlag, s"refit flag for cell ${r._1}")
+    }
+    val again = Similarity.indexDrift(emb)
+      .select("cell", "n_prior", "n_new", "frac_prior", "frac_new",
+        "occ_drift", "qerr_delta", "refit_flag")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double], Long)]
+      .collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic rerun")
+  }
+
+  test("index drift: a shifted new batch trips the refit flag, an identical one does not") {
+    // prior (even ids): two tight orthogonal bundles -> 2 surviving cells.
+    // new (odd ids): all land in bundle-0's cell AND sit farther from its
+    // centroid -> that cell shows positive qerr_delta + occupancy gain,
+    // the other shows pure occupancy loss.
+    def bundle(i: Int): Array[Float] =
+      if (i % 4 == 0) Array(1.0f, 0.001f * i, 0.0f)
+      else Array(0.001f * i, 1.0f, 0.0f)
+    val prior = (0 until 32 by 2).map(i => (i.toLong, bundle(i), 0))
+    val drifted = (1 until 32 by 2).map(i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.8f + 0.001f * i), 0))
+    val emb = (prior ++ drifted).toDF("vec_id", "embedding", "label")
+    val got = Similarity.indexDrift(emb)
+      .select("cell", "n_new", "occ_drift", "qerr_delta", "refit_flag")
+      .as[(Long, Long, Double, Option[Double], Long)].collect()
+    assert(got.map(_._2).sum == 16L)
+    val gainers = got.filter(_._2 > 0)
+    assert(gainers.nonEmpty && gainers.forall(_._5 == 1L),
+      "cells absorbing the drifted batch must flag for refit")
+    assert(gainers.forall(_._4.exists(_ > Similarity.DRIFT_QERR_THRESHOLD)),
+      "drifted vectors sit measurably farther from the standing centroid")
+    assert(got.filter(_._2 == 0).forall(r => r._3 <= 0.0),
+      "cells the new batch avoids only lose occupancy share")
+    // control: a new batch drawn from the SAME distribution stays quiet
+    val calm = (prior ++ (1 until 32 by 2).map(i => (i.toLong, bundle(i - 1), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val calmGot = Similarity.indexDrift(calm)
+      .select("refit_flag").as[Long].collect()
+    assert(calmGot.forall(_ == 0L), "no drift -> no refit flag")
+  }
+
   test("diverse sample: caps every cell, covers every non-empty cell, reruns identically") {
     val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.diverseSample(emb)
