@@ -1590,6 +1590,35 @@ object Similarity {
   def simsearchIndexDrift(spark: SparkSession, sfDir: String): DataFrame =
     indexDrift(Tables.embeddings(spark, sfDir))
 
+  /** The assigned cell's rounded cosine — the max over cells, join-free:
+    * numerically identical to assigning first and joining the centroid
+    * back in, because assignment IS argmax of this same expression.
+    */
+  private def maxCosCol(cents: Seq[Cent]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    greatest(cents.map { case (_, carr, cnorm) =>
+      round(graft.functions.VectorFunctions
+        .vec_dot_cols(spark, col("embedding"), typedLit(carr)) /
+        (col("nm") * lit(cnorm)), 6)
+    }: _*)
+  }
+
+  /** (cell, cos) columns against the drift quantizer fitted on the
+    * STANDING corpus with [[indexDrift]]'s fit rule (seeds = its first
+    * [[KMEANS_K]] vectors by a `< 2K` id predicate) — for any frame
+    * carrying (embedding, nm), including a STREAMING one: the model is
+    * driver-held constants, so both columns are stateless codegen
+    * projections and the online monitor scores arrivals exactly like
+    * the batch report scores the new half.
+    */
+  def driftScorerCols(corpus: DataFrame): (Column, Column) = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val base = withNorm(corpus).localCheckpoint()
+    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS,
+      seedPred = col("vec_id") < 2L * KMEANS_K)
+    (assignCol(model), maxCosCol(model))
+  }
+
   /** Same fit, prior-only: the k-means rounds run over the `up` slice
     * (src param of the shared CTE builders) with seeds = its first
     * [[KMEANS_K]] vectors (`vec_id < 2K`, even); the final assignment

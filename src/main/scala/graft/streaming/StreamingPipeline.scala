@@ -215,6 +215,28 @@ object StreamingPipeline {
       .select(col("vec_id"), col("cell"), col("embedding"))
   }
 
+  /** Streaming index-drift monitor — the online half of the batch
+    * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
+    * on the STANDING corpus (same fit rule as the batch report's
+    * prior-half fit; the model is K·dim driver-held constants), each
+    * arriving vector is assigned and scored by stateless codegen
+    * projections, and the arriving stream's per-cell occupancy and
+    * tightness is a streaming aggregation whose state is bounded at K
+    * rows — emits exactly the (cell, n_new, avg_cos_new) numbers the
+    * batch report sets against the standing index's own. This is how
+    * drift monitoring runs in production: refit offline, watch the
+    * ingest firehose online, alarm when a cell's numbers walk.
+    */
+  def indexDriftStream(vectors: DataFrame, corpus: DataFrame): DataFrame = {
+    val (cellCol, cosCol) = graft.ops.Similarity.driftScorerCols(corpus)
+    graft.ops.Similarity.withNorm(vectors)
+      .withColumn("cell", cellCol)
+      .withColumn("cos", cosCol)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"),
+        round(avg(col("cos")), 6).as("avg_cos_new"))
+  }
+
   /** Streaming DSIR scoring — the online half of the batch
     * [[graft.ops.TextAnalysis.dsirScores]]: the importance model fits
     * once on the STANDING corpus ([[graft.ops.TextAnalysis.dsirModel]],

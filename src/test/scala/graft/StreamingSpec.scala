@@ -415,4 +415,37 @@ class StreamingSpec extends SparkSpec {
       .select("vec_id", "cell").as[(Long, Long)].collect().toMap
     assert(streamed == batchCells)
   }
+
+  test("streaming index-drift monitor reproduces the batch report's new-batch columns") {
+    implicit val sqlCtx = spark.sqlContext
+    // full fixture = the batch report's world: even ids are the standing
+    // corpus, odd ids the arriving batch (drifted off the even bundles)
+    def bundle(i: Int): Array[Float] =
+      if (i % 4 == 0) Array(1.0f, 0.001f * i, 0.0f)
+      else Array(0.001f * i, 1.0f, 0.0f)
+    val prior = (0 until 32 by 2).map(i => (i.toLong, bundle(i), 0))
+    val arriving = (1 until 32 by 2).map(i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.8f + 0.001f * i), 0))
+    val full = (prior ++ arriving).toDF("vec_id", "embedding", "label")
+    val batchNew = graft.ops.Similarity.indexDrift(full)
+      .filter(org.apache.spark.sql.functions.col("n_new") > 0)
+      .select("cell", "n_new", "avg_cos_new")
+      .as[(Long, Long, Double)].collect()
+      .map { case (c, n, a) => c -> ((n, a)) }.toMap
+    val in = MemoryStream[(Long, Array[Float], Int)]
+    val q = StreamingPipeline.indexDriftStream(
+        in.toDF().toDF("vec_id", "embedding", "label"),
+        prior.toDF("vec_id", "embedding", "label"))
+      .writeStream.format("memory").queryName("driftmon")
+      .outputMode("complete").start()
+    in.addData(arriving.take(7): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(7): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("driftmon")
+      .as[(Long, Long, Double)].collect()
+      .map { case (c, n, a) => c -> ((n, a)) }.toMap
+    assert(streamed == batchNew,
+      "cross-micro-batch monitor state must equal the batch report's new-half columns")
+  }
 }
