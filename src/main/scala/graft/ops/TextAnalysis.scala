@@ -1748,7 +1748,12 @@ object TextAnalysis {
 
   // lazy: interpolates MIX_SHARES and friends, declared later in the
   // object — an eager val would capture them mid-init as null
-  lazy val textCorpusAssemblySql: String = {
+  /** Shared CTE prefix of the assembly pipeline, through the mix-rate
+    * table `rt`: the stage frames [[textCorpusAssemblySql]] packs and
+    * [[textCorpusRejectionsSql]] audits are the SAME SQL text, so the
+    * two oracles cannot drift from each other stage by stage.
+    */
+  private lazy val assemblyPrefixSql: String = {
     val shareRows = MIX_SHARES
       .map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
     s"""WITH ${Tables.TOK_CTE},
@@ -1806,7 +1811,11 @@ object TextAnalysis {
        |                          / bl.lang_tokens, 6)) AS rate
        |  FROM (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
        |        FROM domained GROUP BY 1) bl
-       |  JOIN shr s ON bl.lang = s.lang CROSS JOIN tot t),
+       |  JOIN shr s ON bl.lang = s.lang CROSS JOIN tot t)""".stripMargin
+  }
+
+  lazy val textCorpusAssemblySql: String =
+    s"""$assemblyPrefixSql,
        |sampled AS (
        |  SELECT d.doc_id, d.lang, d.n_tokens
        |  FROM domained d JOIN rt ON d.lang = rt.lang
@@ -1834,7 +1843,103 @@ object TextAnalysis {
        |  GROUP BY ROLLUP (lang))
        |SELECT d.lang, d.kept_docs, d.kept_tokens, q.n_sequences
        |FROM docagg d JOIN seqagg q ON d.lang = q.lang""".stripMargin
+
+  /** Per-document rejection audit — the "why did my document disappear"
+    * table every production data pipeline keeps next to its assembly
+    * job: one row per INPUT document with its fate under
+    * [[corpusAssembly]]'s own precedence — the FIRST stage that drops
+    * it, in pipeline order: `benchmark` (it is the eval side of the
+    * decontamination split), `contaminated`, `exact_dup` (not its
+    * group's representative), `near_dup` (Jaccard loser), `low_quality`,
+    * `weak_domain` (source below the corpus quality bar), `sampled_out`
+    * (mix-rate draw missed; a lang without a mixture share reports
+    * `no_mix_share`), else `kept`. Every flag is the corresponding
+    * operator's own code path, so the audit can never disagree with the
+    * assembly it explains.
+    *
+    * Shape: the per-doc flags are left joins of the stage outputs
+    * (contaminated ids, exact representatives, Jaccard losers — each
+    * already bucket/prefix-bounded), the domain/rate tables are
+    * |sources|- and |langs|-row broadcasts, and the verdict is one
+    * stateless CASE projection. Cost ≈ the assembly's own stage chain;
+    * rows = corpus size, but each row is (ids + short string).
+    */
+  def corpusRejections(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("lang"), col("source"),
+      col("n_tokens"), col("quality_score"))
+    val contamIds = decontam(docs).filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("is_contam"))
+    val keepIds = Dedup.exactGroups(docs)
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+    val loserIds = Dedup.ngramJaccardPairs(docs)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_loser", lit(true))
+    // flags fan out into the gated survivors (which feed the domain and
+    // rate tables) AND the final verdict projection — checkpoint so the
+    // decontam/dedup chains above run once (the corpusAssembly pattern)
+    val flags = q
+      .join(contamIds, Seq("doc_id"), "left")
+      .join(keepIds, Seq("doc_id"), "left")
+      .join(loserIds, Seq("doc_id"), "left")
+      .withColumn("is_bench", col("doc_id") % lit(DECONTAM_MOD) === 0)
+      .localCheckpoint()
+    val gated = flags.filter(!col("is_bench") && col("is_contam").isNull &&
+      col("is_keeper").isNotNull && col("is_loser").isNull &&
+      col("quality_score") >= QUALITY_MIN)
+    val bySrc = gated.groupBy(col("source"))
+      .agg(round(avg(col("quality_score")), 6).as("avg_q"))
+    val overall = gated.agg(round(avg(col("quality_score")), 6).as("corpus_avg"))
+    val goodSrc = bySrc.crossJoin(broadcast(overall))
+      .filter(col("avg_q") >= col("corpus_avg"))
+      .select(col("source"), lit(true).as("good_src"))
+    val domained = gated.join(broadcast(goodSrc), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val totals = domained.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val rates = mixRates(
+      domained.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens")),
+      totals).select(col("lang"), col("rate"))
+    val bucket = md5Bucket(col("doc_id"))
+    flags
+      .join(broadcast(goodSrc), Seq("source"), "left")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_bench"), "benchmark")
+          .when(col("is_contam").isNotNull, "contaminated")
+          .when(col("is_keeper").isNull, "exact_dup")
+          .when(col("is_loser").isNotNull, "near_dup")
+          .when(col("quality_score") < QUALITY_MIN, "low_quality")
+          .when(col("good_src").isNull, "weak_domain")
+          .when(col("rate").isNull, "no_mix_share")
+          .when(bucket.cast("double") >= col("rate") * lit(4294967296.0),
+            "sampled_out")
+          .otherwise("kept").as("reason"))
   }
+
+  def textCorpusRejections(spark: SparkSession, sfDir: String): DataFrame =
+    corpusRejections(Tables.documents(spark, sfDir))
+
+  lazy val textCorpusRejectionsSql: String =
+    s"""$assemblyPrefixSql,
+       |allq AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |         round((CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))
+       |               * (1.0 - CAST(s.n_short AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)), 6)
+       |           AS qs
+       |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
+       |SELECT a.doc_id, a.lang, a.source,
+       |       CASE
+       |         WHEN a.doc_id % $DECONTAM_MOD = 0 THEN 'benchmark'
+       |         WHEN a.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |         WHEN a.doc_id NOT IN (SELECT doc_id FROM keep) THEN 'exact_dup'
+       |         WHEN a.doc_id IN (SELECT doc_id FROM losers) THEN 'near_dup'
+       |         WHEN a.qs < $QUALITY_MIN THEN 'low_quality'
+       |         WHEN a.source NOT IN (SELECT source FROM goodsrc) THEN 'weak_domain'
+       |         WHEN rt.rate IS NULL THEN 'no_mix_share'
+       |         WHEN CAST(CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |              AS DOUBLE) >= rt.rate * CAST(4294967296 AS DOUBLE) THEN 'sampled_out'
+       |         ELSE 'kept'
+       |       END AS reason
+       |FROM allq a LEFT JOIN rt ON a.lang = rt.lang""".stripMargin
 
   /** Per-source length-outlier flagging (winsorization prep): exact
     * type-7 percentile bounds of token count per source (one hash

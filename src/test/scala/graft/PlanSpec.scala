@@ -59,6 +59,14 @@ class PlanSpec extends SparkSpec {
       "centroid frame and per-cell stats stay broadcast")
   }
 
+  test("corpus_rejections: verdict is broadcast-joined flags, no all-pairs join") {
+    val p = plan("corpus_rejections")
+    assert(!p.contains("CartesianProduct"),
+      "stage flags and rate tables must never cross-join the corpus")
+    assert(p.contains("BroadcastHashJoin"),
+      "domain/rate tables stay broadcast onto the per-doc frame")
+  }
+
   test("dedup_simhash_pairs: banded LSH plan, no cross/nested-loop join") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -918,6 +918,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(1L) > got(2L)) // tf=1 for 'alpha' in both; |d| differs
   }
 
+  test("corpus rejections: every stage names its casualties, kept count matches assembly") {
+    // one doc per fate, in pipeline order; de fillers give the mixture a
+    // real corpus so the en rate caps at 1 (kept deterministic)
+    val enA = "alpha bravo charlie delta echo"
+    val twelve = "one1 two2 three3 four4 five5 six6 seven7 eight8 nine9 ten10 eleven11 last12"
+    val fixture = Seq(
+      (0L, "king queen rook bishop knight pawn", "en", "s"),       // benchmark (0 % 97)
+      (1L, "castle tower moat king queen rook garden stone", "en", "s"), // contaminated
+      (2L, enA, "en", "s"),                                        // kept (exact keeper)
+      (3L, enA, "en", "s"),                                        // exact_dup
+      (4L, twelve, "en", "s"),                                     // kept
+      (5L, twelve.replace("last12", "other12"), "en", "s"),        // near_dup (J=9/11)
+      (6L, "aa aa aa aa", "en", "s"),                              // low_quality (score 0)
+      (7L, "aa bb cup dog elm fox gnu cup", "en", "w"),            // weak_domain (q=.656)
+      (8L, "zebra quark lumen pixel", "xx", "s")                   // no_mix_share
+    ) ++ (9L to 16L).map(i =>
+      (i, (1 to 12).map(j => s"wde${i}x$j").mkString(" "), "de", "s"))
+    val d = fixture.toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusRejections(d)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(got(0L) == "benchmark")
+    assert(got(1L) == "contaminated")
+    assert(got(2L) == "kept")
+    assert(got(3L) == "exact_dup")
+    assert(got(4L) == "kept")
+    assert(got(5L) == "near_dup")
+    assert(got(6L) == "low_quality")
+    assert(got(7L) == "weak_domain")
+    assert(got(8L) == "no_mix_share")
+    (9L to 16L).foreach(i =>
+      assert(Set("kept", "sampled_out")(got(i)), s"de filler $i draws the mix gate"))
+    assert(got.size == fixture.size, "one verdict per input document")
+    // the audit must agree with the assembly it explains
+    val keptTotal = TextAnalysis.corpusAssembly(d)
+      .filter(org.apache.spark.sql.functions.col("lang") === "TOTAL")
+      .select("kept_docs").as[Long].collect().head
+    assert(got.values.count(_ == "kept").toLong == keptTotal,
+      "kept verdicts == assembly TOTAL kept_docs")
+  }
+
   test("fertility: merge-friendly language costs fewer tokens per word") {
     // 'the' fully merges (t·h → th, th·e → the) → 1 token/word;
     // 'zq' has no merge rule → 2 tokens/word
