@@ -1034,19 +1034,20 @@ object TextAnalysis {
     * low-quality documents, rolled up per (lang, source). What a user runs
     * before tokenizing a pretraining shard.
     */
-  def corpusFilter(docs: DataFrame): DataFrame = {
-    val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = Dedup.ngramJaccardPairs(docs).select(col("d2").as("doc_id")).distinct()
-    val q = quality(docs)
-    q.join(keep, Seq("doc_id"), "left_semi")
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .filter(col("quality_score") >= QUALITY_MIN)
+  def corpusFilter(docs: DataFrame): DataFrame =
+    filterFrom(assemblyFlags(docs))
+
+  /** The exact+near-dedup and quality gates only (no decontam/domain/mix
+    * stages — this is the early-pipeline pre-filter report).
+    */
+  private def filterFrom(flags: DataFrame): DataFrame =
+    flags.filter(col("is_keeper").isNotNull && col("is_loser").isNull &&
+        col("quality_score") >= QUALITY_MIN)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
-  }
 
   def textCorpusFilter(spark: SparkSession, sfDir: String): DataFrame =
-    corpusFilter(Tables.documents(spark, sfDir))
+    filterFrom(sharedFlags(spark, sfDir))
 
   val textCorpusFilterSql: String =
     s"""WITH ${Tables.TOK_CTE},
@@ -1390,6 +1391,67 @@ object TextAnalysis {
   def textPack(spark: SparkSession, sfDir: String): DataFrame =
     packSequences(Tables.documents(spark, sfDir))
 
+  /** Incremental pack APPEND — how a production corpus actually grows:
+    * the standing corpus (even doc_ids, the `dedup_incremental` split)
+    * is already packed and immutable; an arriving batch (odd ids)
+    * concatenates AFTER it, continuing to fill the standing layout's
+    * partially-filled final sequence rather than re-packing anything.
+    * Emits the arriving docs' slots in the combined stream — global
+    * offsets/sequence ids shifted by the standing token total — plus
+    * `in_prior_tail` (doc starts inside the standing corpus's open last
+    * sequence — those tokens co-train with old data).
+    *
+    * Scale shape: the standing corpus contributes ONE aggregated scalar
+    * (its token total, broadcast) — no window, sort, or shuffle ever
+    * touches it again, no matter how many batches have accumulated;
+    * the new batch pays only its own hierarchical prefix sum
+    * ([[packGeometry]]). Append ≡ re-pack of the arrival-ordered
+    * stream (spec'd), so the loader contract is unchanged.
+    */
+  def packIncremental(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 2 === 1
+    val perDoc = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val prior = broadcast(perDoc.filter(!isNew)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("prior_tokens")))
+    packGeometry(perDoc.filter(isNew))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+      .crossJoin(prior)
+      .withColumn("start_off", col("start_off") + col("prior_tokens"))
+      .withColumn("start_seq", expr(s"start_off DIV $PACK_CAPACITY"))
+      .withColumn("end_seq",
+        expr(s"(start_off + n_tokens - 1) DIV $PACK_CAPACITY"))
+      .withColumn("straddles", col("end_seq") > col("start_seq"))
+      .withColumn("in_prior_tail",
+        col("start_seq") === expr(s"prior_tokens DIV $PACK_CAPACITY") &&
+          expr(s"prior_tokens % $PACK_CAPACITY") =!= 0L)
+      .drop("prior_tokens")
+  }
+
+  def textPackIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    packIncremental(Tables.documents(spark, sfDir))
+
+  val textPackIncrementalSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |pt AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS prior_tokens
+       |       FROM n WHERE doc_id % 2 = 0),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |              AS BIGINT) AS rel_off
+       |  FROM n WHERE doc_id % 2 = 1)
+       |SELECT o.doc_id, o.n_tokens,
+       |       o.rel_off + p.prior_tokens AS start_off,
+       |       (o.rel_off + p.prior_tokens) // $PACK_CAPACITY AS start_seq,
+       |       (o.rel_off + p.prior_tokens + o.n_tokens - 1) // $PACK_CAPACITY AS end_seq,
+       |       (o.rel_off + p.prior_tokens + o.n_tokens - 1) // $PACK_CAPACITY
+       |         > (o.rel_off + p.prior_tokens) // $PACK_CAPACITY AS straddles,
+       |       ((o.rel_off + p.prior_tokens) // $PACK_CAPACITY = p.prior_tokens // $PACK_CAPACITY
+       |        AND p.prior_tokens % $PACK_CAPACITY <> 0) AS in_prior_tail
+       |FROM o, pt p""".stripMargin
+
   /** Per-SEQUENCE manifest of the packed layout: for every training
     * sequence, how many documents contribute, the token count (exactly
     * [[PACK_CAPACITY]] for all but the final partial sequence), and the
@@ -1697,22 +1759,17 @@ object TextAnalysis {
     * this query is the integration check that the stages compose — the
     * number a pretraining run starts from.
     */
-  def corpusAssembly(docs: DataFrame): DataFrame = {
-    val clean = decontam(docs).filter(!col("contaminated")).select(col("doc_id"))
-    val keep = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
-    val losers = Dedup.ngramJaccardPairs(docs)
-      .select(col("d2").as("doc_id")).distinct()
+  def corpusAssembly(docs: DataFrame): DataFrame =
+    assemblyFrom(assemblyFlags(docs).localCheckpoint())
+
+  private def assemblyFrom(flags: DataFrame): DataFrame = {
     // gated fans out into the domain gate, the mix rates, and the sample —
-    // without a checkpoint every branch re-executes the decontam + dedup
-    // chain above it (measured 6× the single-pass cost). The frame is
-    // document-count rows of scalars; operator-owned localCheckpoint is
-    // the established pattern (k-means, CC rounds).
-    val gated = quality(docs)
-      .join(clean, Seq("doc_id"), "left_semi")
-      .join(keep, Seq("doc_id"), "left_semi")
-      .join(losers, Seq("doc_id"), "left_anti")
-      .filter(col("quality_score") >= QUALITY_MIN)
-      .localCheckpoint()
+    // `flags` is checkpointed by the caller (without it every branch
+    // re-executes the decontam + dedup chain, measured 6× the single-pass
+    // cost), so each branch re-runs only this filter.
+    val gated = flags.filter(!col("is_bench") && col("is_contam").isNull &&
+      col("is_keeper").isNotNull && col("is_loser").isNull &&
+      col("quality_score") >= QUALITY_MIN)
     val bySrc = gated.groupBy(col("source"))
       .agg(round(avg(col("quality_score")), 6).as("avg_q"))
     val overall = gated.agg(round(avg(col("quality_score")), 6).as("corpus_avg"))
@@ -1744,7 +1801,7 @@ object TextAnalysis {
   }
 
   def textCorpusAssembly(spark: SparkSession, sfDir: String): DataFrame =
-    corpusAssembly(Tables.documents(spark, sfDir))
+    assemblyFrom(sharedFlags(spark, sfDir))
 
   // lazy: interpolates MIX_SHARES and friends, declared later in the
   // object — an eager val would capture them mid-init as null
@@ -1864,9 +1921,20 @@ object TextAnalysis {
     * stateless CASE projection. Cost ≈ the assembly's own stage chain;
     * rows = corpus size, but each row is (ids + short string).
     */
-  def corpusRejections(docs: DataFrame): DataFrame = {
-    val q = quality(docs).select(col("doc_id"), col("lang"), col("source"),
-      col("n_tokens"), col("quality_score"))
+  def corpusRejections(docs: DataFrame): DataFrame =
+    rejectionsFrom(assemblyFlags(docs).localCheckpoint())
+
+  /** Per-document stage flags of the assembly pipeline: the quality row
+    * of every input doc left-joined with the contaminated-id, exact-
+    * representative and Jaccard-loser sets, plus the benchmark split —
+    * the frame [[corpusAssembly]], [[corpusRejections]] and
+    * [[corpusFilter]] all derive their gates from. The session entry
+    * points share ONE checkpointed copy ([[SharedFits]]): the stage
+    * chain (decontam + both dedups + quality) is deterministic, so the
+    * memo changes cost, never results — the production-DAG shape, stage
+    * outputs computed once and fanned out.
+    */
+  private[ops] def assemblyFlags(docs: DataFrame): DataFrame = {
     val contamIds = decontam(docs).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("is_contam"))
     val keepIds = Dedup.exactGroups(docs)
@@ -1874,15 +1942,21 @@ object TextAnalysis {
     val loserIds = Dedup.ngramJaccardPairs(docs)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
-    // flags fan out into the gated survivors (which feed the domain and
-    // rate tables) AND the final verdict projection — checkpoint so the
-    // decontam/dedup chains above run once (the corpusAssembly pattern)
-    val flags = q
+    quality(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"))
       .join(contamIds, Seq("doc_id"), "left")
       .join(keepIds, Seq("doc_id"), "left")
       .join(loserIds, Seq("doc_id"), "left")
       .withColumn("is_bench", col("doc_id") % lit(DECONTAM_MOD) === 0)
-      .localCheckpoint()
+  }
+
+  private def sharedFlags(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"assembly_flags:$sfDir") {
+      assemblyFlags(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
+  private def rejectionsFrom(flags: DataFrame): DataFrame = {
     val gated = flags.filter(!col("is_bench") && col("is_contam").isNull &&
       col("is_keeper").isNotNull && col("is_loser").isNull &&
       col("quality_score") >= QUALITY_MIN)
@@ -1916,7 +1990,7 @@ object TextAnalysis {
   }
 
   def textCorpusRejections(spark: SparkSession, sfDir: String): DataFrame =
-    corpusRejections(Tables.documents(spark, sfDir))
+    rejectionsFrom(sharedFlags(spark, sfDir))
 
   lazy val textCorpusRejectionsSql: String =
     s"""$assemblyPrefixSql,

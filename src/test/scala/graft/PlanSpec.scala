@@ -152,6 +152,20 @@ class PlanSpec extends SparkSpec {
       "the single unpartitioned window reads only the super-shard totals")
   }
 
+  test("text_pack_incremental: standing corpus reduces to one broadcast scalar") {
+    val p = plan("text_pack_incremental")
+    // the arriving batch pays the same hierarchical prefix as text_pack…
+    assert("windowspecdefinition\\(shard#\\d+L, doc_id".r.findFirstIn(p).isDefined)
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isEmpty,
+      "no window may scan the batch in global doc_id order")
+    assert("windowspecdefinition\\(shard#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "the shard-summary prefix must stay recursed")
+    // …while the standing corpus is ONE aggregated row joined broadcast:
+    // no window/sort may touch the prior half at all
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the prior token total must arrive as a broadcast scalar")
+  }
+
   test("text_mix and text_length_outliers: per-stratum tables broadcast back") {
     assert(plan("text_mix").contains("BroadcastHashJoin"))
     assert(plan("text_length_outliers").contains("BroadcastHashJoin"))

@@ -958,6 +958,60 @@ class TextMultimodalSpec extends SparkSpec {
       "kept verdicts == assembly TOTAL kept_docs")
   }
 
+  test("incremental pack: append equals re-packing the arrival-ordered stream; tail flag exact") {
+    // prior (even ids): 130 tokens total -> last sequence holds 2 tokens, open
+    val prior = Seq(
+      (0L, (1 to 60).map(i => s"p0w$i").mkString(" ")),   // 60 tokens
+      (2L, (1 to 68).map(i => s"p2w$i").mkString(" ")),   // 68
+      (4L, "tail one"))                                   // 2 -> total 130
+    // arriving (odd ids): first doc starts at 130 inside open seq 1;
+    // second crosses into fresh sequences
+    val arriving = Seq(
+      (1L, (1 to 10).map(i => s"a1w$i").mkString(" ")),   // 130..139, seq 1
+      (3L, (1 to 200).map(i => s"a3w$i").mkString(" ")),  // 140..339, seqs 1..2
+      (5L, "after the cut"))                              // 340..342, seq 2
+    val d = (prior ++ arriving).map { case (i, t) => (i, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.packIncremental(d)
+      .select("doc_id", "n_tokens", "start_off", "start_seq", "end_seq",
+        "straddles", "in_prior_tail")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 5L))
+    assert(got(0) == ((1L, 10L, 130L, 1L, 1L, false, true)),
+      "first arrival fills the standing corpus's open sequence")
+    assert(got(1) == ((3L, 200L, 140L, 1L, 2L, true, true)))
+    assert(got(2) == ((5L, 3L, 340L, 2L, 2L, false, false)),
+      "past the tail boundary the flag clears")
+    // append ≡ re-pack: re-id arrivals after the standing corpus and the
+    // combined concat-and-chunk reproduces the same slots
+    val reIdd = (prior ++ arriving.map { case (i, t) => (100L + i, t) })
+      .map { case (i, t) => (i, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val repacked = TextAnalysis.packSequences(reIdd)
+      .filter($"doc_id" >= 100L)
+      .select("doc_id", "n_tokens", "start_off", "start_seq", "end_seq", "straddles")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).map(r => (r._1 - 100L, r._2, r._3, r._4, r._5, r._6))
+    assert(repacked.toSeq == got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq)
+  }
+
+  test("assembly entry points share one memoized stage-flags frame per (session, dir)") {
+    val dir = "/root/testdata/sf0.001"
+    // repeated calls reuse the memo — the REPORTS differ per entry point,
+    // so pin the shared producer by value: assembly/filter/rejections all
+    // equal an unshared end-to-end recomputation on the same documents
+    val d = graft.pipeline.Tables.documents(spark, dir)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(dump(TextAnalysis.textCorpusRejections(spark, dir)) ==
+      dump(TextAnalysis.corpusRejections(d)))
+    assert(dump(TextAnalysis.textCorpusAssembly(spark, dir)) ==
+      dump(TextAnalysis.corpusAssembly(d)))
+    assert(dump(TextAnalysis.textCorpusFilter(spark, dir)) ==
+      dump(TextAnalysis.corpusFilter(d)))
+  }
+
   test("fertility: merge-friendly language costs fewer tokens per word") {
     // 'the' fully merges (t·h → th, th·e → the) → 1 token/word;
     // 'zq' has no merge rule → 2 tokens/word
