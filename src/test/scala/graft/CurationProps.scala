@@ -47,6 +47,26 @@ object CurationProps extends Properties("Curation") {
       }
     }
 
+  property("incremental pack: append ≡ re-pack of the arrival-ordered stream on any corpus") =
+    forAll(genCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.packIncremental(df)
+        .select("doc_id", "n_tokens", "start_off", "start_seq", "end_seq")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // re-id the arrivals (odd ids) after every standing id, preserving
+      // their relative order, and re-pack the combined stream from scratch
+      val base = rows.map(_._1).max + 1
+      val reIdd = rows.map { case (id, t, l, s) =>
+        (if (id % 2 == 1) base + id else id, t, l, s)
+      }.toDF("doc_id", "text", "lang", "source")
+      val repacked = TextAnalysis.packSequences(reIdd)
+        .filter($"doc_id" >= base)
+        .select("doc_id", "n_tokens", "start_off", "start_seq", "end_seq")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+        .map(r => (r._1 - base, r._2, r._3, r._4, r._5)).toSeq
+      got == repacked
+    }
+
   property("mix sampling: rate capped at 1.0, sample within its stratum, capped strata fully kept") =
     forAll(genCorpus) { rows =>
       val df = rows.toDF("doc_id", "text", "lang", "source")
