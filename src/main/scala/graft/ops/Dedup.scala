@@ -417,8 +417,24 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jacc, 6).as("jaccard"))
   }
 
+  /** The verified n-gram Jaccard pair frame for a session's `documents`
+    * table, computed once and shared by every consumer — BOTH dedup-family
+    * chains ([[duplicateClusters]] via [[sharedClusters]], the
+    * `dedup_ngram_jaccard` query itself) AND the corpus-assembly stage
+    * flags (TextAnalysis.assemblyFlags's near-dup-loser gate). Before
+    * sharing, the AllPairs pair-gen — the most expensive single stage in
+    * the text families — ran twice per session (measured ~2 s each at
+    * sf0.1); the memo is the production-DAG shape: the pair index is
+    * built once per corpus load and fanned out. Deterministic (seeded
+    * 64-bit hashes, integer counts), so a hit changes cost, never rows.
+    */
+  private[ops] def sharedJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"jaccard_pairs:$sfDir") {
+      ngramJaccardPairs(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, sfDir))
+    sharedJaccardPairs(spark, sfDir)
 
   val dedupNgramJaccardSql: String =
     s"""WITH ${Tables.TOK_CTE},
@@ -966,9 +982,12 @@ object Dedup {
   }
 
   def duplicateClusters(docs: DataFrame): DataFrame =
+    duplicateClusters(docs, ngramJaccardPairs(docs))
+
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
     connectedComponents(
       docs.select(col("doc_id").as("id")),
-      ngramJaccardPairs(docs).select(col("d1"), col("d2")))
+      pairs.select(col("d1"), col("d2")))
       .select(col("id").as("doc_id"), col("rep_id"), col("cluster_size"))
 
   /** The cluster assignment for a session's `documents` table, computed
@@ -979,7 +998,8 @@ object Dedup {
     */
   private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
     SharedFits.memo(spark, s"dup_clusters:$sfDir") {
-      duplicateClusters(Tables.documents(spark, sfDir)).localCheckpoint()
+      duplicateClusters(Tables.documents(spark, sfDir),
+        sharedJaccardPairs(spark, sfDir)).localCheckpoint()
     }
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
@@ -1043,6 +1063,212 @@ object Dedup {
        |szc AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY 1)
        |SELECT r.doc_id, r.rep_id, s.cluster_size
        |FROM rep r JOIN szc s ON r.rep_id = s.rep_id""".stripMargin
+
+  /** Per-document sorted shingle-hash sets (id, shs, n) — the exact-
+    * verification payload shared by [[ngramJaccardPairs]] (inline) and
+    * [[incrementalClusters]]. One zero-shuffle codegen projection.
+    */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id").as("id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("id"), expr("shingle_hashes(toks)").as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair frame against the two
+    * sides' shingle sets: length-filter prune, codegen merge-intersect,
+    * threshold. Pair space stays whatever bounded the candidates.
+    */
+  private def verifyJaccard(cands: DataFrame, aCol: String, bCol: String,
+      aSets: DataFrame, bSets: DataFrame): DataFrame = {
+    val s1 = aSets.select(col("id").as(aCol), col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = bSets.select(col("id").as(bCol), col("shs").as("shs2"), col("n").as("n2"))
+    val jacc = col("c").cast("double") /
+      (col("n1") + col("n2") - col("c")).cast("double")
+    cands.join(s1, Seq(aCol)).join(s2, Seq(bCol))
+      .filter(col("n1") * JACCARD_THRESHOLD <= col("n2") &&
+        col("n2") * JACCARD_THRESHOLD <= col("n1"))
+      .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
+      .filter(jacc >= JACCARD_THRESHOLD)
+      .select(col(aCol), col(bCol))
+  }
+
+  /** Incremental duplicate-cluster MAINTENANCE — the composition the
+    * other incremental operators ([[incrementalMinhashMatches]],
+    * TextAnalysis.incrementalPack, Similarity.indexDrift) were missing:
+    * assign an ARRIVING batch to the STANDING cluster assignment without
+    * re-running connected components over the standing corpus. The
+    * standing assignment is the frozen model (in production: the stored
+    * cluster table + the persisted band index); the batch is probed
+    * against it, exactly the nightly-crawl shape.
+    *
+    * Semantics (deterministic; the oracle replays them exactly):
+    *   1. candidates = new-vs-standing MinHash band matches (the
+    *      incremental probe geometry), then EXACT shingle-Jaccard
+    *      verification at [[JACCARD_THRESHOLD]] — probe-then-verify, so
+    *      a pair the bands miss is missed by BOTH engines (banding
+    *      recall is measured separately by `dedup_lsh_quality`);
+    *   2. a matched new doc joins the standing cluster of its MINIMUM
+    *      matched rep_id; standing docs keep their rep unconditionally —
+    *      a new doc that reaches two standing clusters does NOT merge
+    *      them (the merge is deferred to the next full recompute; this
+    *      is the documented divergence from batch CC, spec-pinned);
+    *   3. standing cluster sizes grow by their join count — the counts
+    *      are batch-bounded and BROADCAST back, so standing rows are
+    *      never shuffled;
+    *   4. unmatched new docs cluster among themselves (band candidates
+    *      + exact verify, CC bounded by the batch).
+    *
+    * Scale shape: the standing corpus contributes one zero-shuffle
+    * band projection (production: a persisted index probed by the
+    * batch) and one zero-shuffle set projection consumed by the
+    * verification join; CC iterations run only over the batch-sized
+    * unmatched subgraph. Output: (doc_id, rep_id, cluster_size, origin
+    * ∈ standing|joined|new) over the full corpus.
+    */
+  def incrementalClusters(newDocs: DataFrame, priorDocs: DataFrame,
+      priorClusters: DataFrame): DataFrame = {
+    val newSets = shingleSets(newDocs).localCheckpoint()
+    val priorSets = shingleSets(priorDocs)
+    val newBands = minhashBands(newDocs) // one checkpointed sig build, two probes
+    val priorBands = minhashBands(priorDocs)
+    val cands = newBands
+      .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
+      .join(priorBands
+        .select(col("band_no"), col("bucket"), col("doc_id").as("prior_id")),
+        Seq("band_no", "bucket"))
+      .select(col("new_id"), col("prior_id")).distinct()
+    val vnp = verifyJaccard(cands, "new_id", "prior_id", newSets, priorSets)
+    val matched = vnp
+      .join(priorClusters.select(col("doc_id").as("prior_id"), col("rep_id"),
+        col("cluster_size").as("prior_size")), Seq("prior_id"))
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("rep_id"), col("prior_size"))).as("m"))
+      .select(col("new_id"), col("m.rep_id").as("rep_id"),
+        col("m.prior_size").as("prior_size"))
+      .localCheckpoint() // batch-bounded; read by joiners, output and the anti join
+    val joiners = matched.groupBy(col("rep_id"))
+      .agg(count(lit(1)).cast("long").as("n_joined"))
+    val unmatched = newDocs.select(col("doc_id"))
+      .join(matched.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val nnCands = newBands
+      .select(col("band_no"), col("bucket"), col("doc_id").as("d1"))
+      .join(newBands
+        .select(col("band_no"), col("bucket"), col("doc_id").as("d2")),
+        Seq("band_no", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .join(unmatched.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(unmatched.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    val nnEdges = verifyJaccard(nnCands, "d1", "d2", newSets, newSets)
+    val standingRows = priorClusters
+      .join(broadcast(joiners), Seq("rep_id"), "left")
+      .select(col("doc_id"), col("rep_id"),
+        (col("cluster_size") + coalesce(col("n_joined"), lit(0L)))
+          .cast("long").as("cluster_size"),
+        lit("standing").as("origin"))
+    val joinedRows = matched
+      .join(joiners, Seq("rep_id"))
+      .select(col("new_id").as("doc_id"), col("rep_id"),
+        (col("prior_size") + col("n_joined")).cast("long").as("cluster_size"),
+        lit("joined").as("origin"))
+    val newRows = connectedComponents(
+      unmatched.select(col("doc_id").as("id")), nnEdges)
+      .select(col("id").as("doc_id"), col("rep_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        lit("new").as("origin"))
+    standingRows.unionByName(joinedRows).unionByName(newRows)
+  }
+
+  /** The standing (even-id) half's cluster assignment — the frozen model
+    * [[dedupClustersIncremental]] maintains; memoized per session like
+    * every other fitted artifact.
+    */
+  private def sharedPriorClusters(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"dup_clusters_prior:$sfDir") {
+      val prior = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+      duplicateClusters(prior).localCheckpoint()
+    }
+
+  def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalClusters(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      sharedPriorClusters(spark, sfDir))
+  }
+
+  val dedupClustersIncrementalSql: String =
+    s"""WITH RECURSIVE ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |${minhashBucketCtes("")},
+       |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jall AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN szs s1 ON i.d1 = s1.doc_id JOIN szs s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.c AS DOUBLE) / CAST(s1.n + s2.n - i.c AS DOUBLE) >= $JACCARD_THRESHOLD),
+       |jp AS (SELECT d1, d2 FROM jall WHERE d1 % 2 = 0 AND d2 % 2 = 0),
+       |edges AS (SELECT d1, d2 FROM jp UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jp),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents WHERE doc_id % 2 = 0
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.r FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |rep_p AS (SELECT doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+       |szp AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS prior_size FROM rep_p GROUP BY 1),
+       |cnp AS (
+       |  SELECT x.doc_id AS new_id, y.doc_id AS prior_id
+       |  FROM buckets x JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+       |  GROUP BY 1, 2),
+       |vnp AS (
+       |  SELECT c.new_id, c.prior_id
+       |  FROM cnp c JOIN jall j ON j.d1 = least(c.new_id, c.prior_id)
+       |                        AND j.d2 = greatest(c.new_id, c.prior_id)),
+       |mt AS (
+       |  SELECT v.new_id, min(r.rep_id) AS rep_id
+       |  FROM vnp v JOIN rep_p r ON v.prior_id = r.doc_id
+       |  GROUP BY 1),
+       |jn AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n_joined FROM mt GROUP BY 1),
+       |unm AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM mt)),
+       |cnn AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM buckets x JOIN buckets y ON x.band_no = y.band_no AND x.bucket = y.bucket
+       |                             AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1
+       |  GROUP BY 1, 2),
+       |vnn AS (
+       |  SELECT c.d1, c.d2
+       |  FROM cnn c JOIN jall j ON j.d1 = c.d1 AND j.d2 = c.d2
+       |  WHERE c.d1 IN (SELECT doc_id FROM unm) AND c.d2 IN (SELECT doc_id FROM unm)),
+       |edges_n AS (SELECT d1, d2 FROM vnn UNION ALL SELECT d2 AS d1, d1 AS d2 FROM vnn),
+       |reach_n AS (
+       |  SELECT doc_id, doc_id AS r FROM unm
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.r FROM edges_n e JOIN reach_n rc ON e.d2 = rc.doc_id),
+       |rep_n AS (SELECT doc_id, min(r) AS rep_id FROM reach_n GROUP BY 1),
+       |szn AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM rep_n GROUP BY 1)
+       |SELECT r.doc_id, r.rep_id,
+       |       CAST(s.prior_size + coalesce(j.n_joined, 0) AS BIGINT) AS cluster_size,
+       |       'standing' AS origin
+       |FROM rep_p r JOIN szp s ON r.rep_id = s.rep_id
+       |LEFT JOIN jn j ON r.rep_id = j.rep_id
+       |UNION ALL
+       |SELECT m.new_id AS doc_id, m.rep_id,
+       |       CAST(s.prior_size + j.n_joined AS BIGINT) AS cluster_size,
+       |       'joined' AS origin
+       |FROM mt m JOIN szp s ON m.rep_id = s.rep_id JOIN jn j ON m.rep_id = j.rep_id
+       |UNION ALL
+       |SELECT r.doc_id, r.rep_id, s.cluster_size, 'new' AS origin
+       |FROM rep_n r JOIN szn s ON r.rep_id = s.rep_id""".stripMargin
 
   /** Per-source duplication report card: how many documents each source
     * contributed, how many DISTINCT near-dup clusters those documents

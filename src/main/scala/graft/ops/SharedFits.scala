@@ -27,4 +27,13 @@ object SharedFits {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, key), _ => compute).asInstanceOf[T]
   }
+
+  /** Drop every artifact owned by `spark`. The bench calls this between
+    * timed iterations so each iteration re-pays the shared-fit cost —
+    * min-of-iterations then de-noises GC/suite-length spikes WITHOUT
+    * hiding the first-consumer chain cost behind a warm memo (a warm
+    * second iteration would bench the fit-sharing queries as filter-only).
+    */
+  def clear(spark: SparkSession): Unit =
+    cache.keySet.removeIf(k => k._1 eq spark)
 }

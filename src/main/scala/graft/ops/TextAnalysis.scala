@@ -1783,7 +1783,9 @@ object TextAnalysis {
       totals).select(col("lang"), col("rate"))
     val bucket = md5Bucket(col("doc_id"))
     // sampled feeds the pack geometry, whose within/prefix windows and
-    // doc/sequence aggregates read it four times
+    // doc/sequence aggregates read it four times (dropping this
+    // checkpoint re-runs the goodSrc/rates aggregation chain per read —
+    // measured +1.3 s at sf0.1)
     val sampled = domained.join(broadcast(rates), Seq("lang"))
       .filter(bucket.cast("double") < col("rate") * lit(4294967296.0))
       .localCheckpoint()
@@ -1934,12 +1936,15 @@ object TextAnalysis {
     * memo changes cost, never results — the production-DAG shape, stage
     * outputs computed once and fanned out.
     */
-  private[ops] def assemblyFlags(docs: DataFrame): DataFrame = {
+  private[ops] def assemblyFlags(docs: DataFrame): DataFrame =
+    assemblyFlags(docs, Dedup.ngramJaccardPairs(docs))
+
+  private[ops] def assemblyFlags(docs: DataFrame, jaccardPairs: DataFrame): DataFrame = {
     val contamIds = decontam(docs).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("is_contam"))
     val keepIds = Dedup.exactGroups(docs)
       .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
-    val loserIds = Dedup.ngramJaccardPairs(docs)
+    val loserIds = jaccardPairs
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
     quality(docs)
@@ -1953,7 +1958,11 @@ object TextAnalysis {
 
   private def sharedFlags(spark: SparkSession, sfDir: String): DataFrame =
     SharedFits.memo(spark, s"assembly_flags:$sfDir") {
-      assemblyFlags(Tables.documents(spark, sfDir)).localCheckpoint()
+      // the near-dup-loser gate reads the session-shared pair frame — the
+      // AllPairs pair-gen is the chain's dominant stage and also feeds the
+      // duplicate-cluster family, so it must not run once per family
+      assemblyFlags(Tables.documents(spark, sfDir),
+        Dedup.sharedJaccardPairs(spark, sfDir)).localCheckpoint()
     }
 
   private def rejectionsFrom(flags: DataFrame): DataFrame = {

@@ -323,6 +323,61 @@ class DedupSpec extends SparkSpec {
     assert(shared.sameElements(fresh))
   }
 
+  test("incremental clusters: batch-append equals full recompute when nothing bridges") {
+    val textX = base
+    val textY = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textZ = "one two three four five six seven eight nine ten"
+    val textW = "red green blue cyan magenta yellow black white grey pink"
+    val d = docs(2L -> textX, 4L -> textX, 6L -> textY, // standing (even)
+      3L -> textX, 5L -> textZ, 7L -> textW, 9L -> textW) // arriving (odd)
+    val prior = d.filter("doc_id % 2 = 0")
+    val inc = Dedup.incrementalClusters(d.filter("doc_id % 2 = 1"), prior,
+      Dedup.duplicateClusters(prior))
+    // identical copies make every qualifying pair a certain band candidate,
+    // so the incremental assignment coincides with the batch fixpoint
+    val got = inc.select("doc_id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.duplicateClusters(d)
+      .select("doc_id", "rep_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == full)
+    val origins = inc.select("doc_id", "origin").as[(Long, String)].collect().toMap
+    assert(origins == Map(2L -> "standing", 4L -> "standing", 6L -> "standing",
+      3L -> "joined", 5L -> "new", 7L -> "new", 9L -> "new"))
+  }
+
+  test("incremental clusters: a bridging arrival joins the min rep, never merges standing") {
+    // offline-tuned fixture (deterministic md5 signatures): A and B are two
+    // standing clusters with J(A,B)=0.318 < t — band candidates, rejected by
+    // exact verification; the bridge doc is a verified near-dup of BOTH
+    // (J=0.589 / 0.547) and band-matches both
+    val aTail = (0 until 30).map(k => s"aa1x$k").mkString(" ")
+    val zTail = (0 until 30).map(k => s"zz1w$k").mkString(" ")
+    val zHalf = (15 until 30).map(k => s"zz1w$k").mkString(" ")
+    val a30 = base + " index plan stage task node core disk memory cache block"
+    val textA = s"$a30 $aTail"
+    val textB = s"$a30 $zTail"
+    val bridge = s"$a30 " + (0 until 15).map(k => s"aa1x$k").mkString(" ") + s" $zHalf"
+    val d = docs(2L -> textA, 4L -> textA, 8L -> textB, 10L -> textB,
+      11L -> bridge)
+    val prior = d.filter("doc_id % 2 = 0")
+    val priorClusters = Dedup.duplicateClusters(prior)
+    // premise: two distinct standing clusters
+    assert(priorClusters.select("rep_id").distinct().count() == 2L)
+    val inc = Dedup.incrementalClusters(d.filter("doc_id % 2 = 1"), prior, priorClusters)
+      .select("doc_id", "rep_id", "cluster_size", "origin")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // the bridge joins the MIN matched rep (2); cluster B keeps rep 8 and
+    // its size — standing clusters are never merged incrementally (the
+    // merge belongs to the next full recompute, asserted below)
+    assert(inc == Set(
+      (2L, 2L, 3L, "standing"), (4L, 2L, 3L, "standing"),
+      (8L, 8L, 2L, "standing"), (10L, 8L, 2L, "standing"),
+      (11L, 2L, 3L, "joined")))
+    val full = Dedup.duplicateClusters(d).select("rep_id").distinct()
+    assert(full.count() == 1L, "batch CC would merge everything through the bridge")
+  }
+
   test("source dup stats: near-dup pair counts against its source, clean source reports 0") {
     val nearDup = base.replaceFirst("window", "vector")
     val d = Seq(

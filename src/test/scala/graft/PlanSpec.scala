@@ -35,6 +35,15 @@ class PlanSpec extends SparkSpec {
       "chunking is per-document — nothing may cross the cluster")
   }
 
+  test("dedup_clusters_incremental: probe-bounded maintenance — no cartesian; joiner counts broadcast back") {
+    val p = plan("dedup_clusters_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every pair space must stay band-bucket-bounded")
+    assert(p.contains("BroadcastHashJoin"),
+      "the batch-bounded join counts must broadcast back onto standing rows — " +
+        "the standing assignment is never shuffled")
+  }
+
   test("top_customers: top-k via TakeOrdered, not a global sort") {
     assert(plan("top_customers").contains("TakeOrderedAndProject"))
   }
