@@ -296,11 +296,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  /** The parquet type `events.ts` scans as. The driver has shipped the
+    * fixture both ways across rounds — TIMESTAMP(NANOS), which Spark reads
+    * as a raw-nanos bigint (Tables.eventsRaw), and TIMESTAMP(MICROS),
+    * which reads natively as timestamp_ntz — so the scan-pruning
+    * assertions derive the expected ReadSchema from the fixture instead
+    * of pinning one vintage of it.
+    */
+  private lazy val eventsTsType: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .schema("ts").dataType.sql.toLowerCase
+  }
+
   test("events_zorder: hash aggregation only — no window, no join, no global sort") {
     val p = plan("events_zorder")
     assert(!p.contains("Window"), "the z-key is a projection, not a rank")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+    assert(p.contains(s"ReadSchema: struct<ts:$eventsTsType,user_id:bigint>"),
       "the scan must read exactly the two layout dimensions")
   }
 
@@ -309,7 +322,7 @@ class PlanSpec extends SparkSpec {
       .contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       "q18's lineitem scan must read only the agg key and measure")
     assert(plan("events_scd2")
-      .contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      .contains(s"ReadSchema: struct<event_id:bigint,ts:$eventsTsType,user_id:bigint,event_type:string>"),
       "scd2 must not read value/props")
   }
 
