@@ -45,9 +45,21 @@ object Tables {
   private def tsIsRawNanos(df: DataFrame): Boolean =
     df.schema("ts").dataType == org.apache.spark.sql.types.LongType
 
+  private def tsIsNtz(df: DataFrame): Boolean =
+    df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+
+  /** The fixture has shipped `ts` as three parquet vintages: TIMESTAMP(NANOS)
+    * (read as a raw long under nanosAsLong), TIMESTAMP(MICROS) without
+    * UTC-adjustment (read as TIMESTAMP_NTZ), and plain TIMESTAMP. Every
+    * consumer downstream (`unix_micros`, window ranges, as-of buckets)
+    * expects session-zone TIMESTAMP, so normalize here, once. The NTZ→ltz
+    * cast is value-identical under the pinned UTC session and costs nothing
+    * at scan time (a no-op reinterpretation, not a per-row conversion).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = eventsRaw(spark, sfDir)
     if (tsIsRawNanos(df)) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (tsIsNtz(df)) df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 
@@ -66,6 +78,12 @@ object Tables {
       val wmMicros = wmTs.getTime * 1000L // whole-second watermark: no sub-ms part
       df.filter(col("ts") > lit(wmMicros * 1000L + 999L))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (tsIsNtz(df)) {
+      // Filter in NTZ space (a plain literal comparison Parquet can push;
+      // min/max row-group stats skip the pre-watermark history), THEN cast.
+      // Under the pinned UTC session the NTZ wall-clock equals the instant.
+      df.filter(col("ts") > lit(wmTs).cast("timestamp_ntz"))
+        .withColumn("ts", col("ts").cast("timestamp"))
     } else df.filter(col("ts") > lit(wmTs))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")

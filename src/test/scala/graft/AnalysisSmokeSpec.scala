@@ -1,0 +1,36 @@
+package graft
+
+/** Constructs EVERY `SparkEntry.queries` DataFrame against the real sf0.001
+  * fixture and forces analysis (no execution). This is the gate the r8
+  * regression proved missing: the driver fixture changed `events.ts` from
+  * TIMESTAMP(NANOS) to TIMESTAMP(MICROS)/NTZ and three queries stopped
+  * analyzing while `sbt test` stayed green — their specs built in-memory
+  * frames with the old type. Analysis against the fixture itself catches
+  * any schema-vintage drift in seconds.
+  *
+  * Note: a few queries fit driver-held model state (k-means centroids, DSIR
+  * buckets, BPE merges) at construction time, so this runs small jobs too —
+  * still cheap at sf0.001, and a stronger check for exactly those queries.
+  */
+class AnalysisSmokeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered query analyzes against the sf0.001 fixture") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sf).queryExecution.analyzed
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    assert(failures.isEmpty, s"\n${failures.size} queries failed analysis:\n${failures.mkString("\n")}")
+  }
+
+  test("every query has an oracle entry or is a documented rows-only check") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.subsetOf(Set("approx_stats")),
+      s"queries without an oracle: ${noOracle.mkString(", ")}")
+  }
+}
