@@ -55,6 +55,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 135-query
+      // suite evicts everything between iterations, so every composed plan
+      // re-pays driver-side Janino compilation EVERY iteration — a
+      // systematic (min-of-two-proof) inflation measured at ~3× on the
+      // widest plans (corpus_assembly 19.6 s in-suite vs 6.1 s isolated).
+      // Sizing the cache to the suite makes in-suite cost ≈ isolated cost;
+      // same knob a long-lived production driver serving many distinct
+      // plans would set. Static conf: must be set before session start.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // ERROR: WARN-level chatter (function registry, AQE hints) must not
     // reach stdout — the harness parses the single JSON line printed below.

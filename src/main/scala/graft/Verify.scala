@@ -31,9 +31,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // drop any previous dump first: a query failing BEFORE its write
+        // starts must not leave a stale (passing) result behind in a
+        // reused outDir
+        val target = Paths.get(s"$outDir/$name")
+        if (Files.exists(target)) {
+          Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
@@ -57,6 +66,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size the generated-class cache to the suite (see Bench): queries
+      // sharing subplans (the assembly chain) reuse compiled classes
+      // instead of re-Janino-compiling after eviction
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     dump(spark,

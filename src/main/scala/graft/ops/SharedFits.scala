@@ -23,9 +23,25 @@ object SharedFits {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]
 
+  /** NOT computeIfAbsent: a producer may itself memo a sub-artifact (the
+    * cluster assignment memoizes the Jaccard pair frame mid-compute), and
+    * ConcurrentHashMap.computeIfAbsent throws "Recursive update" when the
+    * nested insert lands in the same hash bin — a latent, hash-layout-
+    * dependent crash. Plain get → compute → putIfAbsent is re-entrant;
+    * a concurrent double-compute is benign (producers are deterministic,
+    * first put wins) and cannot happen in the single-threaded query-
+    * construction path anyway.
+    */
   def memo[T <: AnyRef](spark: SparkSession, key: String)(compute: => T): T = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((spark, key), _ => compute).asInstanceOf[T]
+    val k = (spark, key)
+    val hit = cache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      val prev = cache.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
   }
 
   /** Drop every artifact owned by `spark`. The bench calls this between
