@@ -3039,6 +3039,126 @@ object TextAnalysis {
        |         ' ') AS chunk_text
        |FROM c""".stripMargin
 
+  /** Chunk-level BM25 retrieval with DOCUMENT-level dedup of hits — the
+    * RAG serving composition over [[chunkSpans]]: queries retrieve the
+    * best-matching CHUNKS (the unit a context window consumes), but the
+    * result list is deduplicated to one hit per source document (its
+    * best chunk) before the final top-k, so one long document cannot
+    * flood the context with near-identical windows. The first
+    * [[BM25_N_QUERIES]] documents play the query set; the corpus is
+    * every other document's chunks. Okapi BM25 with chunk-level term
+    * frequencies, chunk-frequency df, and the chunker's own
+    * `chunk_tokens` as the length normalizer (no re-aggregation).
+    *
+    * Scale shape: the query term set broadcasts (queries × terms — the
+    * serving-path constant); candidates are bounded by the postings of
+    * query terms, never the corpus; the doc-dedup window partitions by
+    * (q_id, doc_id) over candidate rows only and the final rank by q_id
+    * over ≤ one row per candidate document. No corpus self-join anywhere
+    * — at 100 TB the chunk postings frame is the standing index and this
+    * is a broadcast-probe + two candidate-sized windows.
+    */
+  def chunkBm25TopK(docs: DataFrame, nQueries: Int = BM25_N_QUERIES,
+      k: Int = BM25_TOP_K): DataFrame = {
+    val chunks = chunkSpans(docs.filter(col("doc_id") >= nQueries))
+    // chunk-level postings; chunk_tokens rides along as the length key
+    val ctf = chunks
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        explode(split(col("chunk_text"), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, the corpus stats, and the probe join
+    val dfreq = ctf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(
+      ctf.groupBy(col("doc_id"), col("chunk_id")).agg(first(col("chunk_tokens")).as("ct"))
+        .agg(count(lit(1)).as("n_chunks"), avg(col("ct").cast("double")).as("avgcl")))
+    val qterms = Tables.tokens(docs.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    val idf = log(
+      (col("n_chunks").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = col("tf").cast("double") * (lit(BM25_K1) + 1.0) /
+      (col("tf").cast("double") +
+        lit(BM25_K1) * (lit(1.0 - BM25_B) +
+          lit(BM25_B) * col("chunk_tokens").cast("double") / col("avgcl")))
+    val scoredChunks = broadcast(qterms).join(ctf, Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .crossJoin(stats)
+      .groupBy(col("q_id"), col("doc_id"), col("chunk_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("bm25"))
+    // doc-level dedup: each document is represented by its best chunk
+    val wDoc = Window.partitionBy(col("q_id"), col("doc_id"))
+      .orderBy(col("bm25").desc, col("chunk_id"))
+    val best = scoredChunks.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1).drop("rn")
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+    best.withColumn("rnk", row_number().over(wQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("chunk_id"), col("bm25"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  def chunkBm25(spark: SparkSession, sfDir: String): DataFrame =
+    chunkBm25TopK(Tables.documents(spark, sfDir))
+
+  val chunkBm25Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents WHERE doc_id >= $BM25_N_QUERIES),
+       |n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         1 + (greatest(CAST(len(toks) AS BIGINT) - $CHUNK_TOKENS, 0)
+       |              + ${CHUNK_STRIDE - 1}) // $CHUNK_STRIDE AS n_chunks
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |         CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+       |  FROM n),
+       |ch AS (
+       |  SELECT doc_id, chunk_id,
+       |         least(chunk_id * $CHUNK_STRIDE + $CHUNK_TOKENS, n_tokens)
+       |           - chunk_id * $CHUNK_STRIDE AS chunk_tokens,
+       |         array_to_string(
+       |           toks[chunk_id * $CHUNK_STRIDE + 1
+       |                : least(chunk_id * $CHUNK_STRIDE + $CHUNK_TOKENS, n_tokens)],
+       |           ' ') AS chunk_text
+       |  FROM c),
+       |ctf AS (
+       |  SELECT doc_id, chunk_id, chunk_tokens, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, chunk_id, chunk_tokens,
+       |               unnest(string_split_regex(chunk_text, '\\s+')) AS tok
+       |        FROM ch)
+       |  GROUP BY 1, 2, 3, 4),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_chunks,
+       |              (SELECT avg(CAST(chunk_tokens AS DOUBLE)) FROM ch) AS avgcl),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, tok
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents WHERE doc_id < $BM25_N_QUERIES)),
+       |scored AS (
+       |  SELECT q.q_id, t.doc_id, t.chunk_id,
+       |         round(sum(
+       |           ln((CAST(s.n_chunks AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |           * (CAST(t.tf AS DOUBLE) * (1.0 + $BM25_K1)
+       |              / (CAST(t.tf AS DOUBLE)
+       |                 + $BM25_K1 * (${1.0 - BM25_B}
+       |                               + $BM25_B * CAST(t.chunk_tokens AS DOUBLE) / s.avgcl)))), 6) AS bm25
+       |  FROM qt q
+       |  JOIN ctf t ON q.tok = t.tok
+       |  JOIN dfq f ON t.tok = f.tok, st s
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, doc_id
+       |                               ORDER BY bm25 DESC, chunk_id) AS rn
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT q_id, doc_id, chunk_id, bm25,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM best WHERE rn = 1)
+       |SELECT q_id, doc_id, chunk_id, bm25, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= $BM25_TOP_K""".stripMargin
+
   // --------------------------------------------------------------------
   // Temperature-scaled source mixing
   // --------------------------------------------------------------------
