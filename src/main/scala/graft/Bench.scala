@@ -68,6 +68,9 @@ object Bench {
     // ERROR: WARN-level chatter (function registry, AQE hints) must not
     // reach stdout — the harness parses the single JSON line printed below.
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B knob for the scale-conditional input spread (Tables.spread)
+    sys.env.get("SPARK_GRAFT_SPREAD")
+      .foreach(v => spark.conf.set("spark.graft.spreadSmallScans", v))
     // Untimed warmup: run every query once at the smallest SF. The generated
     // whole-stage-codegen classes are identical across SFs (only file paths
     // differ), so this pre-pays Janino compilation and JIT — per-query

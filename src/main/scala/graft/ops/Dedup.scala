@@ -377,6 +377,10 @@ object Dedup {
     // shingle_hashes kernel — the old explode → distinct → collect_set
     // route shuffled the whole shingle stream twice just to land back on
     // doc_id.
+    // measured: spreading the input before this kernel is a net LOSS at
+    // fixture scale (the single-pass hash kernel is cheaper than the
+    // exchange it would take to parallelize it) — unlike the DSIR fit,
+    // whose token explode is the expensive half of its pass
     val sets = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -677,6 +681,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
     graft.functions.TextFunctions.register(docs.sparkSession)
+    // measured: spreading the input before this kernel is a net LOSS at
+    // fixture scale (the single-pass hash kernel is cheaper than the
+    // exchange it would take to parallelize it) — unlike the DSIR fit,
+    // whose token explode is the expensive half of its pass
     val sets = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)

@@ -31,6 +31,37 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Scale-conditional input spread. A parquet input with fewer files than
+    * the session has cores starts every consumer single-threaded: Spark
+    * splits files by byte ranges, but a file with ONE row group yields one
+    * non-empty split no matter how it is cut — and the driver fixtures are
+    * exactly that (one file, one row group per table at every SF).
+    *
+    * NOT applied at the readers: A/B at sf0.1 showed a global spread wins
+    * only where a corpus-wide explode-aggregate runs inside the scan
+    * stage (text_dsir fit: 4.6 s → 1.0 s) and costs +0.3–0.8 s everywhere
+    * else — most plans shuffle immediately after the scan, so the extra
+    * exchange is pure overhead. Consumers whose FIRST stage is a heavy
+    * explode therefore opt in explicitly (the DSIR fit).
+    *
+    * The spread hash-repartitions on the table's key — deterministic
+    * placement, independent of input row order — to the session's
+    * parallelism, and ONLY when the file count is well below it: at
+    * production scale (thousands of files) the condition is false and the
+    * spread vanishes from the plan. `spark.graft.spreadSmallScans=false`
+    * disables it for plan inspection.
+    */
+  private[graft] def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.spreadSmallScans", "true").toBoolean) df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      val nFiles = df.inputFiles.length
+      if (nFiles == 0 || nFiles * 2 > target) df
+      else df.repartition(target, key)
+    }
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * natively (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and floor-divide
     * to microseconds — exactly DuckDB's ns→us truncation, so both engines see

@@ -304,9 +304,26 @@ class PlanSpec extends SparkSpec {
     * of pinning one vintage of it.
     */
   private lazy val eventsTsType: String = {
+    // Deliberately mirrors Tables.eventsRaw, which sets this same conf
+    // unconditionally on every events read — so this helper observes the
+    // exact scan type production plans see, in any suite order. The conf
+    // only affects TIMESTAMP(NANOS)-vintage files (anything else scans
+    // identically with or without it), so no save/restore is needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .schema("ts").dataType.sql.toLowerCase
+  }
+
+  test("chunk_bm25_topk: query side broadcasts; no corpus self-join; keyed windows only") {
+    val p = plan("chunk_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query term set must broadcast into the postings probe")
+    assert(!p.contains("CartesianProduct"),
+      "candidates come from query-term postings, never a corpus cross join" +
+        " (the 1-row corpus stats broadcast is the only nested-loop input)")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).size == 2 &&
+      "windowspecdefinition\\((?!q_id)".r.findFirstIn(p).isEmpty,
+      "both rank windows must be keyed by q_id (+doc_id), never global")
   }
 
   test("events_zorder: hash aggregation only — no window, no join, no global sort") {
