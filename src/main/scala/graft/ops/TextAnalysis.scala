@@ -1686,6 +1686,91 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.bench_id
        |WHERE d.doc_id % $DECONTAM_MOD = 0""".stripMargin
 
+  /** SURGICAL decontamination: instead of dropping a contaminated
+    * document ([[decontam]]), redact exactly the tokens covered by a
+    * benchmark-overlapping 3-gram and KEEP the rest — the span-level
+    * scrub a production pipeline prefers when the leak is a quoted
+    * benchmark sentence inside an otherwise-valuable document (dropping
+    * whole docs over one quote costs real tokens). Emits one row per
+    * non-benchmark document: token count, contaminated-3-gram count,
+    * redacted-token count, and the md5 fingerprint of the scrubbed text
+    * (a fully-redacted doc fingerprints the empty string).
+    *
+    * Scale shape — the corpus is NEVER shuffled: positional 3-grams are
+    * an array-side projection; they probe the broadcast benchmark set
+    * map-side, so only true hit positions (bounded by real overlap)
+    * reach the per-doc hit aggregation; the hit lists broadcast back and
+    * the redaction itself is one codegen'd higher-order-function
+    * projection (`filter`/`exists` over the token array). Three
+    * broadcast-sized exchanges, zero corpus-keyed ones.
+    */
+  def decontamScrub(docs: DataFrame): DataFrame = {
+    val isBench = col("doc_id") % DECONTAM_MOD === 0
+    // positional 3-grams: (doc_id, i, shingle) with i 1-based token index
+    def posShingles(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
+    val bench = posShingles(docs.filter(isBench)).select(col("shingle")).distinct()
+    val hits = posShingles(docs.filter(!isBench))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("hits"))
+    docs.filter(!isBench)
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("hits", coalesce(col("hits"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(toks)), j -> !exists(hits, i -> j >= i AND j <= i + 2))"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("hits")).cast("long").as("n_contam_ngrams"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_redacted"),
+        md5(expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')"))
+          .as("clean_fp"))
+  }
+
+  def textDecontamScrub(spark: SparkSession, sfDir: String): DataFrame =
+    decontamScrub(Tables.documents(spark, sfDir))
+
+  val textDecontamScrubSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |big AS (
+       |  SELECT a.doc_id, a.i, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |bench AS (SELECT DISTINCT shingle FROM big WHERE doc_id % $DECONTAM_MOD = 0),
+       |hits AS (
+       |  SELECT g.doc_id, g.i FROM big g JOIN bench b ON g.shingle = b.shingle
+       |  WHERE g.doc_id % $DECONTAM_MOD <> 0),
+       |cov AS (
+       |  SELECT DISTINCT h.doc_id, h.i + v.d AS j
+       |  FROM hits h, (VALUES (0), (1), (2)) v(d)),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_ngrams FROM hits GROUP BY 1),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.tok
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.j
+       |  WHERE c.doc_id IS NULL AND t.doc_id % $DECONTAM_MOD <> 0),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_fp
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, n.n_tokens,
+       |       coalesce(h.n_contam_ngrams, 0) AS n_contam_ngrams,
+       |       n.n_tokens - coalesce(a.n_kept, 0) AS n_redacted,
+       |       coalesce(a.clean_fp, md5('')) AS clean_fp
+       |FROM documents d
+       |JOIN n ON d.doc_id = n.doc_id
+       |LEFT JOIN h ON d.doc_id = h.doc_id
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
+
   /** False-positive rate for the decontamination Bloom pre-filter. */
   val BLOOM_FPP = 0.01
 

@@ -33,4 +33,13 @@ class AnalysisSmokeSpec extends SparkSpec {
     assert(noOracle.subsetOf(Set("approx_stats")),
       s"queries without an oracle: ${noOracle.mkString(", ")}")
   }
+
+  test("README's stated query count matches SparkEntry.queries (no doc drift)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val stated = "(\\d+) named queries".r.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+    assert(stated.contains(SparkEntry.queries.size),
+      s"README says $stated; SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
 }

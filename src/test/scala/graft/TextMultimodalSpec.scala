@@ -229,6 +229,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L) == ((0L, false)))
   }
 
+  test("decontam scrub redacts exactly the covered span union and fingerprints the rest") {
+    // doc 0 is the benchmark ("a b c d" → bench 3-grams "a b c", "b c d").
+    // doc 1 quotes "a b c d" mid-document: two OVERLAPPING contaminated
+    // 3-grams at i=2,3 cover tokens 2..5 — the union is 4 tokens, not 6.
+    // doc 2 shares nothing and must come through untouched.
+    // doc 3 is wall-to-wall benchmark text → fully redacted, empty fp.
+    val d = Seq(
+      (0L, "a b c d", "en", "s0"),
+      (1L, "x a b c d y z", "en", "s0"),
+      (2L, "p q r s t", "en", "s1"),
+      (3L, "a b c d", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.decontamScrub(d)
+      .select("doc_id", "n_tokens", "n_contam_ngrams", "n_redacted", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(!got.contains(0L), "benchmark docs are not scrubbed, they are the set")
+    assert(got(1L) == ((1L, 7L, 2L, 4L, fp("x y z"))),
+      "overlapping spans redact their UNION; surrounding text survives")
+    assert(got(2L) == ((2L, 5L, 0L, 0L, fp("p q r s t"))))
+    assert(got(3L) == ((3L, 4L, 2L, 4L, fp(""))),
+      "a fully-contaminated doc redacts everything and fingerprints ''")
+  }
+
   test("domain filter keeps sources at or above the corpus mean quality") {
     // s0: highly repetitive docs (low ttr); s1: all-distinct docs (high ttr)
     val docs = Seq(
