@@ -1703,6 +1703,13 @@ object TextAnalysis {
     * the redaction itself is one codegen'd higher-order-function
     * projection (`filter`/`exists` over the token array). Three
     * broadcast-sized exchanges, zero corpus-keyed ones.
+    *
+    * Semantic caveat (deliberate): spans are judged against the ORIGINAL
+    * token stream. Redaction can make previously-separated tokens
+    * adjacent, and the new adjacency could itself form a benchmark
+    * 3-gram; a paranoid pipeline iterates scrub→check to a fixpoint.
+    * One pass is the standard trade (each pass costs a corpus scan) and
+    * is what the oracle states.
     */
   def decontamScrub(docs: DataFrame): DataFrame = {
     val isBench = col("doc_id") % DECONTAM_MOD === 0
@@ -1736,6 +1743,122 @@ object TextAnalysis {
 
   def textDecontamScrub(spark: SparkSession, sfDir: String): DataFrame =
     decontamScrub(Tables.documents(spark, sfDir))
+
+  /** Scrub against a DRIVER-HELD benchmark 3-gram set — the stateless-
+    * projection form of [[decontamScrub]] the streaming twin uses:
+    * membership is a per-row `array_intersect` against the literal set,
+    * so a document is scrubbed with no join, no shuffle, and no state
+    * store. Bounded by the eval suite's size (the fixed-size-benchmark
+    * argument every decontam variant here rests on); a many-suite union
+    * too big for a literal pre-filters with the Bloom path of
+    * [[decontamBloom]] and exact-confirms only the hits. Row-identical
+    * to [[decontamScrub]] on the same corpus (spec'd).
+    */
+  private[graft] def scrubAgainstSet(docs: DataFrame, bench: Seq[String]): DataFrame =
+    docs.filter(col("doc_id") % DECONTAM_MOD =!= 0)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // guard the generator: sequence(1, 0) would count DOWN
+      .withColumn("tris", expr(
+        """CASE WHEN size(toks) >= 3
+          |     THEN transform(sequence(1, size(toks) - 2),
+          |            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("contam", array_intersect(col("tris"), typedLit(bench)))
+      .withColumn("hits", expr(
+        """CASE WHEN size(contam) > 0
+          |     THEN filter(sequence(1, size(tris)), i -> array_contains(contam, element_at(tris, i)))
+          |     ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(toks)), j -> !exists(hits, i -> j >= i AND j <= i + 2))"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("hits")).cast("long").as("n_contam_ngrams"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_redacted"),
+        md5(expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')"))
+          .as("clean_fp"))
+
+  /** Intra-document repeated-span scrub — the ACT half of the repetition
+    * measures ([[repetitionStats]] flags, [[dupCoverage]] quantifies,
+    * this one fixes): every 3-gram occurrence AFTER the first within the
+    * same document is a repeat; redact the union of tokens the repeats
+    * cover and keep the first occurrence — templated boilerplate
+    * (navigation chrome, repeated legal footers, copy-pasted paragraphs)
+    * collapses to one copy while original prose survives. Same output
+    * contract as [[decontamScrub]].
+    *
+    * Scale shape: first-occurrence detection is ONE hash aggregation
+    * keyed (doc_id, shingle) — map-side combined, the only corpus-sized
+    * shuffle; repeats (bounded by actual repetition) fan back per doc
+    * and the redaction is the same codegen'd array projection. No
+    * window (a per-(doc,shingle) rank would shuffle-sort the same
+    * stream for strictly more work than min+explode).
+    */
+  def repetitionScrub(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
+    val repeats = pos
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(min(col("i")).as("fi"), collect_list(col("i")).as("is"))
+      .select(col("doc_id"), col("fi"), explode(col("is")).as("i"))
+      .filter(col("i") > col("fi"))
+    val hits = repeats.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("hits"))
+    docs
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("hits", coalesce(col("hits"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(toks)), j -> !exists(hits, i -> j >= i AND j <= i + 2))"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("hits")).cast("long").as("n_repeat_ngrams"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_redacted"),
+        md5(expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')"))
+          .as("clean_fp"))
+  }
+
+  def textRepetitionScrub(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionScrub(Tables.documents(spark, sfDir))
+
+  val textRepetitionScrubSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |big AS (
+       |  SELECT a.doc_id, a.i, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |f AS (SELECT doc_id, shingle, min(i) AS fi FROM big GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT b.doc_id, b.i
+       |  FROM big b JOIN f ON b.doc_id = f.doc_id AND b.shingle = f.shingle
+       |  WHERE b.i > f.fi),
+       |cov AS (
+       |  SELECT DISTINCT r.doc_id, r.i + v.d AS j
+       |  FROM rep r, (VALUES (0), (1), (2)) v(d)),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeat_ngrams FROM rep GROUP BY 1),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.tok
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.j
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_fp
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, n.n_tokens,
+       |       coalesce(h.n_repeat_ngrams, 0) AS n_repeat_ngrams,
+       |       n.n_tokens - coalesce(a.n_kept, 0) AS n_redacted,
+       |       coalesce(a.clean_fp, md5('')) AS clean_fp
+       |FROM documents d
+       |JOIN n ON d.doc_id = n.doc_id
+       |LEFT JOIN h ON d.doc_id = h.doc_id
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
   val textDecontamScrubSql: String =
     s"""WITH ${Tables.TOK_CTE},

@@ -199,6 +199,24 @@ object StreamingPipeline {
       .drop("shs")
   }
 
+  /** Streaming decontamination SCRUB — the redact-don't-drop twin of
+    * [[decontamStream]] and the online form of
+    * [[graft.ops.TextAnalysis.decontamScrub]]: the benchmark 3-gram set
+    * comes from the STANDING corpus (collected once at query build —
+    * the same fixed-size-eval-suite bound every decontam variant rests
+    * on), and each arriving document is scrubbed by one stateless array
+    * projection: contaminated spans redacted, the remainder
+    * fingerprinted. No state store, no shuffle, any output mode;
+    * row-identical to the batch scrub over the same corpus (spec'd).
+    */
+  def scrubStream(docs: DataFrame, standing: DataFrame): DataFrame = {
+    val bench: Seq[String] = Tables.shingles(
+        standing.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD === 0))
+      .select(col("shingle")).distinct().orderBy(col("shingle"))
+      .collect().map(_.getString(0)).toSeq
+    graft.ops.TextAnalysis.scrubAgainstSet(docs, bench)
+  }
+
   /** Streaming IVF ingest — the index-build twin of the batch
     * [[graft.ops.Similarity.kmeansCells]]: the coarse quantizer fits
     * once on the STANDING corpus (the model is K·dim driver-held

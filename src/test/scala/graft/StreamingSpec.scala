@@ -121,6 +121,37 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(2L) && streamed.contains(1L))
   }
 
+  test("streaming scrub: arrivals redacted identically to the batch scrub over the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((0L, "a b c d", "en", "s0")) // 0 % 97 == 0 → the benchmark
+      .toDF("doc_id", "text", "lang", "source")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamingPipeline.scrubStream(
+        in.toDF().toDF("doc_id", "text", "lang", "source"), standing)
+      .writeStream.format("memory").queryName("scrubstream")
+      .outputMode("append").start()
+    val arrivals = Seq(
+      (1L, "x a b c d y z", "en", "s0"), // quotes the benchmark mid-doc
+      (2L, "p q r s t", "en", "s1"),     // clean
+      (194L, "a b c d", "en", "s1"))     // 194 % 97 == 0 → bench id, dropped
+    in.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    in.addData(arrivals.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scrubstream")
+      .select("doc_id", "n_tokens", "n_contam_ngrams", "n_redacted", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // batch twin over standing ∪ arrivals must agree row for row
+    val batch = graft.ops.TextAnalysis.decontamScrub(
+        (standing.as[(Long, String, String, String)].collect().toSeq ++ arrivals)
+          .toDF("doc_id", "text", "lang", "source"))
+      .select("doc_id", "n_tokens", "n_contam_ngrams", "n_redacted", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(_._1).toSet == Set(1L, 2L), "bench-id arrivals are dropped")
+    assert(streamed.find(_._1 == 1L).get._4 == 4L, "the quoted span is redacted")
+  }
+
   test("streaming scd2: closed intervals across micro-batches equal the batch non-final ones") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.{Date, Timestamp}

@@ -255,6 +255,28 @@ class TextMultimodalSpec extends SparkSpec {
       "a fully-contaminated doc redacts everything and fingerprints ''")
   }
 
+  test("repetition scrub keeps the first occurrence and redacts the repeats' union") {
+    // doc 1: "a b c" repeats at i=5 (covers tokens 5..7); first stays.
+    // doc 2: no repeated 3-gram — untouched.
+    // doc 3: "w"×5 → trigram "w w w" at i=1,2,3; repeats at 2,3 cover
+    //        tokens 2..5, keeping exactly one token.
+    val d = Seq(
+      (1L, "x a b c a b c y", "en", "s0"),
+      (2L, "p q r s t", "en", "s1"),
+      (3L, "w w w w w", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.repetitionScrub(d)
+      .select("doc_id", "n_tokens", "n_repeat_ngrams", "n_redacted", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((1L, 8L, 1L, 3L, fp("x a b c y"))))
+    assert(got(2L) == ((2L, 5L, 0L, 0L, fp("p q r s t"))))
+    assert(got(3L) == ((3L, 5L, 2L, 4L, fp("w"))),
+      "wall-to-wall repetition collapses to the first occurrence's remainder")
+  }
+
   test("domain filter keeps sources at or above the corpus mean quality") {
     // s0: highly repetitive docs (low ttr); s1: all-distinct docs (high ttr)
     val docs = Seq(
