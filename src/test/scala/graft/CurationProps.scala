@@ -33,6 +33,35 @@ object CurationProps extends Properties("Curation") {
     (id.toLong, Seq.fill(words)("w").mkString(" "), lang, "s0")
   }
 
+  // low-vocab texts so benchmark overlap and repeats actually occur
+  private val genSmallVocabText = for {
+    n <- Gen.choose(1, 15)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield toks.mkString(" ")
+
+  // always contains at least one benchmark doc (id 0); random ids may add
+  // more multiples of 97, which both scrub paths must treat identically
+  private val genScrubCorpus = for {
+    n <- Gen.choose(3, 40)
+    texts <- Gen.listOfN(n, genSmallVocabText)
+    benchText <- genSmallVocabText
+    ids <- Gen.pick(n, 1 until 500)
+  } yield (0L, benchText, "en", "s0") +:
+    ids.toSeq.zip(texts).map { case (id, t) => (id.toLong, t, "en", "s0") }
+
+  property("decontam scrub: broadcast-join plan ≡ driver-set plan on any corpus") =
+    forAll(genScrubCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text", "lang", "source")
+      def key(r: (Long, Long, Long, Long, String)) = r._1
+      val viaJoin = TextAnalysis.decontamScrub(df)
+        .select("doc_id", "n_tokens", "n_contam_ngrams", "n_redacted", "clean_fp")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(key).toSeq
+      val viaSet = graft.streaming.StreamingPipeline.scrubStream(df, df)
+        .select("doc_id", "n_tokens", "n_contam_ngrams", "n_redacted", "clean_fp")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(key).toSeq
+      viaJoin == viaSet
+    }
+
   property("packing offsets are the exact running sum over sparse ids") =
     forAll(genCorpus) { rows =>
       val df = rows.toDF("doc_id", "text", "lang", "source")
