@@ -271,6 +271,44 @@ object Relational {
       |       max(session_events) AS max_session_events
       |FROM per_session GROUP BY 1""".stripMargin
 
+  /** Event-type transition matrix — the Markov/path-analysis shape the
+    * funnel (fixed target sequence) and retention (day cohorts) queries
+    * don't cover: which step actually FOLLOWS which, over every user's
+    * event stream. One lag window partitioned by user (the same single
+    * user_id shuffle the sessionizer pays, deterministic (ts, event_id)
+    * order), then one hash aggregation to (prev, cur) counts — at most
+    * |event_types|² rows — with the transition probability a rounded
+    * ratio of exact integer counts against the broadcast per-prev
+    * totals. First events of a user have no predecessor and are
+    * excluded (the matrix describes transitions, not starts).
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("cur_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |         event_type AS cur_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+      |SELECT c.prev_type, c.cur_type, c.n,
+      |       round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+      |FROM cnt c JOIN tot t ON c.prev_type = t.prev_type""".stripMargin
+
   /** Multi-level aggregation: ROLLUP over (chain, event_type) — partial
     * aggregation handles each grouping set in one pass. Null grouping keys
     * are coalesced to 'ALL' so both engines emit identical strings.

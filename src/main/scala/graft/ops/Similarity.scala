@@ -867,6 +867,139 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  /** FILTERED vector search, with its recall measured — the production
+    * question every metadata-filtered ANN deployment faces: the index
+    * (k-means cells) knows nothing about the filter (here: candidate
+    * label must equal the query's label), so the engine must choose
+    * between PRE-filtering (exact: scan only matching rows — the truth
+    * side here) and POST-filtering the index's probe output (cheap: the
+    * standing IVF index serves unchanged, but matching neighbors hiding
+    * in unprobed cells are lost — and the loss is WORSE than unfiltered
+    * recall at the same nprobe, because the filter discards probed
+    * candidates without widening the probe). This query measures that
+    * gap per nprobe: recall@k of probe-then-filter against the
+    * pre-filtered exact truth, denominated by the truth-set size (not
+    * N·k — a query's label may have fewer than k matches).
+    *
+    * Scale shape: identical to the unfiltered recall sweep — one shared
+    * quantizer fit, broadcast queries/centroids, candidate fan-out
+    * bounded by nprobe/K of the corpus, truth bounded by the label
+    * slice. The label filter rides the probe join as a codegen
+    * predicate.
+    */
+  def simsearchFilteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val (cents, withCell) =
+      (centsDf(base, model), base.withColumn("cell", assignCol(model)))
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("eq"), col("nm").as("nq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    // pre-filter truth: exact top-k among label-matched candidates only
+    val truth = base.select(col("vec_id").as("n_id"), col("label"),
+        col("embedding").as("ec"), col("nm").as("nc"))
+      .join(broadcast(queries),
+        col("label") === col("q_label") && col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    RECALL_NPROBES.map { np =>
+      // the probe is the UNFILTERED index's probe (the index cannot see
+      // the filter); the label predicate applies after cell membership
+      val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))
+      val probed = queries.crossJoin(broadcast(cents))
+        .withColumn("qcos", round(dotExpr("eq", "carr") / (col("nq") * col("cnorm")), 6))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= np)
+        .select(col("q_id"), col("q_label"), col("cell"), col("eq"), col("nq"))
+      val ivf = withCell.select(col("vec_id").as("n_id"), col("label"),
+          col("cell"), col("embedding").as("ec"), col("nm").as("nc"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("n_id") =!= col("q_id") && col("label") === col("q_label"))
+        .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= IVF_TOP_K)
+        .select(col("q_id"), col("n_id"))
+      ivf.join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(denom)
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Per-nprobe CTE chain for the FILTERED recall twin: same probe as the
+    * unfiltered sweep, label-matched candidates only, hits vs the
+    * pre-filtered truth.
+    */
+  private def filteredProbeBlocks(np: Int): String = {
+    val last = KMEANS_ITERS
+    s"""fqprobe$np AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS pr
+       |    FROM (SELECT u.vec_id AS q_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM u JOIN cent$last c ON u.i = c.i
+       |          WHERE u.vec_id < $N_QUERIES GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.q_id = n.vec_id
+       |    JOIN cn$last c ON d.cell = c.cell)
+       |  WHERE pr <= $np),
+       |fqdots$np AS (
+       |  SELECT p.q_id, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM fqprobe$np p
+       |  JOIN asgf a2 ON a2.cell = p.cell AND a2.vec_id <> p.q_id
+       |  JOIN embeddings eq ON eq.vec_id = p.q_id
+       |  JOIN embeddings en ON en.vec_id = a2.vec_id AND en.label = eq.label
+       |  JOIN u ua ON ua.vec_id = p.q_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |fivf$np AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM fqdots$np d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |fhits$np AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM fivf$np i JOIN fbf b ON i.q_id = b.q_id AND i.n_id = b.n_id)""".stripMargin
+  }
+
+  val simsearchFilteredRecallSql: String = {
+    val selects = RECALL_NPROBES.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST(den.n_truth AS DOUBLE), 6) AS recall_at_k
+         |FROM fhits$np, den""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$kmeansCtePrefix,
+       |fbfdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES
+       |                    AND a.vec_id <> b.vec_id AND a.label = b.label
+       |  GROUP BY 1, 2),
+       |fbf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM fbfdots d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |den AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM fbf),
+       |${RECALL_NPROBES.map(filteredProbeBlocks).mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * [[IVF_TOP_K]] highest-cosine candidates with a DIFFERENT label —
     * the near-misses a contrastive loss learns the most from (easy
