@@ -890,6 +890,98 @@ object Dedup {
        |       CAST(count(*) AS BIGINT) AS n_runs
        |FROM runlen GROUP BY 1, 2""".stripMargin
 
+  /** Cross-document passage CANONICALIZATION scrub — the act half of the
+    * substring family ([[substringSpanPairs]] detects, this removes):
+    * every [[SPAN_WORDS]]-token span is kept only in its canonical holder
+    * (the MINIMUM doc_id containing that span anywhere in the corpus) and
+    * redacted from every other document — the span-hash rendering of Lee
+    * et al.'s cross-document substring dedup, where a shared passage
+    * survives exactly once corpus-wide. Boilerplate (license headers,
+    * disclaimers) collapses to its first carrier. Intra-document repeats
+    * inside the canonical holder are deliberately untouched — that is
+    * [[graft.ops.TextAnalysis.repetitionScrub]]'s job.
+    *
+    * Scale shape — NO pair space exists: the canonical holder is one
+    * hash aggregation min(doc_id) keyed by span hash (map-side combined;
+    * the inverted-index shuffle the detection queries pay anyway), and
+    * unlike the detection side it needs NO document-frequency cap,
+    * because a span in K documents contributes K index rows, never K²
+    * pairs — the hotter the boilerplate, the more valuable the scrub.
+    * Redacted positions (bounded by true duplication) fan back per doc
+    * and the redaction is the same codegen'd array projection as the
+    * other scrubs. Span hashes never reach the output, so the engines
+    * need not agree on hash values, only span equality (xxhash64 here,
+    * md5 in the oracle).
+    */
+  def passageScrub(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SPAN_WORDS)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${SPAN_WORDS - 1}),
+           |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .localCheckpoint() // fans into the keeper agg and the hit join
+    val keeper = pos.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val hits = pos.join(keeper, Seq("h"))
+      .filter(col("doc_id") > col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("hits"))
+    docs
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("hits", coalesce(col("hits"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        s"filter(sequence(1, size(toks)), j -> !exists(hits, i -> j >= i AND j <= i + ${SPAN_WORDS - 1}))"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("hits")).cast("long").as("n_dup_spans"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_redacted"),
+        md5(expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')"))
+          .as("clean_fp"))
+  }
+
+  def dedupPassageScrub(spark: SparkSession, sfDir: String): DataFrame =
+    passageScrub(Tables.documents(spark, sfDir))
+
+  val dedupPassageScrubSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, i,
+       |         md5(array_to_string(list_slice(toks, i, i + ${SPAN_WORDS - 1}), ' ')) AS h
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SPAN_WORDS - 1})) AS i
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= $SPAN_WORDS)),
+       |k AS (SELECT h, min(doc_id) AS keeper FROM p GROUP BY 1),
+       |hits AS (
+       |  SELECT p.doc_id, p.i FROM p JOIN k ON p.h = k.h WHERE p.doc_id > k.keeper),
+       |cov AS (
+       |  SELECT DISTINCT h.doc_id, h.i + v.d AS j
+       |  FROM hits h, (SELECT unnest(range(0, $SPAN_WORDS)) AS d) v),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+       |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+       |  FROM documents),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+       |hc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans FROM hits GROUP BY 1),
+       |keptt AS (
+       |  SELECT t.doc_id, t.i, t.tok
+       |  FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.j
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_fp
+       |  FROM keptt GROUP BY 1)
+       |SELECT d.doc_id, n.n_tokens,
+       |       coalesce(hc.n_dup_spans, 0) AS n_dup_spans,
+       |       n.n_tokens - coalesce(a.n_kept, 0) AS n_redacted,
+       |       coalesce(a.clean_fp, md5('')) AS clean_fp
+       |FROM documents d
+       |JOIN n ON d.doc_id = n.doc_id
+       |LEFT JOIN hc ON d.doc_id = hc.doc_id
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   /** Convergence cap for [[duplicateClusters]] — with path halving the
     * round count is O(log component-diameter), so 25 covers components of
     * astronomical diameter; the loop exits as soon as a round changes

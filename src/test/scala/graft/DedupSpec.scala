@@ -105,6 +105,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("passage scrub: the shared run survives only in its minimum-id holder") {
+    val run = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"$run alpha beta",                   // canonical holder: kept whole
+      2L -> s"gamma $run delta",                  // copy: the run is redacted
+      3L -> "one two three four five x y z w q")  // sub-span overlap only: untouched
+    val got = Dedup.passageScrub(d)
+      .select("doc_id", "n_tokens", "n_dup_spans", "n_redacted", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((1L, 12L, 0L, 0L, fp(s"$run alpha beta"))),
+      "the canonical (min-id) holder keeps its copy")
+    assert(got(2L) == ((2L, 12L, 1L, 10L, fp("gamma delta"))),
+      "the duplicate holder loses exactly the 10-token passage")
+    assert(got(3L) == ((3L, 10L, 0L, 0L, fp("one two three four five x y z w q"))),
+      "a sub-span-width overlap is not a shared passage")
+  }
+
   test("incremental minhash probes new docs against the prior corpus only") {
     val nearDup = base.replaceFirst("window", "vector")
     val d = docs(
