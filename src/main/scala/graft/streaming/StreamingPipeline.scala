@@ -348,6 +348,39 @@ object StreamingPipeline {
       }
   }
 
+  case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
+  case class Transition(user_id: Long, prev_type: String, cur_type: String)
+
+  /** Streaming event-type transitions — the online twin of the batch
+    * [[graft.ops.Relational.eventTransitions]] lag window: keyed state is
+    * the user's LAST event type (one string per user — the smallest
+    * possible path-analysis state), each arrival emits its (prev, cur)
+    * pair and becomes the new state. Arrivals are ordered by
+    * (ts, event_id) WITHIN a micro-batch; across batches the feed's
+    * arrival order stands in for event time (an out-of-order feed puts a
+    * watermark+sort front end before this stage, as with the SCD2
+    * maintainer). The transition-matrix rollup (counts, probabilities)
+    * composes downstream as a normal streaming aggregation.
+    */
+  def transitionsStream(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[String]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var prev = state.getOption
+          ordered.foreach { r =>
+            prev.foreach(p => out += Transition(user, p, r.event_type))
+            prev = Some(r.event_type)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** `seq` is the event-order tiebreaker within a day (event_id /
     * offset / ts-micros — anything monotone in event order): the batch
     * rule is last-event-wins per day, and without an explicit order the

@@ -326,6 +326,18 @@ class PlanSpec extends SparkSpec {
       "both rank windows must be keyed by q_id (+doc_id), never global")
   }
 
+  test("scrub family: hit lists broadcast back; no cartesian; no rank window") {
+    for (name <- Seq("text_decontam_scrub", "text_repetition_scrub", "dedup_passage_scrub")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: per-doc hit positions must broadcast back to the corpus side")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no pair space may exist")
+      assert(!p.contains("Window"),
+        s"$name: first-occurrence/keeper detection is an aggregation, never a rank window")
+    }
+  }
+
   test("events_zorder: hash aggregation only — no window, no join, no global sort") {
     val p = plan("events_zorder")
     assert(!p.contains("Window"), "the z-key is a projection, not a rank")

@@ -152,6 +152,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 1L).get._4 == 4L, "the quoted span is redacted")
   }
 
+  test("streaming transitions: cross-batch pairs equal the batch lag window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingPipeline.transitionsStream(
+        in.toDS().map(r => StreamingPipeline.TypedEvent(r._1, r._2, r._3, r._4)))
+      .writeStream.format("memory").queryName("transstream")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // batch 1 arrives out of order WITHIN the batch (sorted by ts there);
+    // batch 2 continues user 1 across the state boundary
+    in.addData((2L, t(5), 1L, "view"), (1L, t(1), 1L, "login"), (3L, t(7), 2L, "login"))
+    q.processAllAvailable()
+    in.addData((4L, t(9), 1L, "purchase"), (5L, t(11), 2L, "error"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("transstream")
+      .as[StreamingPipeline.Transition].collect()
+      .map(tr => (tr.user_id, tr.prev_type, tr.cur_type)).sorted.toSeq
+    assert(streamed == Seq(
+      (1L, "login", "view"), (1L, "view", "purchase"), (2L, "login", "error")),
+      "pairs must respect within-batch ts order and survive the batch boundary")
+  }
+
   test("streaming scd2: closed intervals across micro-batches equal the batch non-final ones") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.{Date, Timestamp}
