@@ -1894,6 +1894,108 @@ object TextAnalysis {
        |LEFT JOIN agg a ON d.doc_id = a.doc_id
        |WHERE d.doc_id % $DECONTAM_MOD <> 0""".stripMargin
 
+  /** Per-source scrub report — the three redaction operators composed
+    * into one dashboard: for every source, how many tokens each scrub
+    * family would remove ([[decontamScrub]] benchmark overlap,
+    * [[repetitionScrub]] intra-doc repeats, [[Dedup.passageScrub]]
+    * cross-doc copied passages) and the removal rates. This is the
+    * "what is my corpus actually made of" card a data owner reads
+    * before deciding which scrubs to run — a feed at 40% passage
+    * overlap gets deduplicated source-side, not document-side.
+    * Benchmark documents are excluded (they are the decontam reference,
+    * not corpus content). Each family's counts are that operator's own
+    * code path, so the report can never disagree with the scrubs it
+    * summarizes; the rollup is one hash agg to |sources| rows.
+    */
+  def corpusScrubReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dec = decontamScrub(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_redacted").as("dec_red"))
+    val rep = repetitionScrub(docs)
+      .select(col("doc_id"), col("n_redacted").as("rep_red"))
+    val pas = graft.ops.Dedup.passageScrub(docs)
+      .select(col("doc_id"), col("n_redacted").as("pas_red"))
+    docs.select(col("doc_id"), col("source"))
+      .join(dec, Seq("doc_id")) // inner: drops benchmark docs, like decontam
+      .join(rep, Seq("doc_id"))
+      .join(pas, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("dec_red")).as("decontam_redacted"),
+        sum(col("rep_red")).as("repeat_redacted"),
+        sum(col("pas_red")).as("passage_redacted"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("decontam_redacted"), col("repeat_redacted"), col("passage_redacted"),
+        round(col("decontam_redacted").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("decontam_rate"),
+        round(col("repeat_redacted").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("repeat_rate"),
+        round(col("passage_redacted").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("passage_rate"))
+  }
+
+  /** Count-only CTE chains for the scrub report oracle (no fingerprints
+    * — the report sums covered-token counts). Prefixed names so the
+    * three families compose in one WITH block.
+    */
+  lazy val corpusScrubReportSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |tri AS (
+       |  SELECT a.doc_id, a.i, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |d_bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % $DECONTAM_MOD = 0),
+       |d_cov AS (
+       |  SELECT DISTINCT g.doc_id, g.i + v.d AS j
+       |  FROM tri g JOIN d_bench b ON g.shingle = b.shingle,
+       |       (VALUES (0), (1), (2)) v(d)
+       |  WHERE g.doc_id % $DECONTAM_MOD <> 0),
+       |d_red AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dec_red FROM d_cov GROUP BY 1),
+       |r_first AS (SELECT doc_id, shingle, min(i) AS fi FROM tri GROUP BY 1, 2),
+       |r_cov AS (
+       |  SELECT DISTINCT t.doc_id, t.i + v.d AS j
+       |  FROM tri t JOIN r_first f ON t.doc_id = f.doc_id AND t.shingle = f.shingle,
+       |       (VALUES (0), (1), (2)) v(d)
+       |  WHERE t.i > f.fi),
+       |r_red AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rep_red FROM r_cov GROUP BY 1),
+       |p_span AS (
+       |  SELECT doc_id, i,
+       |         md5(array_to_string(list_slice(toks, i, i + ${graft.ops.Dedup.SPAN_WORDS - 1}), ' ')) AS h
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${graft.ops.Dedup.SPAN_WORDS - 1})) AS i
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= ${graft.ops.Dedup.SPAN_WORDS})),
+       |p_keep AS (SELECT h, min(doc_id) AS keeper FROM p_span GROUP BY 1),
+       |p_cov AS (
+       |  SELECT DISTINCT s.doc_id, s.i + v.d AS j
+       |  FROM p_span s JOIN p_keep k ON s.h = k.h,
+       |       (SELECT unnest(range(0, ${graft.ops.Dedup.SPAN_WORDS})) AS d) v
+       |  WHERE s.doc_id > k.keeper),
+       |p_red AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS pas_red FROM p_cov GROUP BY 1),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+       |per_doc AS (
+       |  SELECT d.source, n.n_tokens,
+       |         coalesce(dr.dec_red, 0) AS dec_red,
+       |         coalesce(rr.rep_red, 0) AS rep_red,
+       |         coalesce(pr.pas_red, 0) AS pas_red
+       |  FROM documents d
+       |  JOIN n ON d.doc_id = n.doc_id
+       |  LEFT JOIN d_red dr ON d.doc_id = dr.doc_id
+       |  LEFT JOIN r_red rr ON d.doc_id = rr.doc_id
+       |  LEFT JOIN p_red pr ON d.doc_id = pr.doc_id
+       |  WHERE d.doc_id % $DECONTAM_MOD <> 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(dec_red) AS BIGINT) AS decontam_redacted,
+       |       CAST(sum(rep_red) AS BIGINT) AS repeat_redacted,
+       |       CAST(sum(pas_red) AS BIGINT) AS passage_redacted,
+       |       round(CAST(sum(dec_red) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS decontam_rate,
+       |       round(CAST(sum(rep_red) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS repeat_rate,
+       |       round(CAST(sum(pas_red) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS passage_rate
+       |FROM per_doc GROUP BY 1""".stripMargin
+
   /** False-positive rate for the decontamination Bloom pre-filter. */
   val BLOOM_FPP = 0.01
 
