@@ -928,8 +928,11 @@ object Dedup {
       .filter(col("doc_id") > col("keeper"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("hits"))
+    // no broadcast hint: duplicated-passage volume is data-dependent
+    // (10% dup rate at 100 TB is far past any broadcast limit) — AQE
+    // broadcasts the hit frame when small, shuffles on doc_id when not
     docs
-      .join(broadcast(hits), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .withColumn("toks", split(col("text"), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("hits", coalesce(col("hits"), expr("CAST(array() AS ARRAY<INT>)")))

@@ -326,15 +326,18 @@ class PlanSpec extends SparkSpec {
       "both rank windows must be keyed by q_id (+doc_id), never global")
   }
 
-  test("scrub family: hit lists broadcast back; no cartesian; no rank window") {
+  test("scrub family: no cartesian; no rank window; hits joined by key (AQE-sized)") {
     for (name <- Seq("text_decontam_scrub", "text_repetition_scrub", "dedup_passage_scrub")) {
       val p = plan(name)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name: per-doc hit positions must broadcast back to the corpus side")
       assert(!p.contains("CartesianProduct"),
         s"$name: no pair space may exist")
       assert(!p.contains("Window"),
         s"$name: first-occurrence/keeper detection is an aggregation, never a rank window")
+      // the hit frame is data-dependent, so it carries NO broadcast hint;
+      // the optimizer/AQE may still choose a broadcast from SIZE (it does
+      // at fixture scale) — what must never appear is a nested-loop plan
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: every join is keyed (shingle/span-hash/doc_id)")
     }
   }
 
