@@ -369,7 +369,12 @@ object StreamingPipeline {
       .flatMapGroupsWithState[String, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[String]) =>
-          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          // Full-precision order: getTime is millis-truncated, but the
+          // fixture timestamps originate as micros/nanos, and the batch lag
+          // window orders by the full ts column — getNanos carries the
+          // sub-ms part so same-millisecond events pair identically.
+          val ordered =
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           var prev = state.getOption
           ordered.foreach { r =>

@@ -51,8 +51,8 @@ object ScaleUp {
         regexp_replace(col("text"), "(\\S+)", s"$$1_$r").as("text"),
         col("lang"), col("source"),
         // n_chars rides along for report queries; keep it consistent with
-        // the suffixed text (each token grew by len("_r"))
-        (col("n_chars") + size(split(col("text"), "\\s+")) * lit(2 + r.toString.length))
+        // the suffixed text (each token grew by len("_" + r))
+        (col("n_chars") + size(split(col("text"), "\\s+")) * lit(1 + r.toString.length))
           .cast(docs.schema("n_chars").dataType).as("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32)

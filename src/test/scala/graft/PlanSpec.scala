@@ -304,14 +304,16 @@ class PlanSpec extends SparkSpec {
     * of pinning one vintage of it.
     */
   private lazy val eventsTsType: String = {
-    // Deliberately mirrors Tables.eventsRaw, which sets this same conf
-    // unconditionally on every events read — so this helper observes the
-    // exact scan type production plans see, in any suite order. The conf
-    // only affects TIMESTAMP(NANOS)-vintage files (anything else scans
-    // identically with or without it), so no save/restore is needed.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // Mirrors Tables.eventsRaw, which sets this same conf on every events
+    // read — so this helper observes the exact scan type production plans
+    // see, in any suite order. Scoped save/restore: the probe must not
+    // leave a session-wide conf change behind as a lazy-val side effect.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .schema("ts").dataType.sql.toLowerCase
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   test("chunk_bm25_topk: query side broadcasts; no corpus self-join; keyed windows only") {
