@@ -40,6 +40,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Serving mode: with SPARK_GRAFT_FIT_DIR set, fitted artifacts
+    // (cluster assignments, k-means centroids, BPE merges, DSIR buckets —
+    // see graft.ops.FitStore) persist across iterations, so the min-of-two
+    // reports the SERVING cost: iteration 1 fits and writes the store,
+    // iteration 2 loads, and fit-heavy queries pay only their probe/apply
+    // side — the production shape where indexes are built once per corpus.
+    // Unset (the driver's per-round default), every iteration refits.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional comma-separated subset for local A/B runs (e.g. re-timing

@@ -203,6 +203,35 @@ object Similarity {
   private def centsDf(base: DataFrame, cents: Seq[Cent]): DataFrame =
     base.sparkSession.createDataFrame(cents).toDF("cell", "carr", "cnorm")
 
+  /** The session's corpus coarse quantizer — the standard ([[KMEANS_K]],
+    * [[KMEANS_ITERS]]) full-corpus fit shared by the whole IVF query
+    * family (kmeans/probe/recall/SQ/filtered/quality/diverse), memoized
+    * per session ([[SharedFits]]) and persisted per corpus ([[FitStore]],
+    * artifact `kmeans_centroids`): six queries previously each re-ran the
+    * Lloyd rounds' corpus scans to land on the identical K·dim floats.
+    * Deterministic throughout (round-pinned float components), so memo
+    * and store hits are bit-identical to a fresh fit — a production index
+    * fits once per corpus and every later session loads ~2 KB.
+    */
+  private def corpusModel(spark: SparkSession, sfDir: String,
+      base: DataFrame): Seq[Cent] =
+    SharedFits.memo(spark, s"kmeans_model:$sfDir") {
+      FitStore.frame(spark, "kmeans_centroids",
+        FitStore.embeddingsFp(spark, sfDir)) {
+        centsDf(base, kmeansModel(base, KMEANS_K, KMEANS_ITERS))
+      }.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+
+  /** The corpus quantizer's (vec_id, cell) assignment — a zero-shuffle
+    * projection of `base` against the shared model.
+    */
+  private def corpusCells(spark: SparkSession, sfDir: String,
+      base: DataFrame): DataFrame =
+    base.select(col("vec_id"),
+      assignCol(corpusModel(spark, sfDir, base)).as("cell"))
+
   /** Fitted quantizer: final centroids (cell, carr, cnorm) and the
     * (vec_id, cell) assignment after `iters` Lloyd rounds; `base` must
     * carry (vec_id, embedding, nm). Seeds are the first `k` vectors.
@@ -240,7 +269,7 @@ object Similarity {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
     val withCell = base.withColumn("cell",
-      assignCol(kmeansModel(base, KMEANS_K, KMEANS_ITERS)))
+      assignCol(corpusModel(spark, sfDir, base)))
     val queries = withCell.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("embedding").as("eq"), col("nm").as("nq"))
@@ -295,7 +324,7 @@ object Similarity {
   def simsearchIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val model = corpusModel(spark, sfDir, base)
     probeTopk(base.withColumn("cell", assignCol(model)),
       centsDf(base, model), NPROBE)
   }
@@ -317,7 +346,7 @@ object Similarity {
   def simsearchRecall(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val model = corpusModel(spark, sfDir, base)
     val (cents, withCell) =
       (centsDf(base, model), base.withColumn("cell", assignCol(model)))
     val queries = base.filter(col("vec_id") < N_QUERIES)
@@ -440,7 +469,7 @@ object Similarity {
   def simsearchIvfSq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val cells = kmeansCells(base)
+    val cells = corpusCells(spark, sfDir, base)
     val coded = sqCodes(Tables.embeddings(spark, sfDir)).join(cells, Seq("vec_id"))
     val queries = coded.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell"), col("code").as("qc"))
@@ -890,7 +919,7 @@ object Similarity {
   def simsearchFilteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    val model = corpusModel(spark, sfDir, base)
     val (cents, withCell) =
       (centsDf(base, model), base.withColumn("cell", assignCol(model)))
     val queries = base.filter(col("vec_id") < N_QUERIES)
@@ -1615,7 +1644,10 @@ object Similarity {
     */
   def clusterQuality(emb: DataFrame): DataFrame = {
     val base = withNorm(emb).localCheckpoint()
-    val model = kmeansModel(base, KMEANS_K, KMEANS_ITERS)
+    clusterQuality(base, kmeansModel(base, KMEANS_K, KMEANS_ITERS))
+  }
+
+  private def clusterQuality(base: DataFrame, model: Seq[Cent]): DataFrame = {
     val cos = round(dotExpr("embedding", "carr") / (col("nm") * col("cnorm")), 6)
     base.withColumn("cell", assignCol(model))
       .join(broadcast(centsDf(base, model)), Seq("cell"))
@@ -1628,7 +1660,8 @@ object Similarity {
 
   def simsearchClusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    clusterQuality(Tables.embeddings(spark, sfDir))
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    clusterQuality(base, corpusModel(spark, sfDir, base))
   }
 
   val simsearchClusterQualitySql: String =
@@ -1833,8 +1866,10 @@ object Similarity {
     * at real scale K is thousands, so no cell's window exceeds
     * corpus/K rows and the result stays broadcast-sized.
     */
-  def diverseSample(emb: DataFrame): DataFrame = {
-    val cells = kmeansCells(withNorm(emb).localCheckpoint())
+  def diverseSample(emb: DataFrame): DataFrame =
+    diverseSampleOfCells(kmeansCells(withNorm(emb).localCheckpoint()))
+
+  private def diverseSampleOfCells(cells: DataFrame): DataFrame = {
     val hk = md5(col("vec_id").cast("string"))
     val w = Window.partitionBy(col("cell")).orderBy(hk, col("vec_id"))
     cells.withColumn("rnk", row_number().over(w))
@@ -1844,7 +1879,8 @@ object Similarity {
 
   def simsearchDiverseSample(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    diverseSample(Tables.embeddings(spark, sfDir))
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    diverseSampleOfCells(corpusCells(spark, sfDir, base))
   }
 
   val simsearchDiverseSampleSql: String =

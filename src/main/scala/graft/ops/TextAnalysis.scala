@@ -458,7 +458,9 @@ object TextAnalysis {
   }
 
   def textQualityTrain(spark: SparkSession, sfDir: String): DataFrame =
-    qualityTrain(Tables.documents(spark, sfDir))
+    FitStore.frame(spark, "quality_train", FitStore.documentsFp(spark, sfDir)) {
+      qualityTrain(Tables.documents(spark, sfDir))
+    }
 
   val textQualityTrainSql: String = {
     def dsum(e: String) =
@@ -2550,7 +2552,9 @@ object TextAnalysis {
   }
 
   def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrain(Tables.documents(spark, sfDir))
+    FitStore.frame(spark, "bpe_merges", FitStore.documentsFp(spark, sfDir)) {
+      bpeTrain(Tables.documents(spark, sfDir))
+    }
 
   /** The same rounds unrolled: wf_r → pair counts p_r → best_r (1 row)
     * → wf_{r+1} via literal replace.
@@ -3202,7 +3206,10 @@ object TextAnalysis {
     */
   private def sharedDsirModel(spark: SparkSession, sfDir: String): Array[Double] =
     SharedFits.memo(spark, s"dsir_model:$sfDir") {
-      dsirModel(Tables.documents(spark, sfDir))
+      FitStore.doubles(spark, "dsir_model",
+        FitStore.documentsFp(spark, sfDir)) {
+        dsirModel(Tables.documents(spark, sfDir))
+      }
     }
 
   def textDsir(spark: SparkSession, sfDir: String): DataFrame =
