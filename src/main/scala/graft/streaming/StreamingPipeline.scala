@@ -44,6 +44,47 @@ object StreamingPipeline {
   def enrichStream(txStream: DataFrame, price: DataFrame): DataFrame =
     ReferencePipeline.enrich(txStream, price)
 
+  /** A price-dimension arrival: `price_ts` is the START of the day the
+    * price covers (the event time the join state is bounded by).
+    */
+  case class PriceTick(chain: Long, price_ts: Timestamp, price: Double)
+
+  /** Step 2 as a STREAM-STREAM join — both sides live: transactions
+    * stream in AND the price dimension itself arrives as a (slow) stream,
+    * the reference's per-row price lookup (updatescript.py:66-67) with
+    * neither side pre-materialized. The day-bucket equality of the batch
+    * join (`to_date(createdAt) = price_date`) is expressed as the
+    * TIME-RANGE condition `price_ts ≤ createdAt < price_ts + 1 day` on
+    * the price tick's day-start event time — equivalent row-for-row, and
+    * exactly the shape Structured Streaming needs to bound BOTH state
+    * stores: a tx row is buffered only until the price watermark passes
+    * its day (a price can arrive up to `priceLateness` after the
+    * transactions it prices — the out-of-order arrival the stream-static
+    * join cannot express); a price row ages out once the tx watermark
+    * passes its day's end. State is O(in-flight days), never
+    * O(stream history); the spec asserts eviction via the state-operator
+    * metrics. Semantics match batch `ReferencePipeline.enrich` exactly,
+    * including the Q7 failed-tx policy (kept, txDollarValue = 0).
+    */
+  def enrichJoinStream(tx: DataFrame, price: DataFrame,
+      txLateness: String = "1 day", priceLateness: String = "2 days"): DataFrame = {
+    val t = tx.withWatermark("createdAt", txLateness)
+    val p = price
+      .select(col("chain").as("p_chain"), col("price_ts"), col("price"))
+      .withWatermark("price_ts", priceLateness)
+    t.join(p,
+        t("chain") === col("p_chain") &&
+          t("createdAt") >= col("price_ts") &&
+          t("createdAt") < col("price_ts") + expr("INTERVAL 1 DAY"))
+      .select(t("_id"), t("createdAt"), t("stashId"), t("stake"),
+        t("alreadyBonded"), t("successful"), t("chain"),
+        col("price").as("priceUSD"),
+        when(t("successful"),
+          when(t("stake") === t("alreadyBonded"), t("stake") * col("price"))
+            .otherwise(abs(t("stake") - t("alreadyBonded")) * col("price")))
+          .otherwise(lit(0.0)).as("txDollarValue"))
+  }
+
   /** Per-(chain, day) volume with event-time windowing; `lateness` bounds
     * how long a day stays open for stragglers.
     */
@@ -384,6 +425,38 @@ object StreamingPipeline {
           prev.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The ORACLE-GATED replay of [[transitionsStream]]: the events table
+    * arrives through the file-stream source (Trigger.AvailableNow — the
+    * reference's cron shape), the online operator emits its (prev, cur)
+    * pairs into a parquet sink, and the sink rolls up through the SAME
+    * matrix arithmetic as the batch lag window — end to end distributed
+    * (no driver-side corpus collect; keyed state is one string per
+    * user). Against the DuckDB oracle this is exact because the fixture
+    * replays as ts-sortable micro-batches (one file here; a multi-file
+    * feed whose per-user events cross batch boundaries out of ts order
+    * would need the watermark+sort front end documented on
+    * [[transitionsStream]]).
+    */
+  def eventTransitionsReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("transitions_replay")
+    val out = s"$tmp/pairs"
+    val q = transitionsStream(
+        Tables.eventsStream(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .as[TypedEvent])
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Relational.transitionMatrix(
+      spark.read.parquet(out).select(col("prev_type"), col("cur_type")))
   }
 
   /** `seq` is the event-order tiebreaker within a day (event_id /

@@ -33,6 +33,63 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2.0, 0.0))) // failed tx kept with 0 (Q7)
   }
 
+  test("stream-stream enrichment: late price arrivals join buffered tx; state is watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPipeline.PriceTick
+    val txIn = MemoryStream[TxRow]
+    val pIn = MemoryStream[PriceTick]
+    val q = StreamingPipeline.enrichJoinStream(txIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("ssenrich")
+      .outputMode("append").start()
+    // batch 1: day-1 price + two day-1 tx (one failed — Q7), and a day-2
+    // tx whose price has NOT arrived yet (buffered in join state)
+    pIn.addData(PriceTick(0L, ts("2024-01-11 00:00:00"), 2.0))
+    txIn.addData(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 5.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 02:00:00"), 11L, 3.0, 8.0, false, 0L),
+      TxRow(3L, ts("2024-01-12 01:00:00"), 12L, 7.0, 4.0, true, 0L))
+    q.processAllAvailable()
+    val afterB1 = spark.table("ssenrich").as[(Long, Timestamp, Long, Double,
+      Double, Boolean, Long, Double, Double)].collect().map(_._1).toSet
+    assert(afterB1 == Set(1L, 2L), "day-2 tx must wait for its price")
+    // batch 2: the day-2 price arrives AFTER the transactions it prices —
+    // the out-of-order shape the stream-static join cannot express
+    pIn.addData(PriceTick(0L, ts("2024-01-12 00:00:00"), 3.0))
+    q.processAllAvailable()
+    // equivalence: all emitted rows = batch ReferencePipeline.enrich over
+    // the same inputs (incl. Q7: failed tx kept with txDollarValue = 0)
+    val streamed = spark.table("ssenrich").as[(Long, Timestamp, Long, Double,
+      Double, Boolean, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val batchTx = Seq(
+      (1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 5.0, true, 0L),
+      (2L, ts("2024-01-11 02:00:00"), 11L, 3.0, 8.0, false, 0L),
+      (3L, ts("2024-01-12 01:00:00"), 12L, 7.0, 4.0, true, 0L))
+      .toDF("_id", "createdAt", "stashId", "stake", "alreadyBonded",
+        "successful", "chain")
+    val batchPrice = Seq((0L, Date.valueOf("2024-01-11"), 2.0),
+      (0L, Date.valueOf("2024-01-12"), 3.0))
+      .toDF("chain", "price_date", "price")
+    val batch = graft.pipeline.ReferencePipeline.enrich(batchTx, batchPrice)
+      .as[(Long, Timestamp, Long, Double, Double, Boolean, Long, Double,
+        Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      "stream-stream rows must equal the batch enrichment row for row")
+    assert(streamed.map(r => r._1 -> r._9).toMap ==
+      Map(1L -> 10.0, 2L -> 0.0, 3L -> 9.0))
+    // batch 3: advance BOTH watermarks far past the buffered January days
+    // — join state must shrink to the new in-flight rows, not accumulate
+    // stream history (eviction runs in the cleanup pass processAllAvailable
+    // includes once the watermark moves)
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    val before = stateRows // the 3 tx + 2 price rows buffered so far
+    txIn.addData(TxRow(99L, ts("2024-02-01 00:00:00"), 99L, 1.0, 1.0, true, 0L))
+    pIn.addData(PriceTick(0L, ts("2024-02-01 00:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(stateRows < before,
+      s"watermark must evict the January join state (was $before, now $stateRows)")
+  }
+
   test("stateful first-seen emits each stash exactly once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TxRow]
