@@ -284,10 +284,21 @@ object Relational {
     */
   def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(spark, sfDir)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+    transitionMatrix(
+      Tables.events(spark, sfDir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("cur_type")))
+  }
+
+  /** The matrix rollup over raw (prev_type, cur_type) pairs — shared by
+    * the batch lag window above and the streaming replay's sink
+    * ([[graft.streaming.StreamingPipeline.eventTransitionsReplay]]), so
+    * both rank on identical arithmetic.
+    */
+  def transitionMatrix(transitions: DataFrame): DataFrame = {
+    val pairs = transitions
+      .groupBy(col("prev_type"), col("cur_type"))
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
     pairs.join(broadcast(totals), Seq("prev_type"))

@@ -87,11 +87,31 @@ object Tables {
     * cast is value-identical under the pinned UTC session and costs nothing
     * at scan time (a no-op reinterpretation, not a per-row conversion).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = eventsRaw(spark, sfDir)
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventsTs(eventsRaw(spark, sfDir))
+
+  /** The vintage normalization, factored so it applies to BATCH and
+    * STREAMING frames alike (the schema checks see the same struct either
+    * way).
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame =
     if (tsIsRawNanos(df)) df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else if (tsIsNtz(df)) df.withColumn("ts", col("ts").cast("timestamp"))
     else df
+
+  /** The events table as a FILE STREAM (the replay shape: same parquet,
+    * arriving through Structured Streaming's file source) with the same
+    * three-vintage ts normalization as [[events]]. The batch read probes
+    * the vintage (file sources need an explicit schema); the streaming
+    * scan then reads the same files with it.
+    */
+  private[graft] def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = eventsRaw(spark, sfDir).schema
+    // brace-glob: the fixture ships events.parquet as a single FILE, and
+    // the file source rejects a non-directory basePath — a glob keeps the
+    // parent dir as base and matches file and directory layouts alike
+    normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(s"$sfDir/{events.parquet}"))
   }
 
   /** Events with `ts > wm`, with the watermark predicate applied in RAW
