@@ -1029,6 +1029,159 @@ object Similarity {
        |$selects""".stripMargin
   }
 
+  /** ACTING on the gap [[simsearchFilteredRecall]] measures — adaptive
+    * probe widening: each query widens its cell probe by the inverse of
+    * its label's corpus share, `np_eff = min(K, ⌈np · N / n_label⌉)`
+    * (integer arithmetic — both engines land on identical widths), so a
+    * selective filter scans more cells to restore the candidate yield an
+    * unfiltered probe gets from one. The standard production move when
+    * post-filter recall sags (measured 0.79 at nprobe=1 here): cost
+    * scales with the POST-FILTER candidate count (`n_cand` — the label
+    * predicate rides the probe join, so discarded rows are never
+    * scored), not the probe width. On this corpus the ~10%-selective
+    * labels saturate the widening at all K=8 cells — recall goes to 1.0
+    * at a scored-candidate budget comparable to the unfiltered
+    * nprobe=1 scan, and the saturation itself is the index-design
+    * signal: a filter more selective than 1/K needs the full cell list,
+    * so production raises K (or keeps per-cell label lists), exactly
+    * what `n_probed` hitting queries×K tells the operator.
+    *
+    * Output per base nprobe: probe rows (`n_probed` = Σ np_eff), scored
+    * candidates, hits and recall against the pre-filtered exact truth —
+    * all exact integer counts but the final rounded ratio.
+    */
+  def simsearchFilteredAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val model = corpusModel(spark, sfDir, base)
+    val (cents, withCell) =
+      (centsDf(base, model), base.withColumn("cell", assignCol(model)))
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("eq"), col("nm").as("nq"))
+    val labCounts = base.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val totals = base.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val truth = base.select(col("vec_id").as("n_id"), col("label"),
+        col("embedding").as("ec"), col("nm").as("nc"))
+      .join(broadcast(queries),
+        col("label") === col("q_label") && col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    RECALL_NPROBES.map { np =>
+      val pw = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cell"))
+      val probed = queries.crossJoin(broadcast(cents))
+        .withColumn("qcos", round(dotExpr("eq", "carr") / (col("nq") * col("cnorm")), 6))
+        .withColumn("pr", row_number().over(pw))
+        .join(broadcast(labCounts), Seq("q_label"))
+        .crossJoin(broadcast(totals))
+        .withColumn("np_eff", least(lit(KMEANS_K.toLong),
+          expr(s"($np * n_total + n_label - 1) div n_label")))
+        .filter(col("pr") <= col("np_eff"))
+        .select(col("q_id"), col("q_label"), col("cell"), col("eq"), col("nq"))
+      val scored = withCell.select(col("vec_id").as("n_id"), col("label"),
+          col("cell"), col("embedding").as("ec"), col("nm").as("nc"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("n_id") =!= col("q_id") && col("label") === col("q_label"))
+        .withColumn("cosine", round(dotExpr("eq", "ec") / (col("nq") * col("nc")), 6))
+        .localCheckpoint() // read thrice: candidate count, top-k, hits
+      val ivf = scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= IVF_TOP_K)
+        .select(col("q_id"), col("n_id"))
+      ivf.join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(probed.agg(count(lit(1)).as("n_probed"))))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(denom)
+        .select(lit(np.toLong).as("nprobe"), col("n_probed"), col("n_cand"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Per-nprobe CTE chain for the ADAPTIVE filtered twin: rank all cells
+    * per query, keep `pr ≤ np_eff` with the width from the label-share
+    * integer formula, then the same label-matched scoring as the fixed
+    * sweep plus the probe/candidate counters.
+    */
+  private def adaptiveProbeBlocks(np: Int): String = {
+    val last = KMEANS_ITERS
+    s"""aqprobe$np AS (
+       |  SELECT r.q_id, r.cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS pr
+       |    FROM (SELECT u.vec_id AS q_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM u JOIN cent$last c ON u.i = c.i
+       |          WHERE u.vec_id < $N_QUERIES GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.q_id = n.vec_id
+       |    JOIN cn$last c ON d.cell = c.cell) r
+       |  JOIN qnp ON r.q_id = qnp.q_id
+       |  WHERE r.pr <= least($KMEANS_K, ($np * qnp.n_total + qnp.n_label - 1) // qnp.n_label)),
+       |aprobes$np AS (SELECT CAST(count(*) AS BIGINT) AS n_probed FROM aqprobe$np),
+       |aqdots$np AS (
+       |  SELECT p.q_id, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM aqprobe$np p
+       |  JOIN asgf a2 ON a2.cell = p.cell AND a2.vec_id <> p.q_id
+       |  JOIN embeddings eq ON eq.vec_id = p.q_id
+       |  JOIN embeddings en ON en.vec_id = a2.vec_id AND en.label = eq.label
+       |  JOIN u ua ON ua.vec_id = p.q_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |acand$np AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM aqdots$np),
+       |aivf$np AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM aqdots$np d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |ahits$np AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM aivf$np i JOIN fbf b ON i.q_id = b.q_id AND i.n_id = b.n_id)""".stripMargin
+  }
+
+  val simsearchFilteredAdaptiveSql: String = {
+    val selects = RECALL_NPROBES.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, aprobes$np.n_probed, acand$np.n_cand, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST(den.n_truth AS DOUBLE), 6) AS recall_at_k
+         |FROM ahits$np, aprobes$np, acand$np, den""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$kmeansCtePrefix,
+       |lab AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
+       |qnp AS (
+       |  SELECT e.vec_id AS q_id, l.n_label, t.n_total
+       |  FROM embeddings e JOIN lab l ON e.label = l.label, tot t
+       |  WHERE e.vec_id < $N_QUERIES),
+       |fbfdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES
+       |                    AND a.vec_id <> b.vec_id AND a.label = b.label
+       |  GROUP BY 1, 2),
+       |fbf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM fbfdots d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |den AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM fbf),
+       |${RECALL_NPROBES.map(adaptiveProbeBlocks).mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
     * [[IVF_TOP_K]] highest-cosine candidates with a DIFFERENT label —
     * the near-misses a contrastive loss learns the most from (easy

@@ -297,4 +297,24 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.diverseSample(emb).as[(Long, Long, Long)].collect()
     assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
   }
+
+  test("adaptive filtered probe closes the recall gap the fixed sweep measures") {
+    val sf = "/root/testdata/sf0.001"
+    val fixed = Similarity.simsearchFilteredRecall(spark, sf)
+      .select("nprobe", "recall_at_k").as[(Long, Double)].collect().toMap
+    val adaptive = Similarity.simsearchFilteredAdaptive(spark, sf)
+      .select("nprobe", "n_probed", "recall_at_k")
+      .as[(Long, Long, Double)].collect()
+    assert(adaptive.length == Similarity.RECALL_NPROBES.length)
+    adaptive.foreach { case (np, nProbed, r) =>
+      assert(r >= fixed(np),
+        s"adaptive recall at base nprobe=$np ($r) must be ≥ fixed (${fixed(np)})")
+      assert(nProbed <= Similarity.N_QUERIES.toLong * Similarity.KMEANS_K,
+        "probe rows are capped at queries × K cells")
+    }
+    // the ~10%-selective labels are more selective than 1/K, so the
+    // widening saturates and restores FULL pre-filtered recall — the
+    // index-design signal documented on the operator
+    assert(adaptive.forall(_._3 == 1.0))
+  }
 }
