@@ -81,12 +81,15 @@ object FitStore {
 
   /** Fingerprint of a session's `embeddings` table (vec_id, embedding,
     * label) — xxhash64 hashes the float array structurally, so any
-    * component change misses.
+    * component change misses. `half` keys the even/odd standing-vs-batch
+    * split (the index-drift family fits on the even half only).
     */
-  def embeddingsFp(spark: SparkSession, sfDir: String): Fp =
-    SharedFits.memo(spark, s"fp:embeddings:$sfDir") {
-      fingerprint(graft.pipeline.Tables.embeddings(spark, sfDir),
-        Seq("vec_id", "embedding", "label"))
+  def embeddingsFp(spark: SparkSession, sfDir: String,
+      half: Option[Int] = None): Fp =
+    SharedFits.memo(spark, s"fp:embeddings:${half.getOrElse(-1)}:$sfDir") {
+      val emb = graft.pipeline.Tables.embeddings(spark, sfDir)
+      val sliced = half.fold(emb)(p => emb.filter(col("vec_id") % 2 === p))
+      fingerprint(sliced, Seq("vec_id", "embedding", "label"))
     }
 
   private def path(dir: String, name: String, fp: Fp): String =

@@ -1870,9 +1870,34 @@ object Similarity {
   def indexDrift(emb: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val base = withNorm(emb).localCheckpoint()
-    val isNew = col("vec_id") % 2 === 1
-    val model = kmeansModel(base.filter(!isNew), KMEANS_K, KMEANS_ITERS,
+    indexDriftWith(base, priorHalfModel(base))
+  }
+
+  /** The standing (even-id) half's quantizer — [[indexDrift]]'s frozen
+    * fit, seeds = its first [[KMEANS_K]] vectors.
+    */
+  private def priorHalfModel(base: DataFrame): Seq[Cent] =
+    kmeansModel(base.filter(col("vec_id") % 2 === 0), KMEANS_K, KMEANS_ITERS,
       seedPred = col("vec_id") < 2L * KMEANS_K)
+
+  /** The drift fit, session-memoized and [[FitStore]]-persisted (artifact
+    * `kmeans_prior_centroids`, fingerprinted on exactly the even half it
+    * is fitted on) — the standing index an online deployment loads
+    * between re-fits rather than re-training per monitor run.
+    */
+  private def sharedPriorHalfModel(spark: SparkSession, sfDir: String,
+      base: DataFrame): Seq[Cent] =
+    SharedFits.memo(spark, s"kmeans_prior_model:$sfDir") {
+      FitStore.frame(spark, "kmeans_prior_centroids",
+        FitStore.embeddingsFp(spark, sfDir, half = Some(0))) {
+        centsDf(base, priorHalfModel(base))
+      }.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+
+  private def indexDriftWith(base: DataFrame, model: Seq[Cent]): DataFrame = {
+    val isNew = col("vec_id") % 2 === 1
     val scored = base.withColumn("cell", assignCol(model))
       .join(broadcast(centsDf(base, model)), Seq("cell"))
       .withColumn("cos",
@@ -1884,7 +1909,7 @@ object Similarity {
       round(avg(when(isNew, col("cos"))), 6).as("avg_cos_new"))
     val tot = broadcast(base.agg(
       count(when(!isNew, 1)).as("tp"), count(when(isNew, 1)).as("tn")))
-    val cells = emb.sparkSession
+    val cells = base.sparkSession
       .createDataFrame(model.map(c => Tuple1(c._1))).toDF("cell")
     cells.join(broadcast(stat), Seq("cell"), "left").crossJoin(tot)
       .select(col("cell"),
@@ -1906,8 +1931,11 @@ object Similarity {
           .cast("long").as("refit_flag"))
   }
 
-  def simsearchIndexDrift(spark: SparkSession, sfDir: String): DataFrame =
-    indexDrift(Tables.embeddings(spark, sfDir))
+  def simsearchIndexDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    indexDriftWith(base, sharedPriorHalfModel(spark, sfDir, base))
+  }
 
   /** The assigned cell's rounded cosine — the max over cells, join-free:
     * numerically identical to assigning first and joining the centroid

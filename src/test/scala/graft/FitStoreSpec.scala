@@ -49,6 +49,10 @@ class FitStoreSpec extends SparkSpec {
     roundTrip("kmeans", () => Similarity.simsearchRecall(spark, sf))
   }
 
+  test("index-drift prior-half quantizer: load ≡ refit") {
+    roundTrip("drift", () => Similarity.simsearchIndexDrift(spark, sf))
+  }
+
   test("dsir buckets: load ≡ refit") {
     roundTrip("dsir", () => TextAnalysis.textDsir(spark, sf))
   }
