@@ -427,6 +427,39 @@ object StreamingPipeline {
       }
   }
 
+  /** The ORACLE-GATED replay of [[enrichJoinStream]]: the tx side arrives
+    * through the events file stream (watermark filter applied on the
+    * projected view), the price side replays the daily dim as its own
+    * file stream of day-start ticks, both meet in the watermark-bounded
+    * stream-stream join, and the parquet sink is read back as the query
+    * result — gated against the SAME DuckDB SQL as the batch `tx_enrich`,
+    * so the join's row-for-row equivalence to the broadcast batch plan is
+    * driver-checked exact-hash, not just spec'd.
+    */
+  def txEnrichStreamJoin(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("ss_enrich_replay")
+    val priceDir = s"$tmp/price_feed"
+    Tables.dailyPrice(spark, sfDir)
+      .select(col("chain"), col("price_date").cast("timestamp").as("price_ts"),
+        col("price"))
+      .write.parquet(priceDir)
+    val priceStream = spark.readStream
+      .schema(spark.read.parquet(priceDir).schema).parquet(priceDir)
+    val tx = Tables.txFrom(Tables.eventsStream(spark, sfDir))
+      .filter(col("createdAt") > lit(java.sql.Timestamp.valueOf(Tables.WM)))
+    val out = s"$tmp/enriched"
+    val q = enrichJoinStream(tx, priceStream)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** The ORACLE-GATED replay of [[transitionsStream]]: the events table
     * arrives through the file-stream source (Trigger.AvailableNow — the
     * reference's cron shape), the online operator emits its (prev, cur)
