@@ -1140,4 +1140,92 @@ object Relational {
        |       CAST(count(DISTINCT d) AS BIGINT) AS n_days
        |FROM keyed GROUP BY 1""".stripMargin
   }
+
+  /** Last-touch attribution — each purchase's value credited to the
+    * user's most recent PRECEDING touch event (view/click/signup),
+    * 'none' when nothing touchable precedes it. The reference resolves
+    * per-row "what came before" questions with a find_one probe per row
+    * (updatescript.py:66-67); the set-oriented form is ONE user-keyed
+    * window (the sessionizer's shuffle) carrying the touch forward via
+    * last(..., ignoreNulls) over an unbounded-preceding frame — no
+    * self-join, no per-purchase lookup, and the rollup is a hash agg to
+    * ≤|touch types|+1 rows. Revenue sums in exact integer cents so both
+    * engines agree bit-for-bit at any partial-agg order. At 100 TB the
+    * window partitions by user (millions of small partitions, no skew
+    * beyond the sessionizer's own) and nothing else shuffles.
+    */
+  def attribution(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch_type",
+        last(when(col("event_type").isin("view", "click", "signup"),
+          col("event_type")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+  }
+
+  def eventAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attribution(Tables.events(spark, sfDir))
+
+  val eventAttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |         last_value(CASE WHEN event_type IN ('view','click','signup')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+      |  FROM events)
+      |SELECT coalesce(touch_type, 'none') AS touch_type,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM touched WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
+  /** Incremental materialized-view maintenance — the rollup tier of the
+    * incremental family (next to text_pack_incremental and
+    * dedup_clusters_incremental): a standing per-(chain, day) daily
+    * rollup absorbs an arriving batch by MERGING partial aggregates
+    * (count and cents-sum are algebraic — partials add), never by
+    * re-scanning history. The standing side here is computed once from
+    * the pre-watermark slice with the same pushed scan predicate as
+    * every incremental operator ([[graft.pipeline.Tables.eventsUntil]],
+    * raw-nanos pushdown), standing in for the stored MV a production
+    * run would read back; the delta side reads only post-watermark row
+    * groups ([[graft.pipeline.Tables.eventsSince]]). The merge itself
+    * re-aggregates |days × chains| partial rows — constant-size work at
+    * any corpus scale, the entire point of maintaining the view
+    * incrementally. The watermark sits MID-day (noon, unlike the
+    * pipeline's midnight [[graft.pipeline.Tables.WM]]) so the cut day
+    * genuinely splits across both halves and lands correct BECAUSE the
+    * merge is a partial-agg combine — a midnight cut would never produce
+    * two partials for one key and the merge would be an untested union.
+    */
+  val MERGE_WM = "2024-01-10 12:00:00"
+
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.select((col("event_id") % 2).as("chain"), to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("chain"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+    partial(Tables.eventsUntil(spark, sfDir, MERGE_WM))
+      .unionByName(partial(Tables.eventsSince(spark, sfDir, MERGE_WM)))
+      .groupBy(col("chain"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("total_cents")).as("total_cents"))
+      .select(col("chain"), col("day").cast("string").as("day"),
+        col("n_events"), col("total_cents"))
+  }
+
+  /** Oracle = the full recompute: the merged incremental view must equal
+    * the rollup a cold batch job would build from scratch.
+    */
+  val aggIncrementalSql: String =
+    """SELECT event_id % 2 AS chain, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

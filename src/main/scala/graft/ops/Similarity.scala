@@ -528,15 +528,53 @@ object Similarity {
     * tiebreak. Candidates join by their integer codes only: at corpus
     * scale the scan reads the code table, never the embeddings.
     */
+  /** Subspace `s` of an embeddings frame, as its own (vec_id, embedding)
+    * view — the unit the per-subspace codebook fits and encodes.
+    */
+  private def pqSubVectors(emb: DataFrame, s: Int): DataFrame =
+    emb.select(col("vec_id"),
+      expr(s"slice(embedding, ${s * PQ_SUB + 1}, $PQ_SUB)").as("embedding"))
+
+  /** The session's per-subspace PQ codebooks — [[PQ_M]] spherical k-means
+    * fits shared by `simsearch_pq`, `simsearch_recall_quant` and
+    * `simsearch_rerank` (each previously re-ran all [[PQ_M]] subspace
+    * Lloyd scans to land on identical centroids), memoized per session
+    * ([[SharedFits]]) and persisted per corpus ([[FitStore]], artifact
+    * `pq_codebook_s<s>`). Deterministic like every fit routed there, so
+    * a hit is bit-identical to a fresh fit; the stored artifact is
+    * PQ_K·PQ_SUB floats — the codebook a production PQ index ships.
+    */
+  private def pqModel(spark: SparkSession, sfDir: String, s: Int): Seq[Cent] =
+    SharedFits.memo(spark, s"pq_model:$s:$sfDir") {
+      FitStore.frame(spark, s"pq_codebook_s$s",
+        FitStore.embeddingsFp(spark, sfDir)) {
+        val base = withNorm(
+          pqSubVectors(Tables.embeddings(spark, sfDir), s)).localCheckpoint()
+        centsDf(base, kmeansModel(base, PQ_K, PQ_ITERS))
+      }.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+
   def simsearchPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    pqAdcScored(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The full PQ/ADC scoring frame (q_id, n_id, adc) — shared by the
+    * top-k search above and the two-stage refine ([[simsearchRerank]]).
+    */
+  private def pqAdcScored(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val perSub = (0 until PQ_M).map { s =>
-      val sub = emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * PQ_SUB + 1}, $PQ_SUB)").as("embedding"))
-      val base = withNorm(sub).localCheckpoint()
-      val (cents, cells) = kmeansFit(base, PQ_K, PQ_ITERS)
-      (cents, cells)
+      val model = pqModel(spark, sfDir, s)
+      val base = withNorm(pqSubVectors(emb, s))
+      // with the codebook in hand, encoding is one zero-shuffle projection
+      (centsDf(base, model), base.select(col("vec_id"), assignCol(model).as("cell")))
     }
     val codesWide = perSub.zipWithIndex.map { case ((_, cells), s) =>
       cells.select(col("vec_id"), col("cell").as(s"c$s"))
@@ -553,12 +591,9 @@ object Similarity {
       acc.join(broadcast(luts(s)), Seq("q_id", s"c$s"))
     }
     val adc = round((0 until PQ_M).map(s => col(s"p$s")).reduce(_ + _), 6)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     joined.filter(col("n_id") =!= col("q_id"))
       .withColumn("adc", adc)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= IVF_TOP_K)
-      .select(col("q_id"), col("n_id"), col("adc"), col("rnk").cast("long").as("rnk"))
+      .select(col("q_id"), col("n_id"), col("adc"))
   }
 
   /** DuckDB twin of one PQ subspace: sliced/reindexed components, vector
@@ -728,6 +763,123 @@ object Similarity {
        |SELECT 'pq' AS method, n_hits,
        |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
        |FROM hpq""".stripMargin
+  }
+
+  /** Candidate budgets for the two-stage refine sweep — from "trust the
+    * codes" (R = k) to 4× over-fetch.
+    */
+  val RERANK_BUDGETS: Seq[Int] = Seq(3, 6, 12, 24, 48)
+
+  /** Two-stage retrieval (the FAISS refine pattern, IndexRefineFlat):
+    * the PQ/ADC scan — which never touches candidate floats — ranks the
+    * corpus per query, the top R survivors are re-ranked by the EXACT
+    * inner product, and recall@[[IVF_TOP_K]] vs exact-MIPS truth is
+    * measured per budget R. This is the production answer to
+    * [[simsearchRecallQuant]]'s finding that raw PQ recall drops hard: a
+    * small exact re-rank (R a few × k — here reading R·dim floats per
+    * query instead of the corpus) buys the recall back, and THIS query
+    * measures how much per budget. At 100 TB the stage-1 scan reads only
+    * the integer code table; stage 2 fetches R vectors per query by key —
+    * the refine join fans out |queries|·R rows, never corpus². All
+    * ranking on round-pinned scores with id tie-breaks, so both engines
+    * rank identically.
+    */
+  def simsearchRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val queries = emb.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+    // stage 1: codes-only ranking, keep the largest budget once
+    val cand = pqAdcScored(spark, sfDir)
+      .withColumn("prnk", row_number().over(wAdc))
+      .filter(col("prnk") <= RERANK_BUDGETS.max)
+      .select(col("q_id"), col("n_id"), col("prnk"))
+    // stage 2: exact dots for the surviving (query, candidate) pairs only
+    val exact = cand
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ec")), Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("ip", round(dotExpr("eq", "ec"), 6))
+      .select(col("q_id"), col("n_id"), col("prnk"), col("ip"))
+      .localCheckpoint()
+    // exact-MIPS truth — the same ground truth simsearchRecallQuant uses
+    val cands = emb.select(col("vec_id").as("n_id"), col("embedding").as("ec"))
+    val wIp = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    val truth = cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("ip", round(dotExpr("eq", "ec"), 6))
+      .withColumn("rnk", row_number().over(wIp))
+      .filter(col("rnk") <= IVF_TOP_K)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    RERANK_BUDGETS.map { r =>
+      exact.filter(col("prnk") <= r)
+        .withColumn("rr", row_number().over(wIp))
+        .filter(col("rr") <= IVF_TOP_K)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r.toLong).as("r_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val simsearchRerankSql: String = {
+    val subs = (0 until PQ_M).map(pqSubspaceCtes).mkString(",\n")
+    val codeJoins = (1 until PQ_M)
+      .map(s => s"JOIN paf$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val lutJoins = (0 until PQ_M).map { s =>
+      if (s == 0) s"JOIN lut0 l0 ON l0.cell = a0.cell"
+      else s"JOIN lut$s l$s ON l$s.cell = a$s.cell AND l$s.q_id = l0.q_id"
+    }.mkString("\n  ")
+    val adcExpr = (0 until PQ_M).map(s => s"l$s.p").mkString(" + ")
+    val denom = N_QUERIES * IVF_TOP_K
+    val maxR = RERANK_BUDGETS.max
+    val unions = RERANK_BUDGETS.map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS r_candidates, n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / CAST($denom AS DOUBLE), 6) AS recall_at_k
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM (SELECT q_id, n_id FROM (
+         |              SELECT q_id, n_id,
+         |                     row_number() OVER (PARTITION BY q_id
+         |                                        ORDER BY ip DESC, n_id) AS rr
+         |              FROM exd WHERE prnk <= $r)
+         |            WHERE rr <= $IVF_TOP_K) t
+         |      JOIN bf b ON t.q_id = b.q_id AND t.n_id = b.n_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${UNNEST_CTE},
+       |$subs,
+       |scored AS (
+       |  SELECT l0.q_id, a0.vec_id AS n_id, round($adcExpr, 6) AS adc
+       |  FROM paf0 a0
+       |  $codeJoins
+       |  $lutJoins
+       |  WHERE a0.vec_id <> l0.q_id),
+       |pqr AS (
+       |  SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adc DESC, n_id) AS prnk
+       |  FROM scored),
+       |exd AS (
+       |  SELECT r.q_id, r.n_id, r.prnk, round(sum(a.x * b.x), 6) AS ip
+       |  FROM pqr r
+       |  JOIN u a ON a.vec_id = r.q_id
+       |  JOIN u b ON b.vec_id = r.n_id AND b.i = a.i
+       |  WHERE r.prnk <= $maxR
+       |  GROUP BY 1, 2, 3),
+       |bfdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot, 6) DESC, d.n_id) AS rnk
+       |    FROM bfdots d)
+       |  WHERE rnk <= $IVF_TOP_K)
+       |$unions""".stripMargin
   }
 
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic

@@ -137,6 +137,24 @@ object Tables {
         .withColumn("ts", col("ts").cast("timestamp"))
     } else df.filter(col("ts") > lit(wmTs))
   }
+  /** The complement slice: events with `ts <= wm` — the HISTORY side of an
+    * incremental rollup (the rows a materialized view has already
+    * absorbed). Same raw-space pushdown as [[eventsSince]]:
+    * floor(ns/1000) <= wm_µs  ⇔  ns <= wm_µs*1000 + 999.
+    */
+  def eventsUntil(spark: SparkSession, sfDir: String, wm: String): DataFrame = {
+    val df = eventsRaw(spark, sfDir)
+    val wmTs = java.sql.Timestamp.valueOf(wm)
+    if (tsIsRawNanos(df)) {
+      val wmMicros = wmTs.getTime * 1000L
+      df.filter(col("ts") <= lit(wmMicros * 1000L + 999L))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (tsIsNtz(df)) {
+      df.filter(col("ts") <= lit(wmTs).cast("timestamp_ntz"))
+        .withColumn("ts", col("ts").cast("timestamp"))
+    } else df.filter(col("ts") <= lit(wmTs))
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")

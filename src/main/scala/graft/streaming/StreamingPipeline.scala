@@ -382,7 +382,11 @@ object StreamingPipeline {
         case (key, rows, state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
-            val first = rows.minBy(r => (r.createdAt.getTime, r._id))
+            // Full-precision order (getTime is millis-truncated; getNanos
+            // carries the sub-ms part) so a same-millisecond pair picks
+            // the same winner as the batch window's (createdAt, _id) sort.
+            val first = rows.minBy(r =>
+              (r.createdAt.getTime, r.createdAt.getNanos, r._id))
             state.update(true)
             Iterator(FirstSeen(key._1, key._2, first._id, first.createdAt, first.stake))
           }
@@ -490,6 +494,36 @@ object StreamingPipeline {
     q.awaitTermination()
     graft.ops.Relational.transitionMatrix(
       spark.read.parquet(out).select(col("prev_type"), col("cur_type")))
+  }
+
+  /** The ORACLE-GATED replay of [[firstSeen]]: the events table arrives
+    * through the file stream as the tx view, the keyed state emits each
+    * (chain, stashId) exactly once into a parquet sink, and the sink is
+    * read back as the query result — gated against the SAME DuckDB SQL
+    * as the batch `first_seen_stash` ranking query, so the state-store
+    * formulation of W1 is driver-checked exact-hash against the window
+    * formulation, not just spec-equivalent. Exact for the same reason as
+    * [[eventTransitionsReplay]]: the fixture replays as ts-sortable
+    * micro-batches, and within a batch the earliest full-precision
+    * (createdAt, _id) wins, matching the batch sort.
+    */
+  def firstSeenReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("first_seen_replay")
+    val out = s"$tmp/first_seen"
+    val q = firstSeen(
+        Tables.txFrom(Tables.eventsStream(spark, sfDir)).as[TxRow])
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("chain"), col("stashId"), col("_id"),
+        col("firstSeenAt"), col("firstStake"))
   }
 
   /** `seq` is the event-order tiebreaker within a day (event_id /

@@ -53,6 +53,10 @@ class FitStoreSpec extends SparkSpec {
     roundTrip("drift", () => Similarity.simsearchIndexDrift(spark, sf))
   }
 
+  test("pq per-subspace codebooks: load ≡ refit") {
+    roundTrip("pq", () => Similarity.simsearchPq(spark, sf))
+  }
+
   test("dsir buckets: load ≡ refit") {
     roundTrip("dsir", () => TextAnalysis.textDsir(spark, sf))
   }

@@ -380,4 +380,29 @@ class PlanSpec extends SparkSpec {
       "the fitted model is a literal — scoring must not shuffle or join")
     assert(p.contains("TakeOrderedAndProject"), "DSIR selection must not global-sort")
   }
+
+  test("event_attribution: the carry window is user-partitioned, never global") {
+    val p = plan("event_attribution")
+    assert(!p.contains("SinglePartition"),
+      "the touch-carry window must partition by user, never collapse to one task")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "attribution is one window + one hash agg — no self-join")
+  }
+
+  test("agg_incremental: both halves' watermark predicates reach the parquet scans") {
+    val p = plan("agg_incremental")
+    assert(p.contains("GreaterThan(ts,") && p.contains("LessThanOrEqual(ts,"),
+      "standing and delta scans must both push their watermark predicate")
+    assert(p.contains("partial_"),
+      "the rollup must partial-aggregate before the shuffle")
+  }
+
+  test("simsearch_rerank: refine joins by key — no cartesian anywhere") {
+    // the exact-dot stages are checkpointed (vec_dot runs inside them,
+    // asserted for the sibling searches above); the final plan must still
+    // be free of pair-space blowups
+    val p = plan("simsearch_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "stage-2 exact dots attach by (q_id)/(n_id) equi-joins only")
+  }
 }

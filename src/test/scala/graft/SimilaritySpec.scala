@@ -317,4 +317,25 @@ class SimilaritySpec extends SparkSpec {
     // index-design signal documented on the operator
     assert(adaptive.forall(_._3 == 1.0))
   }
+
+  test("two-stage refine: recall non-decreasing in budget; R = k is exactly raw PQ") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.simsearchRerank(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Similarity.RERANK_BUDGETS.map(_.toLong))
+    got.foreach { case (_, _, r) => assert(r >= 0.0 && r <= 1.0) }
+    // exact re-ranking of MORE pq candidates can only add truth hits
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3,
+        s"recall must be non-decreasing: R=${a._1} ${a._3} > R=${b._1} ${b._3}")
+      case _ =>
+    }
+    // at R = k the refine re-orders the PQ top-k among themselves — set
+    // membership (and so truth hits) must equal the raw PQ search's
+    val pqHits = Similarity.simsearchRecallQuant(spark, sf)
+      .filter(col("method") === "pq")
+      .select("n_hits").as[Long].head()
+    assert(got.head._2 == pqHits,
+      s"R=k hit count ${got.head._2} must equal raw PQ recall hits $pqHits")
+  }
 }

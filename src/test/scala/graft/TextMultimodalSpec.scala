@@ -1072,4 +1072,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("en") == (("en", 3L, 3L, 1.0, 3.666667)))
     assert(got("xx") == (("xx", 3L, 6L, 2.0, 1.333333)))
   }
+
+  test("last-touch attribution credits the latest preceding touch, organic when none") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // user 1: view then click -> both purchases credit the click (the
+      // LATEST touch), including the second purchase with no touch between
+      (1L, 1L, "view", t(0), 1.00), (1L, 2L, "click", t(1), 2.00),
+      (1L, 3L, "purchase", t(2), 10.00), (1L, 4L, "purchase", t(3), 5.00),
+      // user 2: purchase before any touch -> organic; after signup -> signup
+      (2L, 5L, "purchase", t(0), 7.00), (2L, 6L, "signup", t(1), 0.00),
+      (2L, 7L, "purchase", t(2), 3.00),
+      // user 3: an error between click and purchase must not steal credit
+      (3L, 8L, "click", t(0), 0.00), (3L, 9L, "error", t(1), 0.00),
+      (3L, 10L, "purchase", t(2), 2.00))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = graft.ops.Relational.attribution(ev)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("click", 3L, 1700L),
+      ("signup", 1L, 300L),
+      ("none", 1L, 700L)))
+  }
+
+  test("incremental rollup merge equals the cold recompute; the cut day really splits") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val merged = graft.ops.Relational.aggIncremental(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val full = graft.pipeline.Tables.events(spark, sf)
+      .select((col("event_id") % 2).as("chain"),
+        to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("chain"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tc"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(merged == full)
+    // the mid-day watermark puts the cut day in BOTH halves, so the final
+    // aggregation genuinely combines two partials for one key — a
+    // midnight cut would silently degrade the merge to a disjoint union
+    val wmDay = graft.ops.Relational.MERGE_WM.take(10)
+    def daysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_date(col("ts")).cast("string").as("d")).distinct()
+        .as[String].collect().toSet
+    assert(daysOf(graft.pipeline.Tables.eventsUntil(spark, sf,
+      graft.ops.Relational.MERGE_WM)).contains(wmDay))
+    assert(daysOf(graft.pipeline.Tables.eventsSince(spark, sf,
+      graft.ops.Relational.MERGE_WM)).contains(wmDay))
+  }
 }
