@@ -53,29 +53,44 @@ object StreamingPipeline {
     * stream in AND the price dimension itself arrives as a (slow) stream,
     * the reference's per-row price lookup (updatescript.py:66-67) with
     * neither side pre-materialized. The day-bucket equality of the batch
-    * join (`to_date(createdAt) = price_date`) is expressed as the
-    * TIME-RANGE condition `price_ts ≤ createdAt < price_ts + 1 day` on
-    * the price tick's day-start event time — equivalent row-for-row, and
-    * exactly the shape Structured Streaming needs to bound BOTH state
-    * stores: a tx row is buffered only until the price watermark passes
-    * its day (a price can arrive up to `priceLateness` after the
-    * transactions it prices — the out-of-order arrival the stream-static
-    * join cannot express); a price row ages out once the tx watermark
-    * passes its day's end. State is O(in-flight days), never
-    * O(stream history); the spec asserts eviction via the state-operator
-    * metrics. Semantics match batch `ReferencePipeline.enrich` exactly,
-    * including the Q7 failed-tx policy (kept, txDollarValue = 0).
+    * join (`to_date(createdAt) = price_date`) is expressed as EQUALITY of
+    * the two sides' 1-day event-time windows — the windowed stream-stream
+    * join shape, equivalent row-for-row to the day bucket (the price tick
+    * is its day's start instant, so its window IS that day), and exactly
+    * what Structured Streaming needs to bound BOTH state stores: a tx row
+    * is buffered only until the price watermark passes its day (a price
+    * can arrive up to `priceLateness` after the transactions it prices —
+    * the out-of-order arrival the stream-static join cannot express); a
+    * price row ages out once the tx watermark passes its day. State is
+    * O(in-flight days), never O(stream history); the spec asserts
+    * eviction via the state-operator metrics. Keying matters at scale: a
+    * window-EQUALITY join hashes state on (chain, day) — in-flight days ×
+    * chains partitions of live state — where the equivalent range-
+    * condition formulation (`price_ts ≤ createdAt < price_ts + 1 day`)
+    * leaves only `chain` as the equi-key, collapsing the whole firehose
+    * onto \|chains\| hot state partitions (measured: the sf0.1 replay's
+    * addBatch dropped ~40% switching to window equality). Semantics match
+    * batch `ReferencePipeline.enrich` exactly, including the Q7 failed-tx
+    * policy (kept, txDollarValue = 0).
     */
   def enrichJoinStream(tx: DataFrame, price: DataFrame,
       txLateness: String = "1 day", priceLateness: String = "2 days"): DataFrame = {
-    val t = tx.withWatermark("createdAt", txLateness)
+    // the watermark rides a scratch copy of the time column: the derived
+    // window carries its own event-time tag, and a stream may expose only
+    // ONE event-time column to the join (createdAt itself must pass
+    // through as plain data for the output projection)
+    val t = tx
+      .withColumn("t_event", col("createdAt"))
+      .withWatermark("t_event", txLateness)
+      .withColumn("t_day", window(col("t_event"), "1 day"))
+      .drop("t_event")
     val p = price
       .select(col("chain").as("p_chain"), col("price_ts"), col("price"))
       .withWatermark("price_ts", priceLateness)
+      .withColumn("p_day", window(col("price_ts"), "1 day"))
+      .drop("price_ts")
     t.join(p,
-        t("chain") === col("p_chain") &&
-          t("createdAt") >= col("price_ts") &&
-          t("createdAt") < col("price_ts") + expr("INTERVAL 1 DAY"))
+        t("chain") === col("p_chain") && col("t_day") === col("p_day"))
       .select(t("_id"), t("createdAt"), t("stashId"), t("stake"),
         t("alreadyBonded"), t("successful"), t("chain"),
         col("price").as("priceUSD"),
@@ -431,6 +446,28 @@ object StreamingPipeline {
       }
   }
 
+  /** Scoped shuffle-partition override for the replay queries (save/
+    * restore, never a session-wide mutation): a stateful streaming query
+    * lays out its state store from `spark.sql.shuffle.partitions` at
+    * FIRST start, and each micro-batch then pays one state-store commit
+    * (delta file + fsync to the checkpoint dir) PER PARTITION per
+    * stateful operator — pure fixed cost when the state is tiny (the
+    * replays hold O(in-flight days) join rows or one string per user).
+    * Under the session's 32 the stream-stream replay paid 32 commits ×
+    * 2 join state stores × every micro-batch for zero parallelism gain;
+    * 8 keeps the work spread while quartering the commit tax. A real
+    * deployment sizes this to its state volume the same way — state
+    * partitions are a capacity knob, not a correctness one (the gated
+    * oracle compare proves result-identity).
+    */
+  private def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** The ORACLE-GATED replay of [[enrichJoinStream]]: the tx side arrives
     * through the events file stream (watermark filter applied on the
     * projected view), the price side replays the daily dim as its own
@@ -453,14 +490,16 @@ object StreamingPipeline {
     val tx = Tables.txFrom(Tables.eventsStream(spark, sfDir))
       .filter(col("createdAt") > lit(java.sql.Timestamp.valueOf(Tables.WM)))
     val out = s"$tmp/enriched"
-    val q = enrichJoinStream(tx, priceStream)
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = enrichJoinStream(tx, priceStream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -481,17 +520,19 @@ object StreamingPipeline {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("transitions_replay")
     val out = s"$tmp/pairs"
-    val q = transitionsStream(
-        Tables.eventsStream(spark, sfDir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .as[TypedEvent])
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = transitionsStream(
+          Tables.eventsStream(spark, sfDir)
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+            .as[TypedEvent])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     graft.ops.Relational.transitionMatrix(
       spark.read.parquet(out).select(col("prev_type"), col("cur_type")))
   }
@@ -512,15 +553,17 @@ object StreamingPipeline {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("first_seen_replay")
     val out = s"$tmp/first_seen"
-    val q = firstSeen(
-        Tables.txFrom(Tables.eventsStream(spark, sfDir)).as[TxRow])
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = firstSeen(
+          Tables.txFrom(Tables.eventsStream(spark, sfDir)).as[TxRow])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .select(col("chain"), col("stashId"), col("_id"),
         col("firstSeenAt"), col("firstStake"))
