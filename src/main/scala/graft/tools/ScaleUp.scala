@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   *    bit-preserved, cross-replica cosines are essentially random, so
   *    near-dup/ANN candidate spaces also grow linearly. vec_id offset is
   *    a multiple of 97 for the eval-split mod.
-  *  - every other table is copied unchanged (the expensive families under
-  *    rehearsal read documents/embeddings; events-family scans are
-  *    already IO-shaped).
+  *  - `events`: replica r shifts user_id and event_id by r·ID_OFFSET —
+  *    new USERS with byte-identical per-user event sequences, the shape
+  *    of firehose growth (more users per day, not longer history).
+  *    Per-user windows/state (sessionize, transitions, attribution,
+  *    first-seen) and per-(chain, day) rollups replicate exactly;
+  *    ID_OFFSET is even, so the event_id-parity chain split is
+  *    preserved. ts stays in the source vintage (raw nanos reads as a
+  *    plain long and writes back as one — `Tables.events` normalizes
+  *    either vintage).
+  *  - every other table is copied unchanged (the TPC-H dims are
+  *    dimension-sized by definition).
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <replicas>
   */
@@ -81,9 +89,24 @@ object ScaleUp {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
 
+    // events: new users per replica, same per-user sequences and days.
+    // nanosAsLong lets the TIMESTAMP(NANOS) vintage read as a long; it
+    // writes back as a plain long, which Tables.events treats as the
+    // raw-nanos vintage — value-identical timestamps either way.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until n).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(r * ID_OFFSET))
+        .withColumn("user_id", col("user_id") + lit(r * ID_OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+
     // remaining tables unchanged
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "orders", "lineitem")
     others.foreach { t =>
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       val to = java.nio.file.Paths.get(s"$dst/$t.parquet")
