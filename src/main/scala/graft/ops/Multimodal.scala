@@ -226,6 +226,79 @@ object Multimodal {
        |       min(media_id) AS min_media, max(media_id) AS max_media
        |FROM o GROUP BY 1""".stripMargin
 
+  /** Pair-curation gates, in audit order (first failing gate wins). */
+  val PAIR_MIN_SIDE = 32
+  val PAIR_MIN_WORDS = 5
+
+  /** Cross-modal PAIR CURATION — the media–caption manifest a contrastive
+    * (CLIP-style) training run reads, with the LAION-recipe gates applied
+    * in a declared order and EVERY pair audited (one row per media item
+    * with the FIRST gate that rejects it, or 'kept') — the
+    * corpus_rejections pattern applied to the multimodal table:
+    *
+    *  1. `no_embedding` — the caption side has no paired vector (LEFT
+    *     join against the embeddings table; at scale: the pair table is
+    *     the big side, the probe is an equi-join, nothing fans out);
+    *  2. `tiny_image`  — min(width, height) < [[PAIR_MIN_SIDE]] (the
+    *     stub decoder's dimensions — a real decoder swaps in real ones,
+    *     same plan);
+    *  3. `short_caption` — caption under [[PAIR_MIN_WORDS]] words;
+    *  4. `dup_pair` — not the minimum-id holder of its content checksum
+    *     (re-crawled mirrors must not double-count in the training mix);
+    *  5. `kept`.
+    *
+    * One equi-join + one checksum-keyed window + narrow projections —
+    * no pair space, no global window; the audit is the same rows the
+    * keep-side manifest would drop, so curation and audit cannot drift.
+    * The dup rank is computed over ALL pairs (the canonical mirror holds
+    * its slot whether or not its own later gates reject it — same rule
+    * as the checksum dedup it mirrors).
+    */
+  def pairAudit(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = octet_length(col("text")).cast("long")
+    val pairs = docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      md5(col("text")).as("checksum"),
+      (len % 640 + 1).cast("int").as("width"),
+      (len % 480 + 1).cast("int").as("height"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_words"))
+    val emb = embeddings
+      .select(col("vec_id").as("media_id"), lit(1).as("has_vec"))
+    val byChecksum = Window.partitionBy(col("checksum")).orderBy(col("media_id"))
+    pairs.join(emb, Seq("media_id"), "left")
+      .withColumn("rn", row_number().over(byChecksum))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_words"),
+        when(col("has_vec").isNull, "no_embedding")
+          .when(least(col("width"), col("height")) < PAIR_MIN_SIDE, "tiny_image")
+          .when(col("n_words") < PAIR_MIN_WORDS, "short_caption")
+          .when(col("rn") > 1, "dup_pair")
+          .otherwise("kept").as("verdict"))
+  }
+
+  def multimodalPairAudit(spark: SparkSession, sfDir: String): DataFrame =
+    pairAudit(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+
+  val multimodalPairAuditSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |         md5(text) AS checksum,
+       |         CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+       |         CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+       |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT media_id, kind, width, height, n_words,
+       |       CASE WHEN e.vec_id IS NULL THEN 'no_embedding'
+       |            WHEN least(width, height) < $PAIR_MIN_SIDE THEN 'tiny_image'
+       |            WHEN n_words < $PAIR_MIN_WORDS THEN 'short_caption'
+       |            WHEN rn > 1 THEN 'dup_pair'
+       |            ELSE 'kept' END AS verdict
+       |FROM p LEFT JOIN embeddings e ON p.media_id = e.vec_id""".stripMargin
+
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,
       out_w: Int, out_h: Int, frame_fp: String)

@@ -1073,6 +1073,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("xx") == (("xx", 3L, 6L, 2.0, 1.333333)))
   }
 
+  test("pair audit: each pair gets its first failing gate, canonical mirror keeps its slot") {
+    // widths derive from strlen % 640 + 1, so text length picks the gate
+    val longCaption = ("w " * 320).trim                  // 639 chars -> width 640: big image, 320 words
+    val shortCaption = "a b"                             // 3 chars  -> width 4: tiny first
+    val tinyButLong = ("x " * 320).trim + " yyyyyyyyyy"  // 650 chars -> width 11: tiny, many words
+    val d = Seq(
+      (0L, longCaption, "en", "s"),    // kept
+      (2L, longCaption, "en", "s"),    // dup of 0 -> dup_pair
+      (4L, shortCaption, "en", "s"),   // width 4 -> tiny_image (before short_caption)
+      (6L, tinyButLong, "en", "s"),    // tiny_image despite long caption
+      (8L, longCaption + " z", "en", "s")) // no embedding row -> no_embedding
+      .toDF("doc_id", "text", "lang", "source")
+    val e = Seq((0L, Array(1.0f), 0), (2L, Array(1.0f), 0),
+      (4L, Array(1.0f), 0), (6L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Multimodal.pairAudit(d, e)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "kept", 2L -> "dup_pair", 4L -> "tiny_image",
+      6L -> "tiny_image", 8L -> "no_embedding"))
+  }
+
   test("last-touch attribution credits the latest preceding touch, organic when none") {
     import java.sql.Timestamp
     def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
