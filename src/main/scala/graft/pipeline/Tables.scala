@@ -137,6 +137,15 @@ object Tables {
         .withColumn("ts", col("ts").cast("timestamp"))
     } else df.filter(col("ts") > lit(wmTs))
   }
+  /** The documents table as a FILE STREAM — the replay shape for the
+    * text-family streaming twins (same brace-glob trick as
+    * [[eventsStream]]; documents has no vintage hazard).
+    */
+  private[graft] def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = read(spark, sfDir, "documents").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/{documents.parquet}")
+  }
+
   /** The complement slice: events with `ts <= wm` — the HISTORY side of an
     * incremental rollup (the rows a materialized view has already
     * absorbed). Same raw-space pushdown as [[eventsSince]]:

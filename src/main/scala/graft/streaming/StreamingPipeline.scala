@@ -569,6 +569,32 @@ object StreamingPipeline {
         col("firstSeenAt"), col("firstStake"))
   }
 
+  /** The ORACLE-GATED replay of [[scrubStream]]: documents arrive
+    * through the file stream, each is scrubbed by the stateless
+    * driver-set projection (benchmark 3-grams from the STANDING corpus —
+    * the same corpus, so the gate checks the full decontam-scrub
+    * semantics), and the parquet sink is read back — against the SAME
+    * DuckDB SQL as the batch `text_decontam_scrub`. No state store at
+    * all: this gates the streaming text-curation plumbing (schema
+    * through the file source, array-side redaction per micro-batch,
+    * sink round-trip), the shape a firehose scrubber deploys.
+    */
+  def decontamScrubReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("scrub_replay")
+    val out = s"$tmp/scrubbed"
+    val q = scrubStream(
+        Tables.documentsStream(spark, sfDir), Tables.documents(spark, sfDir))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** `seq` is the event-order tiebreaker within a day (event_id /
     * offset / ts-micros — anything monotone in event order): the batch
     * rule is last-event-wins per day, and without an explicit order the

@@ -41,4 +41,39 @@ class BucketingSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("date-partitioned sink: a day predicate prunes the scan to that day's files") {
+    // the other write-path lever at 100 TB (PipelineRunner's sinks write
+    // p_date=… directories for exactly this): a filter on the partition
+    // column must become a PartitionFilter — directory-level skipping at
+    // planning time — not a data filter evaluated over every row group
+    val dir = Files.createTempDirectory("graft_partitioned").toFile
+    try {
+      (1 to 300).map { i =>
+        (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 3 + 1}%02d"), i * 1.0)
+      }.toDF("id", "p_date", "v")
+        .write.mode("overwrite").partitionBy("p_date").parquet(s"$dir/sink")
+      val read = spark.read.parquet(s"$dir/sink")
+        .filter($"p_date" === java.sql.Date.valueOf("2024-01-02"))
+      assert(read.count() == 100)
+      val scans = read.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val meta = scans.head.metadata
+      assert(meta("PartitionFilters").contains("2024-01-02"),
+        s"day predicate must prune partitions, got: ${meta("PartitionFilters")}")
+      // and the files actually read are only that day's directory
+      assert(scans.head.inputRDDs().head.partitions.nonEmpty)
+      val shown = scans.head.toString
+      assert(!shown.contains("PushedFilters: [IsNotNull(p_date)"),
+        "the partition predicate must not degrade to a per-row data filter")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
