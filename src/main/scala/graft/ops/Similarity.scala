@@ -882,6 +882,112 @@ object Similarity {
        |$unions""".stripMargin
   }
 
+  /** End-task retrieval quality — MRR@k and hit-rate@k against METADATA
+    * relevance (a neighbor is relevant iff it shares the query's label),
+    * for the exact search and the nprobe=2 IVF search side by side. The
+    * recall sweeps measure the index against the EXACT search; this
+    * measures both against what a user actually wanted — the eval that
+    * decides whether ANN loss shows up in the product metric (here: IVF
+    * at nprobe=2 keeps most of its label MRR while scanning ~2/K of the
+    * corpus — the number that justifies the index). Reciprocal ranks are
+    * exact integers in units of 1/6 (ranks ≤ 3 ⇒ 6/rank ∈ {6,3,2}), so
+    * both engines sum identically; queries with no relevant neighbor in
+    * the top k contribute 0. Same broadcast-probe shapes as every sweep.
+    */
+  def simsearchLabelMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val base = withNorm(emb).localCheckpoint()
+    val model = corpusModel(spark, sfDir, base)
+    val (cents, withCell) =
+      (centsDf(base, model), base.withColumn("cell", assignCol(model)))
+    def evalRow(method: String, res: DataFrame): DataFrame = {
+      val firsts = res
+        .join(broadcast(labels.select(col("vec_id").as("q_id"),
+          col("label").as("ql"))), Seq("q_id"))
+        .join(labels.select(col("vec_id").as("n_id"), col("label").as("nl")),
+          Seq("n_id"))
+        .filter(col("ql") === col("nl"))
+        .groupBy(col("q_id")).agg(min(col("rnk")).as("fr"))
+      firsts
+        .agg(count(lit(1)).as("nh"), sum(expr("6 DIV fr")).as("mrr6"))
+        .select(lit(method).as("method"),
+          coalesce(col("nh"), lit(0L)).as("n_hit_queries"),
+          round(coalesce(col("mrr6"), lit(0L)).cast("double") /
+            lit(6.0 * N_QUERIES), 6).as("mrr"),
+          round(coalesce(col("nh"), lit(0L)).cast("double") /
+            lit(N_QUERIES.toDouble), 6).as("hit_rate"))
+    }
+    evalRow("exact", bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K))
+      .unionByName(evalRow("ivf_probe2", probeTopk(withCell, cents, 2)))
+  }
+
+  val simsearchLabelMrrSql: String = {
+    val last = KMEANS_ITERS
+    def statsOf(method: String, rel: String): String =
+      s"""SELECT '$method' AS method,
+         |       CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_queries,
+         |       round(CAST(coalesce(m6, 0) AS DOUBLE) / (6.0 * $N_QUERIES), 6) AS mrr,
+         |       round(CAST(coalesce(nh, 0) AS DOUBLE) / $N_QUERIES, 6) AS hit_rate
+         |FROM (SELECT count(*) AS nh, CAST(sum(6 // fr) AS BIGINT) AS m6 FROM $rel)""".stripMargin
+    s"""$kmeansCtePrefix,
+       |bfr AS (
+       |  SELECT q_id, n_id, rnk FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+       |          FROM u a JOIN u b ON a.i = b.i
+       |                AND a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+       |          GROUP BY 1, 2) d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |qprobe2m AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n.nm * c.cn), 6) DESC, d.cell) AS pr
+       |    FROM (SELECT u.vec_id AS q_id, c.cell, sum(u.x * c.x) AS dot
+       |          FROM u JOIN cent$last c ON u.i = c.i
+       |          WHERE u.vec_id < $N_QUERIES GROUP BY 1, 2) d
+       |    JOIN nrm n ON d.q_id = n.vec_id
+       |    JOIN cn$last c ON d.cell = c.cell)
+       |  WHERE pr <= 2),
+       |qdots2m AS (
+       |  SELECT p.q_id, a2.vec_id AS n_id, sum(ua.x * ub.x) AS dot
+       |  FROM qprobe2m p
+       |  JOIN asgf a2 ON a2.cell = p.cell AND a2.vec_id <> p.q_id
+       |  JOIN u ua ON ua.vec_id = p.q_id
+       |  JOIN u ub ON ub.vec_id = a2.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2),
+       |ivfr AS (
+       |  SELECT q_id, n_id, rnk FROM (
+       |    SELECT d.q_id, d.n_id,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC, d.n_id) AS rnk
+       |    FROM qdots2m d
+       |    JOIN nrm n1 ON d.q_id = n1.vec_id
+       |    JOIN nrm n2 ON d.n_id = n2.vec_id)
+       |  WHERE rnk <= $IVF_TOP_K),
+       |rel_exact AS (
+       |  SELECT r.q_id, min(r.rnk) AS fr
+       |  FROM bfr r
+       |  JOIN embeddings eq ON eq.vec_id = r.q_id
+       |  JOIN embeddings en ON en.vec_id = r.n_id
+       |  WHERE eq.label = en.label GROUP BY 1),
+       |rel_ivf AS (
+       |  SELECT r.q_id, min(r.rnk) AS fr
+       |  FROM ivfr r
+       |  JOIN embeddings eq ON eq.vec_id = r.q_id
+       |  JOIN embeddings en ON en.vec_id = r.n_id
+       |  WHERE eq.label = en.label GROUP BY 1)
+       |${statsOf("exact", "rel_exact")}
+       |UNION ALL
+       |${statsOf("ivf_probe2", "rel_ivf")}""".stripMargin
+  }
+
   /** Shared DuckDB prefix for the k-means IVF twins: the deterministic
     * Lloyd rounds unrolled as CTE blocks (cent_r → cn_r → asg_r+1), with
     * centroid components round-pinned and float-narrowed exactly like the
