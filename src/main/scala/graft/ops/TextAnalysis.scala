@@ -807,11 +807,29 @@ object TextAnalysis {
     * Ranking compares the ROUNDED score with a doc tie-break so both
     * engines order identically.
     */
+  /** The (doc_id, tok, tf) postings — THE inverted index of the BM25
+    * family; memoized per session and persisted per corpus (FitStore
+    * artifact `bm25_postings`): a retrieval deployment builds postings
+    * once per corpus snapshot and serves every query wave from the
+    * store — the same lifecycle the fitted models get, at index scale
+    * (corpus-linear like the standing cluster assignment, written once,
+    * loaded by fingerprint key).
+    */
+  private def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"bm25_postings:$sfDir") {
+      FitStore.frame(spark, "bm25_postings",
+        FitStore.documentsFp(spark, sfDir)) {
+        Tables.tokens(Tables.documents(spark, sfDir))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      }.localCheckpoint()
+    }
+
   def bm25TopK(docs: DataFrame, nQueries: Int = BM25_N_QUERIES,
-      k: Int = BM25_TOP_K): DataFrame = {
-    val tf = Tables.tokens(docs)
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      k: Int = BM25_TOP_K, postings: Option[DataFrame] = None): DataFrame = {
+    val tf = postings.getOrElse(
+      Tables.tokens(docs)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = broadcast(
@@ -840,7 +858,8 @@ object TextAnalysis {
   }
 
   def textBm25(spark: SparkSession, sfDir: String): DataFrame =
-    bm25TopK(Tables.documents(spark, sfDir))
+    bm25TopK(Tables.documents(spark, sfDir),
+      postings = Some(bm25Postings(spark, sfDir)))
 
   val textBm25Sql: String =
     s"""WITH ${Tables.TOK_CTE},
@@ -3387,16 +3406,35 @@ object TextAnalysis {
     * — at 100 TB the chunk postings frame is the standing index and this
     * is a broadcast-probe + two candidate-sized windows.
     */
+  /** Chunk-level postings (doc, chunk, chunk_tokens, tok, tf) — the
+    * serving index of [[chunkBm25TopK]], persisted like
+    * [[bm25Postings]] (artifact name carries the query-split rule the
+    * builder bakes in).
+    */
+  private def chunkBm25Postings(spark: SparkSession, sfDir: String,
+      nQueries: Int): DataFrame =
+    SharedFits.memo(spark, s"bm25_chunk_postings:$nQueries:$sfDir") {
+      FitStore.frame(spark, s"bm25_chunk_postings_q$nQueries",
+        FitStore.documentsFp(spark, sfDir)) {
+        chunkSpans(Tables.documents(spark, sfDir)
+            .filter(col("doc_id") >= nQueries))
+          .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+            explode(split(col("chunk_text"), "\\s+")).as("tok"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+      }.localCheckpoint()
+    }
+
   def chunkBm25TopK(docs: DataFrame, nQueries: Int = BM25_N_QUERIES,
-      k: Int = BM25_TOP_K): DataFrame = {
-    val chunks = chunkSpans(docs.filter(col("doc_id") >= nQueries))
+      k: Int = BM25_TOP_K, postings: Option[DataFrame] = None): DataFrame = {
     // chunk-level postings; chunk_tokens rides along as the length key
-    val ctf = chunks
-      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
-        explode(split(col("chunk_text"), "\\s+")).as("tok"))
-      .groupBy(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds df, the corpus stats, and the probe join
+    val ctf = postings.getOrElse(
+      chunkSpans(docs.filter(col("doc_id") >= nQueries))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+          explode(split(col("chunk_text"), "\\s+")).as("tok"))
+        .groupBy(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()) // feeds df, the corpus stats, and the probe join
     val dfreq = ctf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = broadcast(
       ctf.groupBy(col("doc_id"), col("chunk_id")).agg(first(col("chunk_tokens")).as("ct"))
@@ -3428,7 +3466,8 @@ object TextAnalysis {
   }
 
   def chunkBm25(spark: SparkSession, sfDir: String): DataFrame =
-    chunkBm25TopK(Tables.documents(spark, sfDir))
+    chunkBm25TopK(Tables.documents(spark, sfDir),
+      postings = Some(chunkBm25Postings(spark, sfDir, BM25_N_QUERIES)))
 
   val chunkBm25Sql: String =
     s"""WITH d AS (

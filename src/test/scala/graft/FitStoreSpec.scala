@@ -57,6 +57,14 @@ class FitStoreSpec extends SparkSpec {
     roundTrip("pq", () => Similarity.simsearchPq(spark, sf))
   }
 
+  test("bm25 inverted index (doc postings): load ≡ refit") {
+    roundTrip("bm25", () => TextAnalysis.textBm25(spark, sf))
+  }
+
+  test("bm25 chunk postings: load ≡ refit") {
+    roundTrip("chunk_bm25", () => TextAnalysis.chunkBm25(spark, sf))
+  }
+
   test("dsir buckets: load ≡ refit") {
     roundTrip("dsir", () => TextAnalysis.textDsir(spark, sf))
   }
