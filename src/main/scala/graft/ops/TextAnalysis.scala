@@ -861,6 +861,29 @@ object TextAnalysis {
     bm25TopK(Tables.documents(spark, sfDir),
       postings = Some(bm25Postings(spark, sfDir)))
 
+  /** Incremental maintenance of the BM25 index: the STANDING postings
+    * (even doc_ids — the already-indexed corpus, in production loaded
+    * from the [[bm25Postings]] store) absorb an arriving batch (odd
+    * doc_ids) WITHOUT re-tokenizing the standing half — postings of
+    * disjoint doc sets merge by plain union (the inverted index is
+    * doc-additive), and the corpus statistics (n_docs, avgdl, df) are
+    * re-derived from the merged index by one aggregation, O(index) not
+    * O(re-tokenize). Completes the index lifecycle next to the
+    * persistence half: build once ([[bm25Postings]]), extend by
+    * arrivals (here), serve. Scoring on the merged index must equal the
+    * cold full build exactly — the query shares `text_bm25`'s oracle.
+    */
+  def textBm25Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def postingsOf(d: DataFrame): DataFrame =
+      Tables.tokens(d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+    val standing = postingsOf(docs.filter(col("doc_id") % 2 === 0))
+    val arriving = postingsOf(docs.filter(col("doc_id") % 2 === 1))
+    bm25TopK(docs,
+      postings = Some(standing.unionByName(arriving).localCheckpoint()))
+  }
+
   val textBm25Sql: String =
     s"""WITH ${Tables.TOK_CTE},
        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
