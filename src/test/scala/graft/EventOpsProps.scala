@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.Relational
+
+/** Property-based invariants of the round-10 event operators, over
+  * randomized event streams with tiny key domains so every interesting
+  * collision (same-user touch chains, organic purchases, split days)
+  * actually occurs.
+  */
+object EventOpsProps extends Properties("EventOps") {
+
+  // few, larger batches: every property evaluation runs real Spark jobs
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val TYPES = Vector("view", "click", "signup", "purchase", "error")
+  private val TOUCH = Set("view", "click", "signup")
+
+  /** (user, type-index, minute-of-window, cents) rows; ids assigned by
+    * position so (ts, event_id) ordering is total and reproducible.
+    */
+  private val genEvents: Gen[List[(Long, Long, String, Timestamp, Double)]] =
+    Gen.listOfN(60, for {
+      user <- Gen.choose(0L, 4L) // tiny domain -> long per-user chains
+      t <- Gen.choose(0, TYPES.size - 1)
+      minute <- Gen.choose(0, 3 * 24 * 60 - 1) // three days
+      cents <- Gen.choose(1, 9999)
+    } yield (user, t, minute, cents)).map { rows =>
+      rows.zipWithIndex.map { case ((user, t, minute, cents), i) =>
+        val ts = Timestamp.valueOf(
+          f"2024-01-${minute / (24 * 60) + 1}%02d ${minute / 60 % 24}%02d:${minute % 60}%02d:00")
+        (i.toLong, user, TYPES(t), ts, cents / 100.0)
+      }
+    }
+
+  private def toDF(rows: List[(Long, Long, String, Timestamp, Double)]) =
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  /** Sequential reference implementation of last-touch attribution. */
+  private def refAttribution(rows: List[(Long, Long, String, Timestamp, Double)])
+      : Map[String, (Long, Long)] =
+    rows.groupBy(_._2).toList.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._4.getTime, e._1))
+      var touch: Option[String] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      ordered.foreach { e =>
+        if (e._3 == "purchase")
+          out += ((touch.getOrElse("none"), math.round(e._5 * 100)))
+        if (TOUCH(e._3)) touch = Some(e._3)
+      }
+      out
+    }.groupBy(_._1).map { case (t, hits) =>
+      t -> (hits.size.toLong, hits.map(_._2).sum)
+    }
+
+  property("attribution equals the sequential per-user replay") =
+    forAll(genEvents) { rows =>
+      val got = Relational.attribution(toDF(rows))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      got == refAttribution(rows)
+    }
+
+  property("incremental rollup merge is split-point invariant") =
+    forAll(genEvents, Gen.choose(0, 3 * 24 * 60)) { (rows, splitMinute) =>
+      import org.apache.spark.sql.functions._
+      val df = toDF(rows)
+      val wm = Timestamp.valueOf(
+        f"2024-01-${splitMinute / (24 * 60) + 1}%02d ${splitMinute / 60 % 24}%02d:${splitMinute % 60}%02d:00")
+      def partial(d: org.apache.spark.sql.DataFrame) =
+        d.select((col("event_id") % 2).as("chain"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("chain"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("tc"))
+      val merged = partial(df.filter(col("ts") <= lit(wm)))
+        .unionByName(partial(df.filter(col("ts") > lit(wm))))
+        .groupBy(col("chain"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("tc")).as("tc"))
+        .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+      val cold = partial(df)
+        .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+      merged == cold
+    }
+}
