@@ -468,6 +468,73 @@ object StreamingPipeline {
     try body finally spark.conf.set(key, prev)
   }
 
+  case class ValuedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class AttributedPurchase(user_id: Long, touch_type: String, cents: Long)
+
+  private val TOUCH_TYPES = Set("view", "click", "signup")
+
+  /** Streaming last-touch attribution — the online twin of the batch
+    * [[graft.ops.Relational.attribution]] carry window: keyed state is
+    * the user's LAST touch type (one string per user, exactly the
+    * transitions-monitor footprint), each arriving purchase emits its
+    * credit immediately (cents exact), each arriving touch becomes the
+    * new state. Same ordering contract as [[transitionsStream]]:
+    * (ts-with-nanos, event_id) within a micro-batch, arrival order
+    * across batches.
+    */
+  def attributionStream(events: Dataset[ValuedEvent]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[String]) =>
+          val ordered =
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+          var touch = state.getOption
+          ordered.foreach { r =>
+            if (r.event_type == "purchase")
+              out += AttributedPurchase(user, touch.getOrElse("none"),
+                math.round(r.value * 100))
+            if (TOUCH_TYPES(r.event_type)) touch = Some(r.event_type)
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** The ORACLE-GATED replay of [[attributionStream]]: events arrive
+    * through the file stream, per-purchase credits land in a parquet
+    * sink, and the sink rolls up to the same (touch_type, n, cents)
+    * report as the batch carry window — gated against the SAME DuckDB
+    * SQL as `event_attribution`.
+    */
+  def eventAttributionReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("attribution_replay")
+    val out = s"$tmp/credits"
+    withStatePartitions(spark, 8) {
+      val q = attributionStream(
+          Tables.eventsStream(spark, sfDir)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .as[ValuedEvent])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
   /** The ORACLE-GATED replay of [[enrichJoinStream]]: the tx side arrives
     * through the events file stream (watermark filter applied on the
     * projected view), the price side replays the daily dim as its own

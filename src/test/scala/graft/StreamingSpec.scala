@@ -231,6 +231,37 @@ class StreamingSpec extends SparkSpec {
       "pairs must respect within-batch ts order and survive the batch boundary")
   }
 
+  test("streaming attribution: credits across micro-batches equal the batch carry window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamingPipeline.attributionStream(
+        in.toDS().map(r => StreamingPipeline.ValuedEvent(r._1, r._2, r._3, r._4, r._5)))
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // batch 1: organic purchase before any touch, then a click
+    in.addData((1L, t(1), 1L, "purchase", 5.00), (2L, t(2), 1L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: the click state survives the boundary; an error cannot
+    // steal credit; a later view takes over for the final purchase
+    in.addData((3L, t(5), 1L, "error", 0.0), (4L, t(6), 1L, "purchase", 2.50),
+      (5L, t(7), 1L, "view", 0.0), (6L, t(8), 1L, "purchase", 1.00))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrstream")
+      .as[StreamingPipeline.AttributedPurchase].collect()
+      .map(a => (a.touch_type, a.cents)).sorted.toSeq
+    assert(streamed == Seq(("click", 250L), ("none", 500L), ("view", 100L)))
+    // and the batch twin lands on the identical rollup
+    val batch = graft.ops.Relational.attribution(
+        Seq((1L, t(1), 1L, "purchase", 5.00), (2L, t(2), 1L, "click", 0.0),
+          (3L, t(5), 1L, "error", 0.0), (4L, t(6), 1L, "purchase", 2.50),
+          (5L, t(7), 1L, "view", 0.0), (6L, t(8), 1L, "purchase", 1.00))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._3)).sorted.toSeq
+    assert(batch == streamed.groupBy(_._1).toSeq
+      .map { case (k, v) => (k, v.map(_._2).sum) }.sortBy(_._1))
+  }
+
   test("streaming scd2: closed intervals across micro-batches equal the batch non-final ones") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.{Date, Timestamp}
