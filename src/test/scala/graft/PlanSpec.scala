@@ -397,6 +397,25 @@ class PlanSpec extends SparkSpec {
       "the rollup must partial-aggregate before the shuffle")
   }
 
+  test("multimodal_pair_audit: checksum-keyed window, equi-join probe, no pair space") {
+    val p = plan("multimodal_pair_audit")
+    assert(!p.contains("SinglePartition"),
+      "the dup-rank window must partition by checksum, never collapse")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the embedding probe is a plain equi-join")
+  }
+
+  test("text_bm25_incremental: the merged index scores with no cartesian") {
+    val p = plan("text_bm25_incremental")
+    assert(!p.contains("CartesianProduct"),
+      "postings merge + scoring must stay equi-join shaped (the stats " +
+        "cross join is a broadcast 1-row frame, not a pair space)")
+  }
+
+  test("simsearch_label_mrr: label joins by key — no cartesian anywhere") {
+    assert(!plan("simsearch_label_mrr").contains("CartesianProduct"))
+  }
+
   test("simsearch_rerank: refine joins by key — no cartesian anywhere") {
     // the exact-dot stages are checkpointed (vec_dot runs inside them,
     // asserted for the sibling searches above); the final plan must still
