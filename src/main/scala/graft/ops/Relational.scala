@@ -1220,6 +1220,78 @@ object Relational {
         col("n_events"), col("total_cents"))
   }
 
+  /** Calendar split of session intervals — the interval×day OVERLAP
+    * shape the point-in-interval range join doesn't cover: each
+    * (user, session) interval is split across every calendar day it
+    * touches, crediting each day its exact in-day microseconds
+    * (time-in-day attribution, the dashboard's "usage by day" that a
+    * session's midnight crossing must not double- or mis-count). The
+    * sessionizer's user-keyed windows are the only corpus shuffle; the
+    * explode fans a session into its day count (sessions are gap-bounded,
+    * so almost always 1–2 rows); overlap arithmetic is integer
+    * microseconds — exact in both engines at any aggregation order.
+    */
+  def sessionDaySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    sessions
+      .withColumn("day", explode(expr(
+        "sequence(to_date(timestamp_micros(start_us)), to_date(timestamp_micros(end_us)))")))
+      .withColumn("day_start_us", unix_micros(col("day").cast("timestamp")))
+      .withColumn("overlap_us",
+        least(col("end_us"), col("day_start_us") + lit(dayUs)) -
+          greatest(col("start_us"), col("day_start_us")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("overlap_us")).as("in_day_us"))
+      .select(col("day").cast("string").as("day"), col("n_sessions"), col("in_day_us"))
+  }
+
+  val sessionDaySplitSql: String =
+    """WITH numbered AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM numbered),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+      |  FROM sess GROUP BY 1, 2),
+      |days AS (
+      |  SELECT start_us, end_us,
+      |         CAST(unnest(generate_series(
+      |           CAST(CAST(make_timestamp(start_us) AS DATE) AS TIMESTAMP),
+      |           CAST(CAST(make_timestamp(end_us) AS DATE) AS TIMESTAMP),
+      |           INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM per_session),
+      |split AS (
+      |  SELECT day,
+      |         least(end_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000)
+      |           - greatest(start_us, epoch_us(CAST(day AS TIMESTAMP))) AS overlap_us
+      |  FROM days)
+      |SELECT CAST(day AS VARCHAR) AS day, count(*) AS n_sessions,
+      |       CAST(sum(overlap_us) AS BIGINT) AS in_day_us
+      |FROM split GROUP BY 1""".stripMargin
+
   /** Oracle = the full recompute: the merged incremental view must equal
     * the rollup a cold batch job would build from scratch.
     */
