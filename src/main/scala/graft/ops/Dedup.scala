@@ -231,11 +231,30 @@ object Dedup {
        |             AND x.doc_id < y.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** The standing corpus's band index — what "prior bands persist as an
+    * index" means operationally: (doc_id, band_no, bucket) rows keyed by
+    * the standing half's fingerprint, memoized per session and persisted
+    * per corpus ([[FitStore]] artifact `minhash_bands_prior`). A nightly
+    * batch probes this index; only the arriving side re-hashes.
+    */
+  private def priorBandIndex(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"minhash_bands_prior:$sfDir") {
+      FitStore.frame(spark, "minhash_bands_prior",
+        FitStore.documentsFp(spark, sfDir, half = Some(0))) {
+        minhashBands(Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0))
+      }.localCheckpoint()
+    }
+
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    incrementalMinhashMatches(
-      docs.filter(col("doc_id") % 2 === 1),
-      docs.filter(col("doc_id") % 2 === 0))
+    val x = minhashBands(docs.filter(col("doc_id") % 2 === 1))
+      .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
+    val y = priorBandIndex(spark, sfDir)
+      .select(col("band_no"), col("bucket"), col("doc_id").as("prior_id"))
+    x.join(y, Seq("band_no", "bucket"))
+      .groupBy(col("new_id"), col("prior_id"))
+      .agg(count(lit(1)).cast("long").as("n_bands"))
   }
 
   val dedupIncrementalSql: String =

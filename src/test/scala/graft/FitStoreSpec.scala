@@ -57,6 +57,10 @@ class FitStoreSpec extends SparkSpec {
     roundTrip("pq", () => Similarity.simsearchPq(spark, sf))
   }
 
+  test("standing minhash band index: load ≡ refit") {
+    roundTrip("minhash_bands", () => Dedup.dedupIncremental(spark, sf))
+  }
+
   test("bm25 inverted index (doc postings): load ≡ refit") {
     roundTrip("bm25", () => TextAnalysis.textBm25(spark, sf))
   }
