@@ -1756,8 +1756,20 @@ object TextAnalysis {
     * One pass is the standard trade (each pass costs a corpus scan) and
     * is what the oracle states.
     */
-  def decontamScrub(docs: DataFrame): DataFrame = {
-    val isBench = col("doc_id") % DECONTAM_MOD === 0
+  def decontamScrub(docs: DataFrame): DataFrame =
+    decontamScrubAgainst(docs.filter(col("doc_id") % DECONTAM_MOD =!= 0),
+      docs.filter(col("doc_id") % DECONTAM_MOD === 0))
+
+  /** The JOIN-form scrub against an EXPLICIT benchmark-document side —
+    * factored so the streaming replay can run it per micro-batch against
+    * the standing suite (`docs` must already exclude bench documents).
+    * The join probe is what scales when the suite is LARGE: cost per
+    * document is its own shingle count, never O(\|bench\|) — the
+    * literal-set form ([[scrubAgainstSet]]) pays the whole suite per row
+    * and measurably goes linear-in-suite (SCALING.md round 10).
+    */
+  private[graft] def decontamScrubAgainst(docs: DataFrame,
+      benchDocs: DataFrame): DataFrame = {
     // positional 3-grams: (doc_id, i, shingle) with i 1-based token index
     def posShingles(d: DataFrame): DataFrame = d
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
@@ -1767,8 +1779,8 @@ object TextAnalysis {
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
           .stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
-    val bench = posShingles(docs.filter(isBench)).select(col("shingle")).distinct()
-    val hits = posShingles(docs.filter(!isBench))
+    val bench = posShingles(benchDocs).select(col("shingle")).distinct()
+    val hits = posShingles(docs)
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("hits"))
@@ -1776,7 +1788,7 @@ object TextAnalysis {
     // broadcast hint — AQE broadcasts it when small and falls back to a
     // doc_id-keyed shuffle join when not, which is linear either way.
     // Only the benchmark set above gets the hint (fixed-size eval suite).
-    docs.filter(!isBench)
+    docs
       .join(hits, Seq("doc_id"), "left")
       .withColumn("toks", split(col("text"), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))

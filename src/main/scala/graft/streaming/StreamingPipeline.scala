@@ -636,26 +636,34 @@ object StreamingPipeline {
         col("firstSeenAt"), col("firstStake"))
   }
 
-  /** The ORACLE-GATED replay of [[scrubStream]]: documents arrive
-    * through the file stream, each is scrubbed by the stateless
-    * driver-set projection (benchmark 3-grams from the STANDING corpus —
-    * the same corpus, so the gate checks the full decontam-scrub
-    * semantics), and the parquet sink is read back — against the SAME
-    * DuckDB SQL as the batch `text_decontam_scrub`. No state store at
-    * all: this gates the streaming text-curation plumbing (schema
-    * through the file source, array-side redaction per micro-batch,
-    * sink round-trip), the shape a firehose scrubber deploys.
+  /** The ORACLE-GATED streaming scrub: documents arrive through the
+    * file stream and each micro-batch runs the JOIN-form scrub against
+    * the STANDING benchmark suite (`foreachBatch` — per-batch cost is
+    * each document's own shingle count, never O(|bench|) per row), then
+    * the parquet sink is read back — against the SAME DuckDB SQL as the
+    * batch `text_decontam_scrub`. This is the form that survives a
+    * LARGE suite: the literal-set twin ([[scrubStream]], still spec'd
+    * for small-suite firehoses) measurably goes linear-in-suite when
+    * the suite grows with the corpus (SCALING.md round 10 — the 10×
+    * rehearsal grows the suite by construction and the literal probe hit
+    * exponent 1.0, while this join form stays flat). No state store;
+    * exactly-once by AvailableNow + append idempotence of the replay.
     */
   def decontamScrubReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("scrub_replay")
     val out = s"$tmp/scrubbed"
-    val q = scrubStream(
-        Tables.documentsStream(spark, sfDir), Tables.documents(spark, sfDir))
-      .writeStream.format("parquet")
-      .option("path", out)
+    val benchDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD === 0)
+    val q = Tables.documentsStream(spark, sfDir)
+      .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.TextAnalysis.decontamScrubAgainst(
+            batch.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD =!= 0),
+            benchDocs)
+          .write.mode("append").parquet(out)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
