@@ -647,7 +647,9 @@ object StreamingPipeline {
     * the suite grows with the corpus (SCALING.md round 10 — the 10×
     * rehearsal grows the suite by construction and the literal probe hit
     * exponent 1.0, while this join form stays flat). No state store;
-    * exactly-once by AvailableNow + append idempotence of the replay.
+    * exactly-once the same way [[writeIdempotent]] is: foreachBatch is
+    * at-least-once, so the append is guarded by a doc_id anti-join
+    * against the sink — a replayed batch is a no-op.
     */
   def decontamScrubReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
@@ -659,10 +661,17 @@ object StreamingPipeline {
       .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ops.TextAnalysis.decontamScrubAgainst(
-            batch.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD =!= 0),
-            benchDocs)
-          .write.mode("append").parquet(out)
+        val scrubbed = graft.ops.TextAnalysis.decontamScrubAgainst(
+          batch.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD =!= 0),
+          benchDocs)
+        // foreachBatch is at-least-once; the anti-join against the sink
+        // makes a replayed batch a no-op (same contract as writeIdempotent)
+        val delta =
+          if (new java.io.File(out).exists())
+            scrubbed.join(spark.read.parquet(out).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else scrubbed
+        delta.write.mode("append").parquet(out)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
