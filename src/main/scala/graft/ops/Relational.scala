@@ -1220,6 +1220,41 @@ object Relational {
         col("n_events"), col("total_cents"))
   }
 
+  /** Market-basket co-occurrence — the frequent-pairs mining shape
+    * (Apriori's k=2 pass, the recommender's "bought together" table):
+    * distinct parts per order self-join WITHIN the order (d1 < d2), hash
+    * agg to pair supports, top-k via TakeOrdered. The pair space is
+    * bounded by order size squared — lineitems per order is a small
+    * constant (TPC-H ≤ 7; real carts similar), so the fan-out is a
+    * constant factor on the fact scan, never corpus². Only the two
+    * referenced columns are read.
+    */
+  val BASKET_TOP_K = 20
+
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val pairs = items.select(col("okey"), col("part").as("p1"))
+      .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(BASKET_TOP_K)
+  }
+
+  val basketPairsSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |pairs AS (
+       |  SELECT a.part AS p1, b.part AS p2, count(*) AS support
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2)
+       |SELECT p1, p2, support FROM pairs
+       |ORDER BY support DESC, p1, p2 LIMIT $BASKET_TOP_K""".stripMargin
+
   /** Calendar split of session intervals — the interval×day OVERLAP
     * shape the point-in-interval range join doesn't cover: each
     * (user, session) interval is split across every calendar day it
