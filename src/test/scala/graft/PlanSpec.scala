@@ -416,6 +416,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("simsearch_label_mrr").contains("CartesianProduct"))
   }
 
+  test("basket_pairs: within-order equi-join, top-k via TakeOrdered") {
+    val p = plan("basket_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must key on the order, never cross the fact table")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k supports must not global-sort")
+  }
+
   test("simsearch_rerank: refine joins by key — no cartesian anywhere") {
     // the exact-dot stages are checkpointed (vec_dot runs inside them,
     // asserted for the sibling searches above); the final plan must still
