@@ -1231,19 +1231,11 @@ object Relational {
     */
   val BASKET_TOP_K = 20
 
-  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val pairs = items.select(col("okey"), col("part").as("p1"))
-      .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("support"))
-    pairs
-      .orderBy(col("support").desc, col("p1"), col("p2"))
-      .limit(BASKET_TOP_K)
-  }
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame =
+    basketPairsFrom(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct())
 
   val basketPairsSql: String =
     s"""WITH items AS (
@@ -1254,6 +1246,72 @@ object Relational {
        |  GROUP BY 1, 2)
        |SELECT p1, p2, support FROM pairs
        |ORDER BY support DESC, p1, p2 LIMIT $BASKET_TOP_K""".stripMargin
+
+  /** Association rules over the frequent pairs — Apriori's rule step:
+    * each top pair yields both directed rules with CONFIDENCE
+    * (support(pair)/support(antecedent)) and LIFT
+    * (support(pair)·n_orders / (support(p1)·support(p2))) — all ratios
+    * of exact integers, round-pinned once, so both engines agree
+    * bit-for-bit. Item supports are a |parts|-row broadcastable dim; the
+    * order count is one scalar; nothing beyond [[basketPairs]]'s bounded
+    * pair space is computed.
+    */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint()
+    val itemSup = items.groupBy(col("part")).agg(count(lit(1)).as("sup"))
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val pairs = basketPairsFrom(items)
+    val directed = pairs.select(col("p1").as("antecedent"),
+        col("p2").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("p2").as("antecedent"),
+        col("p1").as("consequent"), col("support")))
+    directed
+      .join(broadcast(itemSup.select(col("part").as("antecedent"),
+        col("sup").as("sup_a"))), Seq("antecedent"))
+      .join(broadcast(itemSup.select(col("part").as("consequent"),
+        col("sup").as("sup_c"))), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        round(col("support").cast("double") / col("sup_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("support").cast("double") * col("n_orders").cast("double") /
+          (col("sup_a").cast("double") * col("sup_c").cast("double")), 6)
+          .as("lift"))
+  }
+
+  private def basketPairsFrom(items: DataFrame): DataFrame =
+    items.select(col("okey"), col("part").as("p1"))
+      .join(items.select(col("okey"), col("part").as("p2")), Seq("okey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(BASKET_TOP_K)
+
+  val basketRulesSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |isup AS (SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1),
+       |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+       |pairs AS (
+       |  SELECT a.part AS p1, b.part AS p2, CAST(count(*) AS BIGINT) AS support
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2
+       |  ORDER BY support DESC, p1, p2 LIMIT $BASKET_TOP_K),
+       |directed AS (
+       |  SELECT p1 AS antecedent, p2 AS consequent, support FROM pairs
+       |  UNION ALL
+       |  SELECT p2 AS antecedent, p1 AS consequent, support FROM pairs)
+       |SELECT d.antecedent, d.consequent, d.support,
+       |       round(CAST(d.support AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6) AS confidence,
+       |       round(CAST(d.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+       |             / (CAST(sa.sup AS DOUBLE) * CAST(sc.sup AS DOUBLE)), 6) AS lift
+       |FROM directed d
+       |JOIN isup sa ON d.antecedent = sa.part
+       |JOIN isup sc ON d.consequent = sc.part, no n""".stripMargin
 
   /** Calendar split of session intervals — the interval×day OVERLAP
     * shape the point-in-interval range join doesn't cover: each
