@@ -176,11 +176,16 @@ object Dedup {
     * which this models by deriving both sides from the fixture corpus —
     * odd doc_ids play the new batch, even ids the standing corpus.
     */
-  def incrementalMinhashMatches(newDocs: DataFrame, priorDocs: DataFrame): DataFrame = {
-    val x = minhashBands(newDocs)
-      .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
-    val y = minhashBands(priorDocs)
-      .select(col("band_no"), col("bucket"), col("doc_id").as("prior_id"))
+  def incrementalMinhashMatches(newDocs: DataFrame, priorDocs: DataFrame): DataFrame =
+    incrementalBandMatches(minhashBands(newDocs), minhashBands(priorDocs))
+
+  /** The probe itself, over pre-built band frames — shared by the
+    * docs-level form above and the FitStore-indexed [[dedupIncremental]].
+    */
+  private def incrementalBandMatches(newBands: DataFrame,
+      priorBands: DataFrame): DataFrame = {
+    val x = newBands.select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
+    val y = priorBands.select(col("band_no"), col("bucket"), col("doc_id").as("prior_id"))
     x.join(y, Seq("band_no", "bucket"))
       .groupBy(col("new_id"), col("prior_id"))
       .agg(count(lit(1)).cast("long").as("n_bands"))
@@ -246,16 +251,11 @@ object Dedup {
       }.localCheckpoint()
     }
 
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val x = minhashBands(docs.filter(col("doc_id") % 2 === 1))
-      .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
-    val y = priorBandIndex(spark, sfDir)
-      .select(col("band_no"), col("bucket"), col("doc_id").as("prior_id"))
-    x.join(y, Seq("band_no", "bucket"))
-      .groupBy(col("new_id"), col("prior_id"))
-      .agg(count(lit(1)).cast("long").as("n_bands"))
-  }
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalBandMatches(
+      minhashBands(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 1)),
+      priorBandIndex(spark, sfDir))
 
   val dedupIncrementalSql: String =
     s"""WITH ${Tables.TOK_CTE},

@@ -231,17 +231,32 @@ object Relational {
     * classic lag + cumulative-sum window stack; shuffles once on user_id
     * and reuses that partitioning for both windows.
     */
-  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 30-minute session gap, in microseconds — THE sessionization
+    * contract; every session-derived operator shares [[sessionized]] so
+    * the rule lives in exactly one place.
+    */
+  val SESSION_GAP_US: Long = 1800L * 1000000L
+
+  /** (user_id, ts, event_id, us, session_id) — the shared sessionizer:
+    * `lag` finds the gap, a running sum over the start flags numbers the
+    * sessions. Shuffles once on user_id; both windows reuse that
+    * partitioning.
+    */
+  private def sessionized(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapUs = 1800L * 1000000L // 30 min in microseconds
-    val sessions = Tables.events(spark, sfDir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+          col("us") - col("prev_us") > SESSION_GAP_US, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessions.groupBy(col("user_id"), col("session_id"))
+  }
+
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    sessionized(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("session_events"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -1324,18 +1339,12 @@ object Relational {
     * so almost always 1–2 rows); overlap arithmetic is integer
     * microseconds — exact in both engines at any aggregation order.
     */
-  def sessionDaySplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapUs = 1800L * 1000000L
+  def sessionDaySplit(spark: SparkSession, sfDir: String): DataFrame =
+    sessionDaySplitFrom(Tables.events(spark, sfDir))
+
+  def sessionDaySplitFrom(events: DataFrame): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val sessions = Tables.events(spark, sfDir)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessionized(events)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
     sessions
@@ -1345,6 +1354,11 @@ object Relational {
       .withColumn("overlap_us",
         least(col("end_us"), col("day_start_us") + lit(dayUs)) -
           greatest(col("start_us"), col("day_start_us")))
+      // a session ENDING exactly at midnight touches the next day for 0 µs
+      // — not usage on that day; zero-duration (single-event) sessions DO
+      // count on their own start day
+      .filter(col("overlap_us") > 0 ||
+        col("day") === to_date(timestamp_micros(col("start_us"))))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("overlap_us")).as("in_day_us"))
       .select(col("day").cast("string").as("day"), col("n_sessions"), col("in_day_us"))
@@ -1377,13 +1391,15 @@ object Relational {
       |           INTERVAL 1 DAY)) AS DATE) AS day
       |  FROM per_session),
       |split AS (
-      |  SELECT day,
+      |  SELECT day, start_us,
       |         least(end_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000)
       |           - greatest(start_us, epoch_us(CAST(day AS TIMESTAMP))) AS overlap_us
       |  FROM days)
       |SELECT CAST(day AS VARCHAR) AS day, count(*) AS n_sessions,
       |       CAST(sum(overlap_us) AS BIGINT) AS in_day_us
-      |FROM split GROUP BY 1""".stripMargin
+      |FROM split
+      |WHERE overlap_us > 0 OR day = CAST(make_timestamp(start_us) AS DATE)
+      |GROUP BY 1""".stripMargin
 
   /** Oracle = the full recompute: the merged incremental view must equal
     * the rollup a cold batch job would build from scratch.

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * refitting was pure-query discipline paying a real cost (~15 s of the
   * sf0.1 bench was repeated work).
   *
+  * Lifetime note: most entries are MODEL-sized (centroids, merge tables,
+  * driver doubles), but a few are CORPUS-LINEAR localCheckpointed frames
+  * (BM25 postings, the chunk postings, the standing minhash band index,
+  * the standing cluster assignment) whose blocks stay pinned in executor
+  * storage until [[clear]] or session stop. A long-lived session serving
+  * many corpora should `clear` between corpora — the bench does exactly
+  * that between iterations — and a deployment that wants the artifacts
+  * WITHOUT the pinned blocks reads them back from the FitStore instead.
+  *
   * Queries stay pure: the key is (session, artifact id), the cached value
   * is exactly what recomputation would produce — every producer routed
   * through here is deterministic (integer/decimal arithmetic, seeded

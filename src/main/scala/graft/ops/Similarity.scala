@@ -678,19 +678,31 @@ object Similarity {
     * production codebooks (8 bits × 8–64 subspaces) sit between the two,
     * and THIS query is how a deployment picks its point on that curve.
     */
+  /** Exact inner-product top-[[IVF_TOP_K]] per query — THE ground truth
+    * both quantization-loss sweeps ([[simsearchRecallQuant]]) and the
+    * two-stage refine ([[simsearchRerank]]) rank against; session-
+    * memoized so the two eval queries don't each re-pay the
+    * |corpus|×|queries| brute scan.
+    */
+  private def mipsTruth(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"mips_truth:$sfDir") {
+      graft.functions.VectorFunctions.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+      val cands = emb.select(col("vec_id").as("n_id"), col("embedding").as("ec"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+      cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .withColumn("ip", round(dotExpr("eq", "ec"), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= IVF_TOP_K)
+        .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+    }
+
   def simsearchRecallQuant(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    val queries = base.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("q_id"), col("embedding").as("eq"))
-    val cands = base.select(col("vec_id").as("n_id"), col("embedding").as("ec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
-    val truth = cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
-      .withColumn("ip", round(dotExpr("eq", "ec"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= IVF_TOP_K)
-      .select(col("q_id"), col("n_id"))
-      .localCheckpoint()
+    val truth = mipsTruth(spark, sfDir)
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
     def recallRow(method: String, res: DataFrame): DataFrame =
       res.select(col("q_id"), col("n_id"))
@@ -802,15 +814,10 @@ object Similarity {
       .withColumn("ip", round(dotExpr("eq", "ec"), 6))
       .select(col("q_id"), col("n_id"), col("prnk"), col("ip"))
       .localCheckpoint()
-    // exact-MIPS truth — the same ground truth simsearchRecallQuant uses
-    val cands = emb.select(col("vec_id").as("n_id"), col("embedding").as("ec"))
+    // exact-MIPS truth — the SAME shared frame simsearchRecallQuant ranks
+    // against (session-memoized; see mipsTruth)
+    val truth = mipsTruth(spark, sfDir)
     val wIp = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
-    val truth = cands.join(broadcast(queries), col("n_id") =!= col("q_id"))
-      .withColumn("ip", round(dotExpr("eq", "ec"), 6))
-      .withColumn("rnk", row_number().over(wIp))
-      .filter(col("rnk") <= IVF_TOP_K)
-      .select(col("q_id"), col("n_id"))
-      .localCheckpoint()
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
     RERANK_BUDGETS.map { r =>
       exact.filter(col("prnk") <= r)

@@ -1768,18 +1768,29 @@ object TextAnalysis {
     * literal-set form ([[scrubAgainstSet]]) pays the whole suite per row
     * and measurably goes linear-in-suite (SCALING.md round 10).
     */
+  /** Positional 3-grams: (doc_id, i, shingle) with i 1-based token index. */
+  private def posShingles(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"), posexplode(expr(
+      """transform(sequence(1, size(toks) - 2),
+        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
+        .stripMargin)))
+    .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
+
   private[graft] def decontamScrubAgainst(docs: DataFrame,
-      benchDocs: DataFrame): DataFrame = {
-    // positional 3-grams: (doc_id, i, shingle) with i 1-based token index
-    def posShingles(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"""
-          .stripMargin)))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("shingle"))
-    val bench = posShingles(benchDocs).select(col("shingle")).distinct()
+      benchDocs: DataFrame): DataFrame =
+    decontamScrubAgainstShingles(docs, benchShinglesOf(benchDocs))
+
+  /** The suite's distinct 3-gram set — build ONCE per standing suite
+    * (and localCheckpoint it) when scrubbing many batches against it;
+    * [[decontamScrubAgainst]] rebuilds it per call.
+    */
+  private[graft] def benchShinglesOf(benchDocs: DataFrame): DataFrame =
+    posShingles(benchDocs).select(col("shingle")).distinct()
+
+  private[graft] def decontamScrubAgainstShingles(docs: DataFrame,
+      bench: DataFrame): DataFrame = {
     val hits = posShingles(docs)
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))

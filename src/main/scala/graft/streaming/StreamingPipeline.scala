@@ -496,7 +496,10 @@ object StreamingPipeline {
           ordered.foreach { r =>
             if (r.event_type == "purchase")
               out += AttributedPurchase(user, touch.getOrElse("none"),
-                math.round(r.value * 100))
+                // HALF_UP like the batch twin's round(value*100) and the
+                // oracle (math.round is half-toward-+inf: wrong on refunds)
+                java.math.BigDecimal.valueOf(r.value * 100)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
             if (TOUCH_TYPES(r.event_type)) touch = Some(r.event_type)
           }
           touch.foreach(state.update)
@@ -655,15 +658,19 @@ object StreamingPipeline {
       sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("scrub_replay")
     val out = s"$tmp/scrubbed"
-    val benchDocs = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD === 0)
+    // the standing suite's shingle set is built and materialized ONCE —
+    // per-batch work must never include re-shingling the whole suite
+    val benchShingles = graft.ops.TextAnalysis.benchShinglesOf(
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD === 0))
+      .localCheckpoint()
     val q = Tables.documentsStream(spark, sfDir)
       .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val scrubbed = graft.ops.TextAnalysis.decontamScrubAgainst(
+        val scrubbed = graft.ops.TextAnalysis.decontamScrubAgainstShingles(
           batch.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD =!= 0),
-          benchDocs)
+          benchShingles)
         // foreachBatch is at-least-once; the anti-join against the sink
         // makes a replayed batch a no-op (same contract as writeIdempotent)
         val delta =

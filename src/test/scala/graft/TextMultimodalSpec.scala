@@ -1117,6 +1117,28 @@ class TextMultimodalSpec extends SparkSpec {
       ("none", 1L, 700L)))
   }
 
+  test("session day split: midnight crossing credits exact overlap; zero-overlap boundary day excluded") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: one session 23:50 -> 00:00:00 next day (gap < 30 min):
+      // 10 min on Jan 1, ZERO µs on Jan 2 -> Jan 2 must NOT count it
+      (1L, 1L, Timestamp.valueOf("2024-01-01 23:50:00")),
+      (2L, 1L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      // user 2: one session genuinely crossing: 23:55 -> 00:10 next day
+      (3L, 2L, Timestamp.valueOf("2024-01-02 23:55:00")),
+      (4L, 2L, Timestamp.valueOf("2024-01-03 00:10:00")),
+      // user 3: a single-event (zero-duration) session counts on its day
+      (5L, 3L, Timestamp.valueOf("2024-01-04 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Relational.sessionDaySplitFrom(ev)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "2024-01-01" -> (1L, 600000000L),   // 10 min
+      "2024-01-02" -> (1L, 300000000L),   // only user 2's 5 min; user 1's 0-µs tail excluded
+      "2024-01-03" -> (1L, 600000000L),   // user 2's 10 min after midnight
+      "2024-01-04" -> (1L, 0L)))          // zero-duration session still counts
+  }
+
   test("incremental rollup merge equals the cold recompute; the cut day really splits") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
