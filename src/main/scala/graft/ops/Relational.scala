@@ -1220,20 +1220,31 @@ object Relational {
     */
   val MERGE_WM = "2024-01-10 12:00:00"
 
-  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The partial/merge pipeline itself, over ARBITRARY pre/post event
+    * slices — factored out so the split-point-invariance property can
+    * drive the production code path at randomized watermarks (not just
+    * the [[MERGE_WM]] split). Output keys on (chain, day-as-date);
+    * [[aggIncremental]] string-casts the day for the oracle compare.
+    */
+  def aggIncrementalMerge(pre: DataFrame, post: DataFrame): DataFrame = {
     def partial(df: DataFrame): DataFrame =
       df.select((col("event_id") % 2).as("chain"), to_date(col("ts")).as("day"),
           round(col("value") * 100).cast("long").as("cents"))
         .groupBy(col("chain"), col("day"))
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
-    partial(Tables.eventsUntil(spark, sfDir, MERGE_WM))
-      .unionByName(partial(Tables.eventsSince(spark, sfDir, MERGE_WM)))
+    partial(pre)
+      .unionByName(partial(post))
       .groupBy(col("chain"), col("day"))
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("total_cents")).as("total_cents"))
+  }
+
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    aggIncrementalMerge(
+      Tables.eventsUntil(spark, sfDir, MERGE_WM),
+      Tables.eventsSince(spark, sfDir, MERGE_WM))
       .select(col("chain"), col("day").cast("string").as("day"),
         col("n_events"), col("total_cents"))
-  }
 
   /** Market-basket co-occurrence — the frequent-pairs mining shape
     * (Apriori's k=2 pass, the recommender's "bought together" table):

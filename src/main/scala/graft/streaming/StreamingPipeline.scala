@@ -195,8 +195,11 @@ object StreamingPipeline {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // earliest (ts, doc_id) is the bucket representative,
-            // matching the batch pair orientation (d1 < d2 by arrival)
-            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            // matching the batch pair orientation (d1 < d2 by arrival);
+            // full-precision ordering (millis, nanos, id) — the same
+            // uniform intra-batch rule as transitions/first-seen, so two
+            // sub-millisecond arrivals can't swap representatives
+            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.doc_id))
             val (rep, later) =
               if (state.exists) (state.get, batch)
               else { state.update(batch.head.doc_id); (batch.head.doc_id, batch.tail) }
@@ -459,6 +462,14 @@ object StreamingPipeline {
     * deployment sizes this to its state volume the same way — state
     * partitions are a capacity knob, not a correctness one (the gated
     * oracle compare proves result-identity).
+    *
+    * CONCURRENCY CONTRACT: the override mutates the SHARED session conf
+    * for the duration of `body` — any query PLANNED concurrently in the
+    * same SparkSession would silently pick up the reduced partition
+    * count. The Verify/Bench harnesses run queries strictly sequentially
+    * (this is the assumption); a concurrent caller must instead use
+    * `spark.newSession()` (own conf, shared state) and set the override
+    * there.
     */
   private def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
       n: Int)(body: => T): T = {
@@ -672,9 +683,14 @@ object StreamingPipeline {
           batch.filter(col("doc_id") % graft.ops.TextAnalysis.DECONTAM_MOD =!= 0),
           benchShingles)
         // foreachBatch is at-least-once; the anti-join against the sink
-        // makes a replayed batch a no-op (same contract as writeIdempotent)
+        // makes a replayed batch a no-op (same contract as writeIdempotent).
+        // Existence resolves through the Hadoop FileSystem API so the
+        // guard holds for ANY sink scheme (hdfs://, s3a://, file:) — a
+        // java.io.File probe would silently skip the anti-join off-box
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val delta =
-          if (new java.io.File(out).exists())
+          if (fs.exists(outPath))
             scrubbed.join(spark.read.parquet(out).select(col("doc_id")),
               Seq("doc_id"), "left_anti")
           else scrubbed

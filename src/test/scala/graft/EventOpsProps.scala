@@ -26,13 +26,17 @@ object EventOpsProps extends Properties("EventOps") {
 
   /** (user, type-index, minute-of-window, cents) rows; ids assigned by
     * position so (ts, event_id) ordering is total and reproducible.
+    * Values span NEGATIVE cents too (refunds) so the rounding contract —
+    * HALF_UP away from zero, what Spark's `round` and the streaming
+    * twin's BigDecimal both do, and what `math.round` (half toward +inf)
+    * gets wrong at negative .5 — is exercised on both signs.
     */
   private val genEvents: Gen[List[(Long, Long, String, Timestamp, Double)]] =
     Gen.listOfN(60, for {
       user <- Gen.choose(0L, 4L) // tiny domain -> long per-user chains
       t <- Gen.choose(0, TYPES.size - 1)
       minute <- Gen.choose(0, 3 * 24 * 60 - 1) // three days
-      cents <- Gen.choose(1, 9999)
+      cents <- Gen.choose(-9999, 9999)
     } yield (user, t, minute, cents)).map { rows =>
       rows.zipWithIndex.map { case ((user, t, minute, cents), i) =>
         val ts = Timestamp.valueOf(
@@ -53,7 +57,11 @@ object EventOpsProps extends Properties("EventOps") {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       ordered.foreach { e =>
         if (e._3 == "purchase")
-          out += ((touch.getOrElse("none"), math.round(e._5 * 100)))
+          // HALF_UP (away from zero) — the product contract; math.round
+          // would disagree at negative exact-.5 boundaries
+          out += ((touch.getOrElse("none"),
+            BigDecimal(e._5 * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue))
         if (TOUCH(e._3)) touch = Some(e._3)
       }
       out
@@ -69,23 +77,22 @@ object EventOpsProps extends Properties("EventOps") {
       got == refAttribution(rows)
     }
 
+  /** Drives the PRODUCTION partial/merge path
+    * ([[Relational.aggIncrementalMerge]]) at a RANDOMIZED watermark: the
+    * merged pre/post split must equal a cold single-pass rollup (the
+    * degenerate split with an empty delta) at every cut point — days
+    * split mid-way genuinely produce two partials for one key.
+    */
   property("incremental rollup merge is split-point invariant") =
     forAll(genEvents, Gen.choose(0, 3 * 24 * 60)) { (rows, splitMinute) =>
       import org.apache.spark.sql.functions._
       val df = toDF(rows)
       val wm = Timestamp.valueOf(
         f"2024-01-${splitMinute / (24 * 60) + 1}%02d ${splitMinute / 60 % 24}%02d:${splitMinute % 60}%02d:00")
-      def partial(d: org.apache.spark.sql.DataFrame) =
-        d.select((col("event_id") % 2).as("chain"), to_date(col("ts")).as("day"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .groupBy(col("chain"), col("day"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("tc"))
-      val merged = partial(df.filter(col("ts") <= lit(wm)))
-        .unionByName(partial(df.filter(col("ts") > lit(wm))))
-        .groupBy(col("chain"), col("day"))
-        .agg(sum(col("n")).as("n"), sum(col("tc")).as("tc"))
+      val merged = Relational
+        .aggIncrementalMerge(df.filter(col("ts") <= lit(wm)), df.filter(col("ts") > lit(wm)))
         .as[(Long, java.sql.Date, Long, Long)].collect().toSet
-      val cold = partial(df)
+      val cold = Relational.aggIncrementalMerge(df, df.limit(0))
         .as[(Long, java.sql.Date, Long, Long)].collect().toSet
       merged == cold
     }
