@@ -654,7 +654,7 @@ object Dedup {
     * column (1-based array indexing): each projection is a left-associated
     * add/subtract chain seeded with 0.0.
     */
-  private def bucketExprSql(t: Int, dim: Int = EMB_DIM): String =
+  private[ops] def bucketExprSql(t: Int, dim: Int = EMB_DIM): String =
     (0 until HYP_BITS).map { i =>
       val proj = (0 until dim).map { j =>
         val op = if (hypSign(t, i, j) > 0) "+" else "-"
@@ -671,7 +671,7 @@ object Dedup {
     * is exact and vec_dot folds left from 0.0 in double, exactly like the
     * SQL chain.
     */
-  private def bucketCol(t: Int, dim: Int): Column =
+  private[ops] def bucketCol(t: Int, dim: Int): Column =
     (0 until HYP_BITS).map { i =>
       val arr = (0 until dim)
         .map(j => s"CAST(${hypSign(t, i, j)} AS FLOAT)")
@@ -1634,10 +1634,20 @@ object Dedup {
   def simsearchKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
     knnGraph(Tables.embeddings(spark, sfDir))
 
-  val simsearchKnnGraphSql: String = {
-    val bucketUnion = (0 until HYP_TABLES)
-      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t)} AS bucket FROM embeddings")
-      .mkString("\n  UNION ALL ")
+  /** The k-NN-graph oracle, parameterized by out-degree — [[KNN_K]] for
+    * the gated construction query, a denser serving degree for the
+    * graph-ANN index ([[Similarity.simsearchGraphTopk]]).
+    */
+  /** The (vec_id, t, bucket) union of all [[HYP_TABLES]] hash tables over
+    * `embeddings` — shared by the knn-graph oracle and the graph-ANN
+    * seed CTE ([[Similarity.simsearchGraphTopk]]'s oracle).
+    */
+  private[ops] def bucketUnionSql: String = (0 until HYP_TABLES)
+    .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t)} AS bucket FROM embeddings")
+    .mkString("\n  UNION ALL ")
+
+  def knnGraphSqlFor(k: Int): String = {
+    val bucketUnion = bucketUnionSql
     s"""WITH ${Similarity.UNNEST_CTE},
        |${Similarity.NORM_CTE},
        |buckets AS (
@@ -1663,8 +1673,10 @@ object Dedup {
        |                               ORDER BY cosine DESC, nn_id) AS rn
        |  FROM cos)
        |SELECT vec_id, nn_id, cosine, rn
-       |FROM ranked WHERE rn <= $KNN_K""".stripMargin
+       |FROM ranked WHERE rn <= $k""".stripMargin
   }
+
+  val simsearchKnnGraphSql: String = knnGraphSqlFor(KNN_K)
 
   /** Cosine threshold for SEMANTIC clustering — looser than the 0.9
     * near-dup flag: clusters group vectors whose best LSH-bucketed match

@@ -2338,4 +2338,380 @@ object Similarity {
        |              AS BIGINT) AS rnk
        |  FROM asgf)
        |SELECT cell, vec_id, rnk FROM ranked WHERE rnk <= $DIVERSE_PER_CELL""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Graph-based ANN search (beam traversal over the k-NN graph)
+  // --------------------------------------------------------------------
+
+  /** Fixed expansion rounds — the unrollable analogue of HNSW's
+    * "until no closer neighbor" loop. Bounded rounds keep the plan a
+    * finite DAG (no driver-side convergence test) and are how this
+    * oracle replays in SQL; seeded from the query's own LSH bucket the
+    * beam sits in the right region from round 0 and each round is one
+    * neighbor-of-neighbor hop.
+    */
+  val GRAPH_ROUNDS = 3
+
+  /** Serving beam width, and the sweep widths for the recall query. */
+  val GRAPH_BEAM = 8
+  val GRAPH_BEAMS: Seq[Int] = Seq(2, 4, 8)
+
+  /** Out-degree of the SERVING adjacency — denser than the gated
+    * construction query's [[Dedup.KNN_K]] (real graph indexes build at
+    * M=16–48; navigability needs degree): same builder, own constant,
+    * so `simsearch_knn_graph` stays byte-stable while the search index
+    * gets the connectivity recall depends on.
+    */
+  val GRAPH_DEGREE = 12
+
+  /** NN-descent refinement rounds for the serving adjacency. The LSH
+    * init alone is a WEAK graph on weak-signal data (a true neighbor at
+    * cosine ≈ 0.3 shares a 6-bit sign-LSH bucket only ~13% of the time
+    * over 3 tables), and a traversal can never out-search its graph.
+    * Each round proposes every neighbor-of-neighbor over the
+    * UNDIRECTED current graph as a candidate edge and re-keeps top-k —
+    * the Dong et al. iteration, which converges the adjacency toward
+    * the true k-NN graph in 2–3 rounds. Candidate fan-out is N·(2k)²
+    * rows per round — degree-bounded, never corpus² (production
+    * NN-descent additionally ρ-samples the candidate lists; k here is a
+    * constant, so the build is corpus-linear as written).
+    */
+  val NND_ITERS = 3
+
+  /** NN-descent: LSH-bucket k-NN init ([[Dedup.knnGraph]] at the
+    * serving degree), then [[NND_ITERS]] rounds of
+    * undirected-neighbor-of-neighbor candidate generation, exact
+    * rescoring, and top-k re-selection per node. Fully deterministic
+    * (round-pinned cosines, dst tie-break), so the oracle replays the
+    * construction round-for-round.
+    */
+  private[graft] def nnDescentAdj(emb: DataFrame, k: Int = GRAPH_DEGREE,
+      iters: Int = NND_ITERS, dim: Int = Dedup.EMB_DIM): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val pay = withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nm")).localCheckpoint()
+    var adj = Dedup.knnGraph(emb, k = k, dim = dim)
+      .select(col("vec_id").as("src"), col("nn_id").as("dst")).localCheckpoint()
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    (1 to iters).foreach { _ =>
+      val und = adj
+        .unionByName(adj.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val hop = und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val cands = und.unionByName(hop).distinct()
+      val scored = cands
+        .join(pay.select(col("vec_id").as("src"),
+          col("embedding").as("es"), col("nm").as("ns")), Seq("src"))
+        .join(pay.select(col("vec_id").as("dst"),
+          col("embedding").as("ed"), col("nm").as("nd")), Seq("dst"))
+        .withColumn("cosine", round(dotExpr("es", "ed") / (col("ns") * col("nd")), 6))
+      adj = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("src"), col("dst")).localCheckpoint()
+    }
+    adj
+  }
+
+  /** The NN-descent construction replayed as chained CTEs: init is the
+    * already-gated LSH k-NN ranking, each round is und → hop → cand →
+    * rescore → top-k. Returns (src, dst).
+    */
+  def nnDescentAdjSql(k: Int = GRAPH_DEGREE, iters: Int = NND_ITERS): String = {
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0 inlines
+    // CTEs at each reference site, and this chain references each round's
+    // frames twice — inlining would re-evaluate the whole construction
+    // exponentially in depth
+    val roundCtes = (1 to iters).map { r =>
+      s"""und$r AS MATERIALIZED (
+         |  SELECT src, dst FROM adj${r - 1}
+         |  UNION SELECT dst AS src, src AS dst FROM adj${r - 1}),
+         |hop$r AS (
+         |  SELECT DISTINCT a.src, b.dst
+         |  FROM und$r a JOIN und$r b ON a.dst = b.src
+         |  WHERE a.src <> b.dst),
+         |cand$r AS MATERIALIZED (
+         |  SELECT src, dst FROM und$r UNION SELECT src, dst FROM hop$r),
+         |sc$r AS (
+         |  SELECT c.src, c.dst, sum(a.x * b.x) AS dot
+         |  FROM cand$r c
+         |  JOIN u a ON a.vec_id = c.src
+         |  JOIN u b ON b.vec_id = c.dst AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |co$r AS (
+         |  SELECT s.src, s.dst, round(s.dot / (n1.nm * n2.nm), 6) AS cosine
+         |  FROM sc$r s
+         |  JOIN nrm n1 ON s.src = n1.vec_id
+         |  JOIN nrm n2 ON s.dst = n2.vec_id),
+         |adj$r AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT co.*, row_number() OVER (PARTITION BY src
+         |                                    ORDER BY cosine DESC, dst) AS rn
+         |    FROM co$r co) rk WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM u GROUP BY 1),
+       |buckets AS MATERIALIZED (
+       |  ${Dedup.bucketUnionSql}),
+       |icand AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |idots AS (
+       |  SELECT c.src, c.dst, sum(a.x * b.x) AS dot
+       |  FROM icand c
+       |  JOIN u a ON a.vec_id = c.src
+       |  JOIN u b ON b.vec_id = c.dst AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |icos AS (
+       |  SELECT d.src, d.dst, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM idots d
+       |  JOIN nrm n1 ON d.src = n1.vec_id
+       |  JOIN nrm n2 ON d.dst = n2.vec_id),
+       |adj0 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT ic.*, row_number() OVER (PARTITION BY src
+       |                                    ORDER BY cosine DESC, dst) AS rn
+       |    FROM icos ic) rk WHERE rn <= $k),
+       |$roundCtes
+       |SELECT src, dst FROM adj$iters""".stripMargin
+  }
+
+  /** The serving GRAPH INDEX: the NN-descent-refined k-NN adjacency
+    * ([[nnDescentAdj]], initialized from [[Dedup.knnGraph]] — the
+    * construction primitive `simsearch_knn_graph` already gates)
+    * with each neighbor's vector payload riding on the edge — so beam
+    * expansion is ONE broadcast-frontier join against a static,
+    * src-partitioned edge frame, never a join back into the corpus.
+    * The adjacency persists through [[FitStore]] (pure (src, dst) rows,
+    * fingerprint-keyed like every other fitted artifact); the payload
+    * join is paid once per session and the assembled index is
+    * [[SharedFits]]-memoized across the graph queries. At 100 TB this
+    * is exactly the FAISS/HNSW storage split: adjacency ~ N·k longs,
+    * vectors stay columnar beside it, and the per-query state is the
+    * frontier — beam-width rows, never corpus rows.
+    */
+  private[graft] def graphIndex(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"graph_index:$sfDir") {
+      val emb = Tables.embeddings(spark, sfDir)
+      val adj = FitStore.frame(spark, s"knn_edges_nnd${NND_ITERS}_d$GRAPH_DEGREE",
+          FitStore.embeddingsFp(spark, sfDir)) {
+        nnDescentAdj(emb)
+      }
+      val payload = withNorm(emb).select(col("vec_id").as("dst"),
+        col("embedding").as("ed"), col("nm").as("nd"))
+      adj.join(payload, Seq("dst"))
+        .select(col("src"), col("dst"), col("ed"), col("nd"))
+        .repartition(col("src"))
+        .localCheckpoint()
+    }
+
+  /** Beam traversal: seed every query with its OWN LSH bucket mates —
+    * the same [[Dedup.HYP_TABLES]] sign-projection tables the adjacency
+    * was built from, so the entry heuristic ships with the index (this
+    * is the NN-descent query path: LSH lands the beam in the right
+    * region, the graph recovers what bucketing missed) — then for
+    * [[GRAPH_ROUNDS]] rounds expand the current top-`beamW` of the
+    * VISITED set through the adjacency and fold the expansions back in.
+    * Returns the visited set — one row per (query, node) ever scored,
+    * which is also the query's compute budget. All cosines round-pin to
+    * 6 places and every rank breaks ties on node id, so DuckDB replays
+    * the traversal decision-for-decision. The seed join is the
+    * embedding-near-dup candidate shape (broadcast query buckets,
+    * occupancy-bounded); the frontier is ≤ |Q|·beamW rows (broadcast
+    * side of the expansion join); the edge frame never moves after its
+    * one-time build.
+    */
+  private[graft] def beamTraverse(edges: DataFrame, base: DataFrame,
+      beamW: Int, rounds: Int = GRAPH_ROUNDS,
+      pin: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
+        explode(array((0 until Dedup.HYP_TABLES).map(t =>
+          struct(lit(t).as("t"),
+            Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val queries = base.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    val qb = withBuckets.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nm").as("nq"), col("t"), col("bucket"))
+    val nb = withBuckets.select(col("vec_id").as("node"),
+      col("embedding").as("ed"), col("nm").as("nd"), col("t"), col("bucket"))
+    val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
+    var visited = pin(nb.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("q_id"), col("node"), cosine.as("cosine"))
+      .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
+    (1 to rounds).foreach { _ =>
+      val beam = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beamW)
+        .join(queries, Seq("q_id"))
+        .select(col("q_id"), col("node"), col("eq"), col("nq"))
+      val expand = edges.join(broadcast(beam), col("src") === col("node"))
+        .drop("node", "src")
+        .select(col("q_id"), col("dst").as("node"), cosine.as("cosine"))
+      // duplicate (q, node) hits carry identical cosines — min is a
+      // partial-agg-friendly collapse, same convention as knnGraph
+      visited = pin(visited.unionByName(expand)
+        .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine")))
+    }
+    visited
+  }
+
+  /** Final answer from a visited set: top-k by cosine, self excluded
+    * (the query node is reachable through the graph and legitimately
+    * rides in the beam — expanding it IS how its true neighborhood gets
+    * found — but it is not an answer).
+    */
+  private def graphTopkFrom(visited: DataFrame, k: Int = IVF_TOP_K): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
+    visited.filter(col("node") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("node").as("n_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Graph-served ANN top-k — the HNSW-family index next to IVF: greedy
+    * beam search over the persisted k-NN adjacency at the serving width
+    * [[GRAPH_BEAM]].
+    */
+  def simsearchGraphTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir))
+    graphTopkFrom(beamTraverse(graphIndex(spark, sfDir), base, GRAPH_BEAM))
+  }
+
+  /** The oracle's shared prelude: the k-NN edge list (the already-gated
+    * [[Dedup.simsearchKnnGraphSql]] nested as a CTE, pagerank-style) and
+    * `qcos`, the query-to-node cosine lookup the traversal scores from —
+    * the oracle affords all |Q|·N cosines up front; the engine computes
+    * only the visited ones from edge payloads, same values.
+    */
+  private val GRAPH_PREFIX_SQL: String =
+    s"""knn AS MATERIALIZED (${nnDescentAdjSql()}),
+       |edges AS MATERIALIZED (SELECT src, dst FROM knn),
+       |gu AS MATERIALIZED (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |gn AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM gu GROUP BY 1),
+       |qd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS node, sum(a.x * b.x) AS dot
+       |  FROM gu a JOIN gu b ON a.i = b.i AND a.vec_id < $N_QUERIES
+       |  GROUP BY 1, 2),
+       |qcos AS MATERIALIZED (
+       |  SELECT d.q_id, d.node, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM qd d
+       |  JOIN gn n1 ON d.q_id = n1.vec_id
+       |  JOIN gn n2 ON d.node = n2.vec_id),
+       |gb AS MATERIALIZED (
+       |  ${Dedup.bucketUnionSql}),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS node
+       |  FROM gb x JOIN gb y ON x.t = y.t AND x.bucket = y.bucket
+       |  WHERE x.vec_id < $N_QUERIES)""".stripMargin
+
+  /** Unrolled traversal CTEs for one beam width: v0 seeds from the fixed
+    * entries, then per round (beam → expand → fold). `tag` keeps CTE
+    * names unique when several widths share one statement.
+    */
+  private def beamSql(tag: String, beamW: Int): String = {
+    val rounds = (1 to GRAPH_ROUNDS).map { r =>
+      s"""b${r}_$tag AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT v.*, row_number() OVER (PARTITION BY q_id
+         |                                   ORDER BY cosine DESC, node) AS rn
+         |    FROM v${r - 1}_$tag v) rb WHERE rn <= $beamW),
+         |x${r}_$tag AS (
+         |  SELECT DISTINCT b.q_id, e.dst AS node
+         |  FROM b${r}_$tag b JOIN edges e ON b.node = e.src),
+         |v${r}_$tag AS MATERIALIZED (
+         |  SELECT q_id, node, min(cosine) AS cosine FROM (
+         |    SELECT q_id, node, cosine FROM v${r - 1}_$tag
+         |    UNION ALL
+         |    SELECT x.q_id, x.node, c.cosine
+         |    FROM x${r}_$tag x JOIN qcos c ON x.q_id = c.q_id AND x.node = c.node) vu
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""v0_$tag AS MATERIALIZED (
+       |  SELECT s.q_id, s.node, c.cosine
+       |  FROM seeds s JOIN qcos c ON s.q_id = c.q_id AND s.node = c.node),
+       |$rounds""".stripMargin
+  }
+
+  val simsearchGraphTopkSql: String =
+    s"""WITH $GRAPH_PREFIX_SQL,
+       |${beamSql("t", GRAPH_BEAM)}
+       |SELECT q_id, node AS n_id, cosine, rnk FROM (
+       |  SELECT v.*, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cosine DESC, node) AS rnk
+       |  FROM v${GRAPH_ROUNDS}_t v WHERE node <> q_id) f
+       |WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  /** Graph-search quality at MEASURED budget, beside the IVF sweep:
+    * recall@[[IVF_TOP_K]] vs the brute-force truth per beam width in
+    * [[GRAPH_BEAMS]], with `n_candidates` — the distinct (query, node)
+    * pairs the traversal ever scored — as the compute budget. The IVF
+    * sweep's budget at nprobe=p is ≈ |Q|·p/K of the corpus; the graph
+    * budget is entries + rounds·beam·degree per query, independent of
+    * corpus size — the whole point of graph serving at high recall.
+    */
+  def simsearchGraphRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = withNorm(emb)
+    val edges = graphIndex(spark, sfDir)
+    val truth = bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    GRAPH_BEAMS.map { bw =>
+      val visited = beamTraverse(edges, base, bw)
+      val cand = visited.agg(count(lit(1)).as("n_candidates"))
+      val hits = graphTopkFrom(visited).select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      cand.crossJoin(hits)
+        .select(lit(bw.toLong).as("beam_w"), col("n_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val simsearchGraphRecallSql: String = {
+    val denom = N_QUERIES * IVF_TOP_K
+    val beams = GRAPH_BEAMS.map(bw => beamSql(s"b$bw", bw)).mkString(",\n")
+    val rows = GRAPH_BEAMS.map { bw =>
+      s"""final_b$bw AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT v.*, row_number() OVER (PARTITION BY q_id
+         |                                   ORDER BY cosine DESC, node) AS rnk
+         |    FROM v${GRAPH_ROUNDS}_b$bw v WHERE node <> q_id) f
+         |  WHERE rnk <= $IVF_TOP_K),
+         |row_b$bw AS (
+         |  SELECT CAST($bw AS BIGINT) AS beam_w,
+         |         (SELECT count(*) FROM v${GRAPH_ROUNDS}_b$bw) AS n_candidates,
+         |         h.n_hits,
+         |         round(CAST(h.n_hits AS DOUBLE) / $denom, 6) AS recall_at_k
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |        FROM final_b$bw f JOIN truth t
+         |          ON f.q_id = t.q_id AND f.node = t.n_id) h)""".stripMargin
+    }.mkString(",\n")
+    val union = GRAPH_BEAMS.map(bw => s"SELECT * FROM row_b$bw")
+      .mkString("\nUNION ALL ")
+    s"""WITH $GRAPH_PREFIX_SQL,
+       |truth AS MATERIALIZED (
+       |  SELECT q_id, node AS n_id FROM (
+       |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+       |                                          ORDER BY cosine DESC, node) AS rnk
+       |    FROM qcos WHERE node <> q_id) tr
+       |  WHERE rnk <= $IVF_TOP_K),
+       |$beams,
+       |$rows
+       |$union""".stripMargin
+  }
 }

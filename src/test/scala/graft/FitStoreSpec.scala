@@ -69,6 +69,10 @@ class FitStoreSpec extends SparkSpec {
     roundTrip("chunk_bm25", () => TextAnalysis.chunkBm25(spark, sf))
   }
 
+  test("nn-descent graph adjacency: load ≡ refit") {
+    roundTrip("knn_edges", () => Similarity.simsearchGraphTopk(spark, sf))
+  }
+
   test("dsir buckets: load ≡ refit") {
     roundTrip("dsir", () => TextAnalysis.textDsir(spark, sf))
   }

@@ -432,4 +432,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "stage-2 exact dots attach by (q_id)/(n_id) equi-joins only")
   }
+
+  test("simsearch_graph: broadcast-frontier expansion over static edges — bounded rounds, no cartesian") {
+    // the product path pins each round with localCheckpoint (flat
+    // lineage); composing with pin=identity exposes the FULL traversal
+    // plan — the frontier must ride the broadcast side of every
+    // expansion join and no round may degenerate to a pair space
+    val sfDir = "/root/testdata/sf0.001"
+    val vis = graft.ops.Similarity.beamTraverse(
+      graft.ops.Similarity.graphIndex(spark, sfDir),
+      graft.ops.Similarity.withNorm(graft.pipeline.Tables.embeddings(spark, sfDir)),
+      beamW = 2, rounds = 2, pin = identity)
+    val p = vis.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "seed and expansion joins must broadcast the query/frontier side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "traversal joins are equi-joins on (t,bucket)/(src) — never a pair space")
+    assert(p.contains("vec_dot"),
+      "scoring runs the fused codegen kernel, not a UDF")
+  }
 }

@@ -338,4 +338,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._2 == pqHits,
       s"R=k hit count ${got.head._2} must equal raw PQ recall hits $pqHits")
   }
+
+  test("NN-descent lands planted-cluster nodes on in-cluster neighbors") {
+    // two tight angular clusters in 2-D: around (1, ε·i) and (ε·i, 1).
+    // In-cluster cosines are ≈1, cross-cluster ≈0 — after refinement
+    // every node's kept edges must stay inside its own cluster, whatever
+    // the LSH init proposed.
+    val emb = (0 until 6).map(i => (i.toLong, Array(1.0f, 0.01f * i), 0)) ++
+      (6 until 12).map(i => (i.toLong, Array(0.01f * (i - 6), 1.0f), 0))
+    val adj = Similarity.nnDescentAdj(
+        emb.toDF("vec_id", "embedding", "label"), k = 2, iters = 2, dim = 2)
+      .as[(Long, Long)].collect()
+    assert(adj.nonEmpty)
+    adj.foreach { case (src, dst) =>
+      assert((src < 6) == (dst < 6),
+        s"edge $src -> $dst crosses the planted clusters")
+    }
+    // refinement is deterministic: a rebuild is bit-identical
+    val again = Similarity.nnDescentAdj(
+        emb.toDF("vec_id", "embedding", "label"), k = 2, iters = 2, dim = 2)
+      .as[(Long, Long)].collect()
+    assert(adj.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("graph beam search: serving-width results carry valid ranks and cosines") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.simsearchGraphTopk(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val ranked = rows.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1 to ranked.length).toSeq,
+        s"query $q ranks must be dense from 1")
+      // ranks must agree with (cosine desc, n_id asc)
+      assert(ranked.sortBy(r => (-r._3, r._2)).toSeq == ranked.toSeq)
+      assert(rows.forall(r => r._2 != q), "self is never an answer")
+    }
+  }
 }
