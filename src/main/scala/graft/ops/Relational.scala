@@ -1246,6 +1246,60 @@ object Relational {
       .select(col("chain"), col("day").cast("string").as("day"),
         col("n_events"), col("total_cents"))
 
+  /** The general keyed MERGE upsert — the Delta/Iceberg bread-and-butter
+    * (`MERGE INTO target USING delta ON key WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT`) expressed set-orientedly: matched
+    * keys take the delta's row (the delta is computed from strictly
+    * later events, so replace-on-match is last-write-wins), unmatched
+    * target rows survive, new keys insert. One LEFT ANTI join on the
+    * key plus a union — no row is rewritten that didn't change
+    * partition, and at 100 TB the anti-join prunes to the delta's key
+    * set (broadcastable when the batch is small, the usual case).
+    * S10 (`PipelineRunner.upsertSingleton`) is this with |keys| = 1.
+    */
+  def keyedMergeUpsert(target: DataFrame, delta: DataFrame,
+      key: Seq[String]): DataFrame =
+    target.join(delta.select(key.map(col): _*), key, "left_anti")
+      .unionByName(delta)
+
+  /** Per-user CURRENT-STATE row (the MERGE fact: user_id → last event's
+    * ts/type/cents) from an event slice — rank by full-precision
+    * (ts, event_id) so ties resolve identically in both engines.
+    */
+  def lastStatePerUser(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"),
+        round(col("value") * 100).cast("long").as("last_cents"))
+  }
+
+  /** `merge_upsert`: the post-merge current-state table — standing side
+    * computed from the pre-watermark slice (standing in for the stored
+    * keyed fact table a production run reads back), delta from the
+    * arriving batch, merged by [[keyedMergeUpsert]]. Oracle = the cold
+    * last-state ranking over ALL events: the merge must land exactly
+    * there because every delta row postdates the standing row it
+    * replaces. Idempotency (re-merging the same delta is a no-op) is
+    * property-tested in EventOpsProps.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    keyedMergeUpsert(
+      lastStatePerUser(Tables.eventsUntil(spark, sfDir, MERGE_WM)),
+      lastStatePerUser(Tables.eventsSince(spark, sfDir, MERGE_WM)),
+      Seq("user_id"))
+
+  val mergeUpsertSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |       CAST(round(value * 100) AS BIGINT) AS last_cents
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   /** Market-basket co-occurrence — the frequent-pairs mining shape
     * (Apriori's k=2 pass, the recommender's "bought together" table):
     * distinct parts per order self-join WITHIN the order (d1 < d2), hash

@@ -109,6 +109,78 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_tx"), sum(col("stake")).as("total_stake"))
       .select(col("day.start").as("day"), col("chain"), col("n_tx"), col("total_stake"))
 
+  /** The ORACLE-GATED replay of [[dailyVolume]] — the last streaming
+    * operator family to face the driver gate: UPDATE-mode windowed
+    * aggregation materialized through a keyed MERGE sink. Each
+    * micro-batch emits only the (day, chain) groups it CHANGED, at
+    * their new running totals; `foreachBatch` merges them into the
+    * parquet sink by key (matched keys replaced — last write wins the
+    * running total — unmatched sink rows kept, new keys inserted), so
+    * after AvailableNow drains, the sink IS the complete rollup: the
+    * standard dashboard-table shape, where the watermark bounds STATE,
+    * not output (append mode would withhold the still-open tail days).
+    * Gated against a plain GROUP-BY-day DuckDB oracle over the same tx
+    * view; stake totals round-pin at 4 like the batch chain rollups
+    * (exact to far below the pin: the fixture values carry two
+    * decimals). Exact across batches for the same reason as the other
+    * replays: the fixture replays as ts-sortable micro-batches, so no
+    * update is ever dropped as late. The merge re-writes |days×chains|
+    * rows per batch — constant-size, the same bound as
+    * [[graft.ops.Relational.aggIncremental]]'s merge.
+    */
+  def dailyVolumeReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("daily_volume_replay")
+    val out = s"$tmp/daily"
+    val key = Seq("day", "chain")
+    withStatePartitions(spark, 8) {
+      val q = dailyVolume(Tables.txFrom(Tables.eventsStream(spark, sfDir)))
+        .select(col("day").cast("date").cast("string").as("day"), col("chain"),
+          col("n_tx"), col("total_stake"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, key)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("day"), col("chain"), col("n_tx"),
+        round(col("total_stake"), 4).as("total_stake"))
+  }
+
+  /** MERGE an update-mode micro-batch into a keyed parquet sink:
+    * matched keys replaced by the batch's rows (an update-mode
+    * aggregation emits each changed group at its NEW running total, so
+    * last write wins is the correct semantics), unmatched sink rows
+    * kept, new keys inserted — the foreachBatch upsert every
+    * update-mode aggregation needs to materialize a dashboard table.
+    * The merged frame is materialized (`localCheckpoint(true)`) BEFORE
+    * the overwrite because it reads the very directory it replaces.
+    */
+  def mergeByKey(batch: Dataset[org.apache.spark.sql.Row], sinkDir: String,
+      key: Seq[String]): Unit = {
+    val sp = batch.sparkSession
+    val merged =
+      if (graft.pipeline.PipelineRunner.pathExists(sp, sinkDir))
+        sp.read.parquet(sinkDir)
+          .join(batch.select(key.map(col): _*), key, "left_anti")
+          .unionByName(batch.toDF())
+      else batch.toDF()
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(sinkDir)
+  }
+
+  /** GROUP-BY-day twin of the [[dailyVolumeReplay]] sink. */
+  val dailyVolumeStreamSql: String =
+    s"""WITH ${Tables.TX_CTE}
+       |SELECT CAST(CAST(createdAt AS DATE) AS VARCHAR) AS day, chain,
+       |       CAST(count(*) AS BIGINT) AS n_tx,
+       |       round(sum(stake), 4) AS total_stake
+       |FROM tx GROUP BY 1, 2""".stripMargin
+
   /** Exactly-once idempotent parquet sink for a streaming frame: per
     * micro-batch, LEFT ANTI join the sink on `key`, then append — the
     * foreachBatch + MERGE pattern (SURVEY.md §2.10). Checkpointing gives

@@ -96,4 +96,28 @@ object EventOpsProps extends Properties("EventOps") {
         .as[(Long, java.sql.Date, Long, Long)].collect().toSet
       merged == cold
     }
+
+  /** The keyed MERGE upsert contract at every random cut point: the
+    * post-merge table equals the cold last-state ranking over all
+    * events, and re-applying the SAME delta changes nothing
+    * (idempotency — the property that makes an at-least-once replay of
+    * the merge batch safe).
+    */
+  property("keyed merge upsert lands on cold state and re-merging is a no-op") =
+    forAll(genEvents, Gen.choose(0, 3 * 24 * 60)) { (rows, splitMinute) =>
+      import org.apache.spark.sql.functions._
+      val df = toDF(rows)
+      val wm = Timestamp.valueOf(
+        f"2024-01-${splitMinute / (24 * 60) + 1}%02d ${splitMinute / 60 % 24}%02d:${splitMinute % 60}%02d:00")
+      val standing = Relational.lastStatePerUser(df.filter(col("ts") <= lit(wm)))
+      val delta = Relational.lastStatePerUser(df.filter(col("ts") > lit(wm)))
+      val merged = Relational.keyedMergeUpsert(standing, delta, Seq("user_id"))
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Timestamp, String, Long)].collect().toSet
+      val cold = rowsOf(Relational.lastStatePerUser(df))
+      val got = rowsOf(merged)
+      val again = rowsOf(
+        Relational.keyedMergeUpsert(merged, delta, Seq("user_id")))
+      got == cold && again == got
+    }
 }

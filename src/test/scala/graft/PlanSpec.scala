@@ -433,6 +433,16 @@ class PlanSpec extends SparkSpec {
       "stage-2 exact dots attach by (q_id)/(n_id) equi-joins only")
   }
 
+  test("merge_upsert: both slices push their watermark; anti-join keys, no cartesian") {
+    val p = plan("merge_upsert")
+    assert(p.contains("GreaterThan(ts,") && p.contains("LessThanOrEqual(ts,"),
+      "standing and delta scans must both push their watermark predicate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the MERGE anti-join must stay key-equi")
+    assert(!p.contains("SinglePartition"),
+      "last-state windows partition by user, never collapse")
+  }
+
   test("simsearch_graph: broadcast-frontier expansion over static edges — bounded rounds, no cartesian") {
     // the product path pins each round with localCheckpoint (flat
     // lineage); composing with pin=identity exposes the FULL traversal

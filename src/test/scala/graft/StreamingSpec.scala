@@ -531,6 +531,44 @@ class StreamingSpec extends SparkSpec {
     assert(got("2024-01-12") == ((1L, 7.0)))
   }
 
+  test("update-mode MERGE sink: revised and new keys across micro-batches land on the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TxRow]
+    val tmp = java.nio.file.Files.createTempDirectory("merge_sink")
+    val out = s"$tmp/daily"
+    val q = StreamingPipeline.dailyVolume(in.toDF())
+      .select(org.apache.spark.sql.functions.col("day").cast("date").cast("string").as("day"),
+        org.apache.spark.sql.functions.col("chain"),
+        org.apache.spark.sql.functions.col("n_tx"),
+        org.apache.spark.sql.functions.col("total_stake"))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingPipeline.mergeByKey(b, out, Seq("day", "chain"))
+      }
+      .start()
+    val rows = Seq(
+      TxRow(1L, ts("2024-01-11 01:00:00"), 10L, 5.0, 1.0, true, 0L),
+      TxRow(2L, ts("2024-01-11 23:00:00"), 11L, 3.0, 1.0, true, 0L),
+      TxRow(3L, ts("2024-01-12 00:30:00"), 12L, 7.0, 1.0, true, 1L))
+    val later = Seq(
+      TxRow(4L, ts("2024-01-11 12:00:00"), 13L, 2.0, 1.0, true, 0L), // revises day 11
+      TxRow(5L, ts("2024-01-13 08:00:00"), 14L, 4.0, 1.0, true, 0L)) // new day
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(later: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out)
+      .select("day", "chain", "n_tx", "total_stake")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val want = (rows ++ later).groupBy(r => (r.createdAt.toString.take(10), r.chain))
+      .map { case (k, g) => k -> (g.size.toLong, g.map(_.stake).sum) }
+    assert(got == want,
+      "the merged sink must equal the cold GROUP BY over all arrivals")
+  }
+
   test("streaming IVF ingest assigns arriving vectors to the same cells as batch") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus: two clear direction clusters, 12 vectors, k=4 seeds
