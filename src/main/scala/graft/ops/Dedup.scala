@@ -790,6 +790,28 @@ object Dedup {
          |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS)))))"""
         .stripMargin)).as("h"))
 
+  /** Disk-pinned materialization for the span-index intermediates — the
+    * suite's LARGEST operator-owned frames (one row per token position).
+    * These used `localCheckpoint` (heap-first MEMORY_AND_DISK blocks),
+    * and the round-10 30× rehearsal isolated exactly that as the box's
+    * scaling ceiling: exponents steepened to 0.80–0.89/decade with
+    * ±30–40% run variance — the GC signature of multi-GB heap-pinned
+    * blocks churning a fixed 128 GiB JVM (SCALING.md round 10; flat
+    * controls ruled out harness, saturation, and partition-count).
+    * DISK_ONLY keeps the multi-consumer reuse (the index feeds the DF
+    * cap AND both pair sides) while the blocks live on local disk —
+    * serialized, compact, zero heap residency; the eager count is the
+    * same materialization job localCheckpoint ran, so per-query cost
+    * attribution is unchanged. Lineage stays attached (persist, not
+    * checkpoint), so a lost block recomputes instead of failing the job
+    * — strictly safer than localCheckpoint on executor loss.
+    */
+  private def pinSpanIndex(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    p.count()
+    p
+  }
+
   /** Span hashes surviving the [[SPAN_DF_CAP]] document-frequency cap —
     * one extra hash aggregation on the span hash, the key the index join
     * shuffles on anyway.
@@ -798,12 +820,12 @@ object Dedup {
     // the span stream feeds both the DF count and the index join, and the
     // capped index feeds both sides of the pair self-join — without
     // operator-owned storage each consumer re-runs the explode upstream
-    val spans = spanHashes(docs).localCheckpoint()
+    val spans = pinSpanIndex(spanHashes(docs))
     val rare = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPAN_DF_CAP)
       .select(col("h"))
-    spans.join(rare, Seq("h")).localCheckpoint()
+    pinSpanIndex(spans.join(rare, Seq("h")))
   }
 
   def substringSpanPairs(docs: DataFrame): DataFrame = {
@@ -861,11 +883,11 @@ object Dedup {
            |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
           .stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
-      .localCheckpoint() // fans into the DF count and the index join
-    val rare = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pinned = pinSpanIndex(pos) // fans into the DF count and the index join
+    val rare = pinned.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPAN_DF_CAP).select(col("h"))
     // both sides of the position self-join scan this frame
-    val kept = pos.join(rare, Seq("h")).localCheckpoint()
+    val kept = pinSpanIndex(pinned.join(rare, Seq("h")))
     val a = kept.select(col("h"), col("doc_id").as("d1"), col("i"))
     val b = kept.select(col("h"), col("doc_id").as("d2"), col("i").as("j"))
     // for a fixed diagonal each left position matches at most one right
@@ -941,9 +963,9 @@ object Dedup {
            |  i -> xxhash64(concat_ws(' ', slice(toks, i, $SPAN_WORDS))))"""
           .stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
-      .localCheckpoint() // fans into the keeper agg and the hit join
-    val keeper = pos.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    val hits = pos.join(keeper, Seq("h"))
+    val pinned = pinSpanIndex(pos) // fans into the keeper agg and the hit join
+    val keeper = pinned.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val hits = pinned.join(keeper, Seq("h"))
       .filter(col("doc_id") > col("keeper"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("hits"))
