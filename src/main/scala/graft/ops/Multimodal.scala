@@ -299,6 +299,139 @@ object Multimodal {
        |            ELSE 'kept' END AS verdict
        |FROM p LEFT JOIN embeddings e ON p.media_id = e.vec_id""".stripMargin
 
+  /** Perceptual-signature geometry: [[PFP_BITS]]-bit per-media signature
+    * (majority vote of the sampled frames' fingerprint bits — the video
+    * pHash shape: per-frame perceptual hashes voted into one clip
+    * signature), banded into [[PFP_BANDS]] × [[PFP_BAND_BITS]] for the
+    * LSH candidate join. Pigeonhole exactness: hamming ≤ bands − 1
+    * guarantees one identical band, so [[PFP_MAX_HAMMING]] = bands − 1
+    * misses nothing.
+    */
+  val PFP_BITS = 56
+  val PFP_BANDS = 8
+  val PFP_BAND_BITS = 7
+  val PFP_MAX_HAMMING = PFP_BANDS - 1
+
+  /** Per-media perceptual signature over a frames table
+    * ([[multimodalFrames]]' shape: media_id, frame_fp): each sampled
+    * frame's 56-bit fingerprint votes ±1 on every signature bit, bit set
+    * iff the vote sum is positive — [[Dedup.simhashSignatures]]' rule
+    * with frames as the feature set instead of shingles. A re-encoded /
+    * re-containered clip shares most frames, so its signature lands
+    * within a few bits; with the decoder stubbed the per-frame
+    * fingerprint is checksum-derived (the spec plants partial frame
+    * overlap to exercise the near-dup path the fixture can't). One hash
+    * aggregation, map-side combined; 56 small integer vote columns.
+    */
+  def perceptualSignatures(frames: DataFrame): DataFrame = {
+    val withBits = frames.select(col("media_id"),
+      expr(s"CAST(conv(substr(frame_fp, 1, ${PFP_BITS / 4}), 16, 10) AS BIGINT)")
+        .as("h"))
+    val votes = withBits.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("cnt"),
+        (0 until PFP_BITS).map(b => sum(expr(s"(h >> $b) & 1")).as(s"c$b")): _*)
+    votes.select(col("media_id"),
+      (0 until PFP_BITS)
+        .map(b => when(col(s"c$b") * 2 > col("cnt"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("pfp"))
+  }
+
+  /** Perceptual near-dup pairs: banded-LSH candidate join over the
+    * signatures (same exact-by-pigeonhole plan as
+    * [[Dedup.simhashPairs]] — one bucket equi-join, signature riding on
+    * the band rows, pair fan-out bounded by bucket population, never
+    * corpus²), hamming filtered inside buckets.
+    */
+  def perceptualNearDup(frames: DataFrame): DataFrame = {
+    val mask = (1L << PFP_BAND_BITS) - 1
+    val bands = perceptualSignatures(frames).select(
+        col("media_id"), col("pfp"),
+        explode(expr(s"sequence(0, ${PFP_BANDS - 1})")).as("band_no"))
+      .withColumn("band_val",
+        expr(s"(pfp >> (band_no * $PFP_BAND_BITS)) & $mask"))
+      .localCheckpoint()
+    val a = bands.select(col("band_no"), col("band_val"),
+      col("media_id").as("m1"), col("pfp").as("h1"))
+    val b = bands.select(col("band_no"), col("band_val"),
+      col("media_id").as("m2"), col("pfp").as("h2"))
+    a.join(b, Seq("band_no", "band_val"))
+      .filter(col("m1") < col("m2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= PFP_MAX_HAMMING)
+      .select(col("m1"), col("m2"), col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** Tokens per temporal slice for the stubbed frame fingerprints. */
+  val SLICE_TOKENS = 16
+
+  /** Frame fingerprints for the near-dup path — the TEMPORAL-SLICE stub
+    * model: frame i's fingerprint hashes the i-th [[SLICE_TOKENS]]-token
+    * slice of the normalized payload, so a clip that was re-encoded,
+    * trimmed, or extended SHARES the slices it kept — the
+    * partial-overlap structure perceptual dedup exists to catch. (The
+    * checksum-derived fingerprints of [[multimodalFrames]] are
+    * all-or-nothing by construction: any payload change rewrites every
+    * frame, which models container metadata, not content.) Same
+    * normalization as the exact-dedup fingerprint, so byte-identical
+    * mirrors collapse to hamming 0. Narrow explode, ≤ tokens/16 rows per
+    * media, no shuffle.
+    */
+  def sliceFrames(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").as("media_id"),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("toks"))
+      .select(col("media_id"), col("toks"),
+        explode(expr(s"sequence(1, greatest(1, size(toks) DIV $SLICE_TOKENS))"))
+          .as("frame_no"))
+      .select(col("media_id"),
+        md5(expr(s"concat_ws(' ', slice(toks, (frame_no - 1) * $SLICE_TOKENS + 1, $SLICE_TOKENS))"))
+          .as("frame_fp"))
+
+  def multimodalNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    perceptualNearDup(sliceFrames(Tables.documents(spark, sfDir)))
+
+  /** The oracle states the SEMANTICS (all pairs under the hamming
+    * threshold — fine at oracle scale, exactly like
+    * `dedup_simhash_pairs`); the banded plan above is the scale path and
+    * pigeonhole-provably returns the same set. Signature CTEs replay the
+    * same vote arithmetic bit for bit.
+    */
+  val multimodalNeardupSql: String = {
+    val voteExprs = (0 until PFP_BITS)
+      .map(b => s"sum((h >> $b) & 1) AS c$b")
+      .mkString(",\n         ")
+    val bitsExpr = (0 until PFP_BITS)
+      .map(b => s"CASE WHEN c$b * 2 > cnt THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS media_id,
+       |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents),
+       |fr AS (
+       |  SELECT media_id, toks,
+       |         unnest(generate_series(1, greatest(1, len(toks) // $SLICE_TOKENS))) AS frame_no
+       |  FROM tk),
+       |h AS (
+       |  SELECT media_id,
+       |         CAST(('0x' || substr(
+       |           md5(array_to_string(list_slice(toks,
+       |             (frame_no - 1) * $SLICE_TOKENS + 1,
+       |             (frame_no - 1) * $SLICE_TOKENS + $SLICE_TOKENS), ' ')),
+       |           1, ${PFP_BITS / 4})) AS BIGINT) AS h
+       |  FROM fr),
+       |v AS (
+       |  SELECT media_id, count(*) AS cnt,
+       |         $voteExprs
+       |  FROM h GROUP BY media_id),
+       |sig AS MATERIALIZED (
+       |  SELECT media_id, CAST($bitsExpr AS BIGINT) AS pfp FROM v)
+       |SELECT a.media_id AS m1, b.media_id AS m2,
+       |       CAST(bit_count(xor(a.pfp, b.pfp)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.pfp, b.pfp)) <= $PFP_MAX_HAMMING""".stripMargin
+  }
+
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,
       out_w: Int, out_h: Int, frame_fp: String)

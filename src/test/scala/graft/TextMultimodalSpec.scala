@@ -1164,4 +1164,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(daysOf(graft.pipeline.Tables.eventsSince(spark, sf,
       graft.ops.Relational.MERGE_WM)).contains(wmDay))
   }
+
+  test("perceptual near-dup: mirrors at hamming 0, trimmed clip near, disjoint clip absent") {
+    import graft.ops.Multimodal
+    // 8 slices of 16 tokens each; media 1 = byte-identical mirror of 0
+    // (whitespace noise only), media 2 = same clip with the LAST slice
+    // replaced (7/8 frames shared), media 3 = fully different content
+    def sliceText(seed: String, n: Int): String =
+      (0 until n).flatMap(s => (0 until 16).map(t => s"$seed-$s-$t")).mkString(" ")
+    val docs = Seq(
+      (0L, sliceText("a", 8)),
+      (1L, "  " + sliceText("a", 8).replace(" ", "   ") + " "),
+      (2L, sliceText("a", 7) + " " + (0 until 16).map(t => s"z-7-$t").mkString(" ")),
+      (3L, sliceText("q", 8))).toDF("doc_id", "text")
+    val got = Multimodal.perceptualNearDup(Multimodal.sliceFrames(docs))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 1L)) == 0L, "normalized mirrors must land at hamming 0")
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) <= Multimodal.PFP_MAX_HAMMING,
+      "a clip sharing 7/8 slices must surface as a near-dup")
+    assert(got((0L, 2L)) > 0L, "a trimmed clip is near, not identical")
+    assert(!got.contains((0L, 3L)) && !got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      "disjoint content must not pair")
+  }
 }
