@@ -306,10 +306,20 @@ object Multimodal {
     * LSH candidate join. Pigeonhole exactness: hamming ≤ bands − 1
     * guarantees one identical band, so [[PFP_MAX_HAMMING]] = bands − 1
     * misses nothing.
+    *
+    * Band WIDTH is the scale dial: candidate fan-out on near-uniform
+    * signatures is ≈ bands · N² / 2^width, so 7-bit bands (128 buckets)
+    * degenerate quadratic — the 10× rehearsal measured exponent 1.06
+    * before this geometry. 4 × 14-bit bands put 16 384 buckets under
+    * the join (exponent back sub-linear) at the standard price: the
+    * exact-by-pigeonhole radius is hamming ≤ 3, i.e. clips sharing
+    * ≳ 90% of frames — the regime perceptual dedup targets (a looser
+    * radius at scale takes multi-probe over the bands, not narrower
+    * bands).
     */
   val PFP_BITS = 56
-  val PFP_BANDS = 8
-  val PFP_BAND_BITS = 7
+  val PFP_BANDS = 4
+  val PFP_BAND_BITS = 14
   val PFP_MAX_HAMMING = PFP_BANDS - 1
 
   /** Per-media perceptual signature over a frames table

@@ -1167,16 +1167,19 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("perceptual near-dup: mirrors at hamming 0, trimmed clip near, disjoint clip absent") {
     import graft.ops.Multimodal
-    // 8 slices of 16 tokens each; media 1 = byte-identical mirror of 0
+    // 64 slices of 16 tokens each; media 1 = byte-identical mirror of 0
     // (whitespace noise only), media 2 = same clip with the LAST slice
-    // replaced (7/8 frames shared), media 3 = fully different content
+    // replaced (63/64 frames shared — one frame out of many is the
+    // regime the majority vote is robust to; the hamming ≤ 3 radius
+    // means ~90%+ frame overlap, see Multimodal.PFP_BAND_BITS),
+    // media 3 = fully different content
     def sliceText(seed: String, n: Int): String =
       (0 until n).flatMap(s => (0 until 16).map(t => s"$seed-$s-$t")).mkString(" ")
     val docs = Seq(
-      (0L, sliceText("a", 8)),
-      (1L, "  " + sliceText("a", 8).replace(" ", "   ") + " "),
-      (2L, sliceText("a", 7) + " " + (0 until 16).map(t => s"z-7-$t").mkString(" ")),
-      (3L, sliceText("q", 8))).toDF("doc_id", "text")
+      (0L, sliceText("a", 64)),
+      (1L, "  " + sliceText("a", 64).replace(" ", "   ") + " "),
+      (2L, sliceText("a", 63) + " " + (0 until 16).map(t => s"z-63-$t").mkString(" ")),
+      (3L, sliceText("q", 64))).toDF("doc_id", "text")
     val got = Multimodal.perceptualNearDup(Multimodal.sliceFrames(docs))
       .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
