@@ -2417,7 +2417,8 @@ object Similarity {
     * already-gated LSH k-NN ranking, each round is und → hop → cand →
     * rescore → top-k. Returns (src, dst).
     */
-  def nnDescentAdjSql(k: Int = GRAPH_DEGREE, iters: Int = NND_ITERS): String = {
+  def nnDescentAdjSql(k: Int = GRAPH_DEGREE, iters: Int = NND_ITERS,
+      whereSql: String = "true"): String = {
     // every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0 inlines
     // CTEs at each reference site, and this chain references each round's
     // frames twice — inlining would re-evaluate the whole construction
@@ -2452,11 +2453,11 @@ object Similarity {
     s"""WITH u AS MATERIALIZED (
        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
        |         generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $whereSql),
        |nrm AS MATERIALIZED (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM u GROUP BY 1),
        |buckets AS MATERIALIZED (
-       |  ${Dedup.bucketUnionSql}),
+       |  SELECT * FROM (${Dedup.bucketUnionSql}) bu WHERE $whereSql),
        |icand AS (
        |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
        |  FROM buckets x JOIN buckets y
@@ -2528,19 +2529,21 @@ object Similarity {
     */
   private[graft] def beamTraverse(edges: DataFrame, base: DataFrame,
       beamW: Int, rounds: Int = GRAPH_ROUNDS,
-      pin: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      pin: DataFrame => DataFrame = _.localCheckpoint(),
+      isQuery: Column = col("vec_id") < N_QUERIES,
+      isNode: Column = lit(true)): DataFrame = {
     val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
         explode(array((0 until Dedup.HYP_TABLES).map(t =>
           struct(lit(t).as("t"),
             Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val queries = base.filter(col("vec_id") < N_QUERIES)
+    val queries = base.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
-    val qb = withBuckets.filter(col("vec_id") < N_QUERIES)
+    val qb = withBuckets.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
         col("nm").as("nq"), col("t"), col("bucket"))
-    val nb = withBuckets.select(col("vec_id").as("node"),
+    val nb = withBuckets.filter(isNode).select(col("vec_id").as("node"),
       col("embedding").as("ed"), col("nm").as("nd"), col("t"), col("bucket"))
     val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
     var visited = pin(nb.join(broadcast(qb), Seq("t", "bucket"))
@@ -2592,8 +2595,9 @@ object Similarity {
     * the oracle affords all |Q|·N cosines up front; the engine computes
     * only the visited ones from edge payloads, same values.
     */
-  private val GRAPH_PREFIX_SQL: String =
-    s"""knn AS MATERIALIZED (${nnDescentAdjSql()}),
+  private def graphPrefixSql(querySql: String, nodeSql: String,
+      adjSql: String): String =
+    s"""knn AS MATERIALIZED ($adjSql),
        |edges AS MATERIALIZED (SELECT src, dst FROM knn),
        |gu AS MATERIALIZED (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -2601,9 +2605,12 @@ object Similarity {
        |  FROM embeddings),
        |gn AS MATERIALIZED (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM gu GROUP BY 1),
+       |gq AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE $querySql),
+       |gnode AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE $nodeSql),
        |qd AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS node, sum(a.x * b.x) AS dot
-       |  FROM gu a JOIN gu b ON a.i = b.i AND a.vec_id < $N_QUERIES
+       |  FROM gu a JOIN gq q ON a.vec_id = q.vec_id
+       |  JOIN gu b ON a.i = b.i
        |  GROUP BY 1, 2),
        |qcos AS MATERIALIZED (
        |  SELECT d.q_id, d.node, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
@@ -2614,8 +2621,12 @@ object Similarity {
        |  ${Dedup.bucketUnionSql}),
        |seeds AS MATERIALIZED (
        |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS node
-       |  FROM gb x JOIN gb y ON x.t = y.t AND x.bucket = y.bucket
-       |  WHERE x.vec_id < $N_QUERIES)""".stripMargin
+       |  FROM gb x JOIN gq q ON x.vec_id = q.vec_id
+       |  JOIN gb y ON x.t = y.t AND x.bucket = y.bucket
+       |  JOIN gnode n ON y.vec_id = n.vec_id)""".stripMargin
+
+  private val GRAPH_PREFIX_SQL: String =
+    graphPrefixSql(s"vec_id < $N_QUERIES", "true", nnDescentAdjSql())
 
   /** Unrolled traversal CTEs for one beam width: v0 seeds from the fixed
     * entries, then per round (beam → expand → fold). `tag` keeps CTE
@@ -2713,5 +2724,57 @@ object Similarity {
        |$beams,
        |$rows
        |$union""".stripMargin
+  }
+
+  /** INCREMENTAL graph-index maintenance — the HNSW insert path, batch
+    * style: the STANDING index is the NN-descent adjacency over the
+    * even-half corpus (production: loaded from the FitStore — same
+    * half-split convention as the index-drift and incremental-dedup
+    * families), and each ARRIVING vector (odd half) finds its link set
+    * by searching that graph — LSH-seeded beam traversal restricted to
+    * standing nodes, exactly the serving search with the arrivals as
+    * the query set. Output = each new vector's top-[[IVF_TOP_K]]
+    * standing neighbors (the edges an insert would create; the
+    * back-links are these rows transposed). No rebuild: per-arrival
+    * cost is the traversal's corpus-independent beam budget, vs the
+    * full NND reconstruction — the same absorb-without-rescan contract
+    * as `text_bm25_incremental` and `dedup_clusters_incremental`. An
+    * arrival whose LSH buckets hold no standing node yields no seeds
+    * and no rows — visible in the output, the signal to widen probes
+    * or rebuild.
+    */
+  def simsearchGraphInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val edges = SharedFits.memo(spark, s"graph_index_h0:$sfDir") {
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val adj = FitStore.frame(spark,
+          s"knn_edges_nnd${NND_ITERS}_d${GRAPH_DEGREE}_h0",
+          FitStore.embeddingsFp(spark, sfDir, half = Some(0))) {
+        nnDescentAdj(even)
+      }
+      val payload = withNorm(even).select(col("vec_id").as("dst"),
+        col("embedding").as("ed"), col("nm").as("nd"))
+      adj.join(payload, Seq("dst"))
+        .select(col("src"), col("dst"), col("ed"), col("nd"))
+        .repartition(col("src"))
+        .localCheckpoint()
+    }
+    val visited = beamTraverse(edges, withNorm(emb), GRAPH_BEAM,
+      isQuery = col("vec_id") % 2 === 1, isNode = col("vec_id") % 2 === 0)
+    graphTopkFrom(visited)
+      .select(col("q_id").as("new_id"), col("n_id"), col("cosine"), col("rnk"))
+  }
+
+  val simsearchGraphInsertSql: String = {
+    val prefix = graphPrefixSql("vec_id % 2 = 1", "vec_id % 2 = 0",
+      nnDescentAdjSql(whereSql = "vec_id % 2 = 0"))
+    s"""WITH $prefix,
+       |${beamSql("i", GRAPH_BEAM)}
+       |SELECT q_id AS new_id, node AS n_id, cosine, rnk FROM (
+       |  SELECT v.*, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cosine DESC, node) AS rnk
+       |  FROM v${GRAPH_ROUNDS}_i v WHERE node <> q_id) f
+       |WHERE rnk <= $IVF_TOP_K""".stripMargin
   }
 }

@@ -375,4 +375,21 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.forall(r => r._2 != q), "self is never an answer")
     }
   }
+
+  test("graph insert: arrivals link only into the standing half, ranked") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.simsearchGraphInsert(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % 2 == 1), "every arrival is odd-half")
+    assert(got.forall(_._2 % 2 == 0), "every link lands on a standing (even) node")
+    got.groupBy(_._1).foreach { case (nid, rows) =>
+      val ranked = rows.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1 to ranked.length).toSeq,
+        s"arrival $nid link ranks must be dense from 1")
+      assert(ranked.sortBy(r => (-r._3, r._2)).toSeq == ranked.toSeq,
+        "links ordered by (cosine desc, node)")
+      assert(ranked.length <= Similarity.IVF_TOP_K)
+    }
+  }
 }
