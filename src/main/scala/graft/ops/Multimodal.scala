@@ -442,6 +442,111 @@ object Multimodal {
        |WHERE bit_count(xor(a.pfp, b.pfp)) <= $PFP_MAX_HAMMING""".stripMargin
   }
 
+  /** Caption-feature space for [[consistency]] (the embedding folds
+    * 64 → 16 by index mod, so the two modalities score in one space). */
+  val CONS_DIM = 16
+
+  /** Cross-modal CONSISTENCY scoring — the CLIP-score filtering stage
+    * beyond [[pairAudit]]'s structural gates: does this caption actually
+    * DESCRIBE this media item, or is it boilerplate/mismatched alt-text?
+    * Production computes cosine(text-encoder(caption),
+    * image-encoder(media)); with no encoders in the sandbox the engine
+    * keeps the exact plan and substitutes deterministic proxies — the
+    * caption side a [[CONS_DIM]]-dim hashed bag-of-words (the
+    * `text_dsir` md5-bucket idiom), the media side its paired embedding
+    * folded 64 → 16 by index mod — so the score, the ranking, and the
+    * gate are real and oracle-checked, and a real encoder swap changes
+    * values, not plan shape. The absolute score is encoder-relative, so
+    * the GATE is the contrastive margin against the pair's own FEED
+    * (per-source mean score — LAION filters per-crawl for the same
+    * reason): `inconsistent` = explains its media no better than its
+    * feed's average caption.
+    *
+    * Scale shape: caption featurization is an array-side fold inside
+    * the scan (zero shuffle); the fold is a projection; ONE equi-join
+    * on the pair key (the join every pair table pays); feed stats are a
+    * map-side-combined aggregation to ≤|sources| rows joined back by
+    * BROADCAST — deliberately NOT a source-partitioned window, which
+    * would serialize each feed onto one partition (a handful of crawls
+    * × billions of pairs = stragglers). No pair space anywhere — the
+    * contrastive baseline is the group mean, not sampled negatives,
+    * exactly so the plan stays O(N).
+    */
+  def consistency(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val folds = Dedup.EMB_DIM / CONS_DIM
+    val pairs = docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      col("source"),
+      expr(s"""aggregate(split(text, '\\\\s+'), array_repeat(0L, $CONS_DIM),
+             |  (acc, t) -> transform(acc, (v, j) -> v + IF(
+             |    CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) % $CONS_DIM = j,
+             |    1L, 0L)))""".stripMargin).as("cap"))
+    val img = embeddings.select(
+      col("vec_id").as("media_id"),
+      expr(s"""transform(sequence(1, $CONS_DIM), j ->
+             |  aggregate(sequence(0, ${folds - 1}), 0D,
+             |    (a, k) -> a + CAST(element_at(embedding, j + $CONS_DIM * k) AS DOUBLE)))"""
+        .stripMargin).as("img"))
+    val dot = expr("aggregate(zip_with(cap, img, (c, v) -> c * v), 0D, (a, x) -> a + x)")
+    val capN = sqrt(expr("aggregate(cap, 0D, (a, c) -> a + c * c)"))
+    val imgN = sqrt(expr("aggregate(img, 0D, (a, v) -> a + v * v)"))
+    val scored = pairs.join(img, Seq("media_id"))
+      .withColumn("clip_score", round(dot / (capN * imgN), 6))
+    val feed = scored.groupBy(col("source"))
+      .agg(avg(col("clip_score")).as("feed_avg"))
+    scored.join(broadcast(feed), Seq("source"))
+      // + 0.0 normalizes IEEE -0.0 (a just-below-mean score rounding to
+      // zero) so both engines stringify the margin identically
+      .withColumn("feed_margin",
+        round(col("clip_score") - col("feed_avg"), 6) + lit(0.0))
+      .select(col("media_id"), col("kind"), col("clip_score"),
+        col("feed_margin"),
+        when(col("feed_margin") < 0, "inconsistent").otherwise("kept").as("verdict"))
+  }
+
+  def multimodalConsistency(spark: SparkSession, sfDir: String): DataFrame =
+    consistency(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+
+  val multimodalConsistencySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |cap AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % $CONS_DIM AS b,
+       |         CAST(count(*) AS DOUBLE) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |capn AS (SELECT doc_id, sqrt(sum(c * c)) AS cn FROM cap GROUP BY 1),
+       |iu AS (
+       |  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) % $CONS_DIM AS b,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |img AS (SELECT vec_id, b, sum(x) AS v FROM iu GROUP BY 1, 2),
+       |imgn AS (SELECT vec_id, sqrt(sum(v * v)) AS inorm FROM img GROUP BY 1),
+       |dots AS (
+       |  SELECT c.doc_id, sum(c.c * i.v) AS dot
+       |  FROM cap c JOIN img i ON c.doc_id = i.vec_id AND c.b = i.b
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id AS media_id,
+       |         CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |         d.source,
+       |         round(t.dot / (capn.cn * imgn.inorm), 6) AS clip_score
+       |  FROM documents d
+       |  JOIN dots t ON d.doc_id = t.doc_id
+       |  JOIN capn ON d.doc_id = capn.doc_id
+       |  JOIN imgn ON d.doc_id = imgn.vec_id),
+       |margined AS (
+       |  SELECT media_id, kind, clip_score,
+       |         round(clip_score - avg(clip_score) OVER (PARTITION BY source), 6)
+       |           + 0.0 AS feed_margin
+       |  FROM scored)
+       |SELECT media_id, kind, clip_score, feed_margin,
+       |       CASE WHEN feed_margin < 0 THEN 'inconsistent'
+       |            ELSE 'kept' END AS verdict
+       |FROM margined""".stripMargin
+
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,
       out_w: Int, out_h: Int, frame_fp: String)

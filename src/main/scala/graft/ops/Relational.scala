@@ -242,7 +242,7 @@ object Relational {
     * sessions. Shuffles once on user_id; both windows reuse that
     * partitioning.
     */
-  private def sessionized(events: DataFrame): DataFrame = {
+  private[graft] def sessionized(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("us", unix_micros(col("ts")))

@@ -460,6 +460,112 @@ object StreamingPipeline {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("session_events"))
 
+  case class SessionAssign(user_id: Long, event_id: Long, us: Long,
+      session_start_us: Long)
+
+  /** Streaming sessionization with KEYED STATE — per-EVENT emission,
+    * the form that faces the oracle where [[userSessionsStream]]'s
+    * `session_window` cannot: session windows support neither update
+    * mode nor a final flush under `Trigger.AvailableNow` (the watermark
+    * is always `gap` short of the last session's end, so append mode
+    * withholds every user's final session forever). Here each arrival
+    * is assigned its session's START instantly and immutably — with a
+    * ts-ordered replay an assignment can never be revised, because a
+    * later event only ever extends or follows the current session — so
+    * the append sink needs no close, no flush, and no watermark, and
+    * grouping the sink by (user_id, session_start_us) reconstructs the
+    * exact sessions of the batch lag+running-sum islands
+    * ([[graft.ops.Relational.userSessions]], same strict `> gap`
+    * boundary). State is two longs per user (last event, current
+    * session start) — smaller than `session_window`'s per-open-session
+    * row, and the smallest sessionizer state possible. Epoch micros are
+    * computed from the Instant (epochSecond·1e6 + nano/1000), exactly
+    * `unix_micros`/DuckDB `epoch_us`, so the oracle compares integers.
+    */
+  def sessionizeStream(events: Dataset[TypedEvent],
+      gapUs: Long = graft.ops.Relational.SESSION_GAP_US): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          // Full-precision intra-batch order, as everywhere: getTime is
+          // millis-truncated, getNanos carries the sub-ms part.
+          val ordered =
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          var (lastUs, startUs) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val out = ordered.map { r =>
+            val i = r.ts.toInstant
+            val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            if (startUs == Long.MinValue || us - lastUs > gapUs) startUs = us
+            lastUs = us
+            SessionAssign(user, r.event_id, us, startUs)
+          }
+          state.update((lastUs, startUs))
+          out.iterator
+      }
+  }
+
+  /** The ORACLE-GATED replay of the keyed-state sessionizer: events
+    * arrive through the file stream, per-event session assignments
+    * append to a parquet sink, and the sink grouped by (user,
+    * session start) IS the session table — gated against the same
+    * DuckDB islands CTE as the batch `user_sessions`, projected
+    * per-session. Exact across batches for the same reason as the
+    * other replays: the fixture replays as ts-sortable micro-batches,
+    * so the state's (last, start) pair always describes the true
+    * latest session when the next batch arrives.
+    */
+  def userSessionsReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sessions_replay")
+    val out = s"$tmp/assign"
+    withStatePartitions(spark, 8) {
+      val q = sessionizeStream(
+          Tables.eventsStream(spark, sfDir)
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+            .as[TypedEvent])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("user_id"), col("session_start_us"))
+      .agg(max(col("us")).as("session_last_us"),
+        count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_last_us"), col("session_events"))
+  }
+
+  val userSessionsStreamSql: String =
+    s"""WITH numbered AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, us, event_id,
+       |         CASE WHEN prev_us IS NULL OR
+       |                   us - prev_us > ${graft.ops.Relational.SESSION_GAP_US}
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM numbered),
+       |sessions AS (
+       |  SELECT user_id, us,
+       |         sum(new_session) OVER (PARTITION BY user_id
+       |                                ORDER BY us, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+       |       CAST(max(us) AS BIGINT) AS session_last_us,
+       |       count(*) AS session_events
+       |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
   /** First event per (chain, stashId) across the whole stream, emitted
     * exactly once. Within a micro-batch the earliest (createdAt, _id) wins,
     * matching the batch window's ordering.

@@ -627,4 +627,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchNew,
       "cross-micro-batch monitor state must equal the batch report's new-half columns")
   }
+
+  test("streaming sessionizer: strict gap boundary, cross-batch continuation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingPipeline.sessionizeStream(
+        in.toDS().map(r => StreamingPipeline.TypedEvent(r._1, r._2, r._3, r._4)))
+      .writeStream.format("memory").queryName("sessstream")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    def us(s: String) = t(s).toInstant.getEpochSecond * 1000000L
+    // batch 1, out of order within the batch: 09:00, then EXACTLY +30min
+    // (same session — the batch islands use strict > gap), then +30min+1s
+    // (new session)
+    in.addData((2L, t("09:30:00"), 1L, "view"), (1L, t("09:00:00"), 1L, "login"),
+      (3L, t("10:00:01"), 1L, "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 continues the 10:00:01 session across the state
+    // boundary (within gap of the last event), then a post-gap arrival
+    // opens a third; user 2's first event starts its own
+    in.addData((4L, t("10:20:00"), 1L, "purchase"),
+      (5L, t("11:30:00"), 1L, "login"), (6L, t("09:05:00"), 2L, "login"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessstream")
+      .as[StreamingPipeline.SessionAssign].collect()
+      .map(a => a.event_id -> a.session_start_us).toMap
+    assert(got == Map(
+      1L -> us("09:00:00"), 2L -> us("09:00:00"), 3L -> us("10:00:01"),
+      4L -> us("10:00:01"), 5L -> us("11:30:00"), 6L -> us("09:05:00")),
+      "exact-gap pair shares a session; sessions survive the batch boundary")
+  }
+
+  test("sessionizer replay groups equal the batch islands on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingPipeline.userSessionsReplay(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.ops.Relational.sessionized(
+        graft.pipeline.Tables.events(spark, sf))
+      .groupBy(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("session_id"))
+      .agg(org.apache.spark.sql.functions.min("us").as("session_start_us"),
+        org.apache.spark.sql.functions.max("us").as("session_last_us"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("session_events"))
+      .select("user_id", "session_start_us", "session_last_us", "session_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch,
+      "per-event assignment grouped = lag+running-sum islands, session for session")
+  }
 }

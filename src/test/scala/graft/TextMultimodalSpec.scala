@@ -171,6 +171,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(feats(2L).width == 101 && feats(2L).height == 101)
   }
 
+  test("multimodal consistency: aligned pair kept, orthogonal pair flagged") {
+    // all caption mass lands in ONE hashed bucket; one embedding points
+    // along exactly that fold bucket (cosine 1), the other along the next
+    // (cosine 0) — so the feed mean is 0.5 and the verdicts must split
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("w".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    val b0 = (java.lang.Long.parseLong(hex, 16) % Multimodal.CONS_DIM).toInt
+    val d = docs(
+      (1L, "w w w", "en", "web"),
+      (2L, "w w w", "en", "web"))
+    def unit(b: Int): Array[Float] = {
+      val a = Array.fill(graft.ops.Dedup.EMB_DIM)(0.0f)
+      a(b) = 1.0f; a
+    }
+    val emb = Seq((1L, unit(b0), 0), (2L, unit((b0 + 1) % Multimodal.CONS_DIM), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Multimodal.consistency(d, emb)
+      .select("media_id", "clip_score", "feed_margin", "verdict")
+      .as[(Long, Double, Double, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((1.0, 0.5, "kept")))
+    assert(got(2L) == ((0.0, -0.5, "inconsistent")))
+  }
+
   test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
     val sf = "/root/testdata/sf0.001"
     val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
