@@ -547,6 +547,60 @@ object Multimodal {
        |            ELSE 'kept' END AS verdict
        |FROM margined""".stripMargin
 
+  /** END-TO-END multimodal corpus assembly audit — the `corpus_rejections`
+    * pattern over the media table: one row per media item with the FIRST
+    * stage of the full curation gauntlet that rejects it, in declared
+    * order — the structural gates ([[pairAudit]]: `no_embedding` →
+    * `tiny_image` → `short_caption` → `dup_pair`), then `perceptual_dup`
+    * (the non-canonical side of a frame-fingerprint near-pair,
+    * [[perceptualNearDup]] — min-id keeps its slot, same rule as the
+    * checksum dedup), then `inconsistent` ([[consistency]]'s feed-margin
+    * gate), else `kept`. Every stage is the SAME code path its
+    * standalone query gates — audit and curation cannot drift — and the
+    * oracle composes the three proven CTE blocks verbatim. Cheap gates
+    * run first for the same reason corpus_assembly orders its stages:
+    * at 100 TB the expensive stages (frame signatures, consistency
+    * cosines) only matter for items the structural gates keep, and a
+    * real deployment short-circuits them; the audit still reports the
+    * FIRST verdict, so the declared order is the contract either way.
+    * Plan: the three stage frames join back to the audit spine by the
+    * media key — equi-joins only, no new pair space beyond the banded
+    * near-dup the standalone query already bounds.
+    */
+  def multimodalAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val audit = pairAudit(docs, emb)
+      .select(col("media_id"), col("kind"), col("verdict").as("gate_verdict"))
+    val pdup = perceptualNearDup(sliceFrames(docs))
+      .select(col("m2").as("media_id")).distinct()
+      .withColumn("is_pdup", lit(true))
+    val cons = consistency(docs, emb)
+      .select(col("media_id"), col("verdict").as("cons_verdict"))
+    audit
+      .join(pdup, Seq("media_id"), "left")
+      .join(cons, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        when(col("gate_verdict") =!= "kept", col("gate_verdict"))
+          .when(col("is_pdup"), "perceptual_dup")
+          .when(col("cons_verdict") === "inconsistent", "inconsistent")
+          .otherwise("kept").as("verdict"))
+  }
+
+  val multimodalAssemblySql: String =
+    s"""WITH aud AS (SELECT * FROM ($multimodalPairAuditSql)),
+       |pd AS (SELECT DISTINCT m2 AS media_id FROM ($multimodalNeardupSql)),
+       |cons AS (SELECT media_id, verdict AS cons_verdict
+       |         FROM ($multimodalConsistencySql))
+       |SELECT a.media_id, a.kind,
+       |       CASE WHEN a.verdict <> 'kept' THEN a.verdict
+       |            WHEN pd.media_id IS NOT NULL THEN 'perceptual_dup'
+       |            WHEN cons.cons_verdict = 'inconsistent' THEN 'inconsistent'
+       |            ELSE 'kept' END AS verdict
+       |FROM aud a
+       |LEFT JOIN pd ON a.media_id = pd.media_id
+       |LEFT JOIN cons ON a.media_id = cons.media_id""".stripMargin
+
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,
       out_w: Int, out_h: Int, frame_fp: String)

@@ -195,6 +195,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L) == ((0.0, -0.5, "inconsistent")))
   }
 
+  test("multimodal assembly: first-failing-stage verdicts recompose from the parts") {
+    val sf = "/root/testdata/sf0.001"
+    val audit = Multimodal.multimodalPairAudit(spark, sf)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    val pdup = Multimodal.multimodalNeardup(spark, sf)
+      .select("m2").as[Long].collect().toSet
+    val cons = Multimodal.multimodalConsistency(spark, sf)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    val got = Multimodal.multimodalAssembly(spark, sf)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got.keySet == audit.keySet, "one verdict per media item")
+    got.foreach { case (id, v) =>
+      val expected =
+        if (audit(id) != "kept") audit(id)
+        else if (pdup(id)) "perceptual_dup"
+        else if (cons.get(id).contains("inconsistent")) "inconsistent"
+        else "kept"
+      assert(v == expected, s"media $id: $v != $expected")
+    }
+    assert(got.values.toSet.size > 1, "the fixture exercises more than one stage")
+  }
+
   test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
     val sf = "/root/testdata/sf0.001"
     val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
