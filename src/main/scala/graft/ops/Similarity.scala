@@ -2777,4 +2777,94 @@ object Similarity {
        |  FROM v${GRAPH_ROUNDS}_i v WHERE node <> q_id) f
        |WHERE rnk <= $IVF_TOP_K""".stripMargin
   }
+
+  /** Tombstone modulus for [[simsearchGraphDelete]] — every 10th vec_id
+    * leaves the index, a realistic churn batch. */
+  val DELETE_MOD = 10
+
+  /** INCREMENTAL graph-index DELETE — the repair path that completes the
+    * graph family's lifecycle (build → serve → insert → delete): a batch
+    * of nodes tombstones out of the standing adjacency, and each
+    * SURVIVING node that lost an edge re-links by BRIDGING through its
+    * deleted neighbors — candidate set = its surviving edges ∪ the
+    * deleted neighbors' own surviving out-edges (the HNSW repair rule:
+    * a deleted node's neighborhood is exactly where its in-links should
+    * re-attach), rescored exactly and re-cut to [[GRAPH_DEGREE]]. No
+    * rebuild, no search: per affected node the fan-out is bounded by
+    * k (lost edges) × k (each mid's degree) — degree constants, never
+    * corpus² and never a traversal budget; unaffected nodes' rows are
+    * untouched (not re-emitted here — the output is the REPAIR delta,
+    * the rows a MERGE into the persisted adjacency would rewrite). A
+    * node whose entire neighborhood died yields < k (possibly 0) rows —
+    * visible in the output, the rebuild-this-region signal, same
+    * convention as the insert path's empty-seed case.
+    */
+  def simsearchGraphDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val edges = graphIndex(spark, sfDir)
+    val delDst = col("dst") % DELETE_MOD === 0
+    val aff = edges.filter(delDst && col("src") % DELETE_MOD =!= 0)
+      .select(col("src")).distinct()
+    val surv = edges.join(aff, Seq("src")).filter(!delDst)
+      .select(col("src"), col("dst"))
+    val bridges = edges.filter(delDst)
+      .select(col("src"), col("dst").as("mid"))
+      .join(aff, Seq("src"))
+      .join(edges.select(col("src").as("mid"), col("dst").as("w")), Seq("mid"))
+      .filter(col("w") % DELETE_MOD =!= 0 && col("w") =!= col("src"))
+      .select(col("src"), col("w").as("dst"))
+    val cand = surv.union(bridges).distinct()
+    val base = withNorm(Tables.embeddings(spark, sfDir))
+    val q = base.select(col("vec_id").as("src"),
+      col("embedding").as("eq"), col("nm").as("nq"))
+    val n = base.select(col("vec_id").as("dst"),
+      col("embedding").as("ed"), col("nm").as("nd"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    cand.join(q, Seq("src")).join(n, Seq("dst"))
+      .withColumn("cosine", round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= GRAPH_DEGREE)
+      .select(col("src"), col("dst"), col("cosine"), col("rnk"))
+  }
+
+  val simsearchGraphDeleteSql: String =
+    s"""WITH knn AS MATERIALIZED (${nnDescentAdjSql()}),
+       |gu AS MATERIALIZED (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |gn AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM gu GROUP BY 1),
+       |aff AS MATERIALIZED (
+       |  SELECT DISTINCT src FROM knn
+       |  WHERE dst % $DELETE_MOD = 0 AND src % $DELETE_MOD <> 0),
+       |surv AS (
+       |  SELECT k.src, k.dst FROM knn k JOIN aff a ON k.src = a.src
+       |  WHERE k.dst % $DELETE_MOD <> 0),
+       |bridge AS (
+       |  SELECT e1.src, e2.dst
+       |  FROM knn e1
+       |  JOIN aff a ON e1.src = a.src
+       |  JOIN knn e2 ON e1.dst = e2.src
+       |  WHERE e1.dst % $DELETE_MOD = 0 AND e2.dst % $DELETE_MOD <> 0
+       |    AND e2.dst <> e1.src),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM surv UNION ALL SELECT src, dst FROM bridge)),
+       |cd AS (
+       |  SELECT c.src, c.dst, sum(a.x * b.x) AS dot
+       |  FROM cand c
+       |  JOIN gu a ON a.vec_id = c.src
+       |  JOIN gu b ON b.vec_id = c.dst AND a.i = b.i
+       |  GROUP BY 1, 2)
+       |SELECT src, dst, cosine, rnk FROM (
+       |  SELECT d.src, d.dst,
+       |         round(d.dot / (n1.nm * n2.nm), 6) AS cosine,
+       |         row_number() OVER (PARTITION BY d.src
+       |                            ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC,
+       |                                     d.dst) AS rnk
+       |  FROM cd d
+       |  JOIN gn n1 ON d.src = n1.vec_id
+       |  JOIN gn n2 ON d.dst = n2.vec_id) r
+       |WHERE rnk <= $GRAPH_DEGREE""".stripMargin
 }

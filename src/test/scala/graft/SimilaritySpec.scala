@@ -392,4 +392,28 @@ class SimilaritySpec extends SparkSpec {
       assert(ranked.length <= Similarity.IVF_TOP_K)
     }
   }
+
+  test("graph delete: repair links avoid tombstones; only affected nodes re-emitted") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.simsearchGraphDelete(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r =>
+      r._1 % Similarity.DELETE_MOD != 0 && r._2 % Similarity.DELETE_MOD != 0),
+      "no tombstoned node may appear on either side of a repaired edge")
+    val edges = Similarity.graphIndex(spark, sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+    val affected = edges.filter(e =>
+      e._2 % Similarity.DELETE_MOD == 0 && e._1 % Similarity.DELETE_MOD != 0)
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet.subsetOf(affected),
+      "only nodes that lost an edge are re-linked (the repair delta, not a rebuild)")
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val ranked = rows.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1 to ranked.length).toSeq,
+        s"node $s repair ranks must be dense from 1")
+      assert(ranked.sortBy(r => (-r._3, r._2)).toSeq == ranked.toSeq)
+      assert(ranked.length <= Similarity.GRAPH_DEGREE)
+    }
+  }
 }
