@@ -2496,11 +2496,14 @@ object Similarity {
     * vectors stay columnar beside it, and the per-query state is the
     * frontier — beam-width rows, never corpus rows.
     */
-  private[graft] def graphIndex(spark: SparkSession, sfDir: String): DataFrame =
-    SharedFits.memo(spark, s"graph_index:$sfDir") {
-      val emb = Tables.embeddings(spark, sfDir)
-      val adj = FitStore.frame(spark, s"knn_edges_nnd${NND_ITERS}_d$GRAPH_DEGREE",
-          FitStore.embeddingsFp(spark, sfDir)) {
+  private[graft] def graphIndex(spark: SparkSession, sfDir: String,
+      half: Option[Int] = None): DataFrame =
+    SharedFits.memo(spark, s"graph_index${half.fold("")(h => s"_h$h")}:$sfDir") {
+      val full = Tables.embeddings(spark, sfDir)
+      val emb = half.fold(full)(h => full.filter(col("vec_id") % 2 === h))
+      val adj = FitStore.frame(spark,
+          s"knn_edges_nnd${NND_ITERS}_d$GRAPH_DEGREE${half.fold("")(h => s"_h$h")}",
+          FitStore.embeddingsFp(spark, sfDir, half)) {
         nnDescentAdj(emb)
       }
       val payload = withNorm(emb).select(col("vec_id").as("dst"),
@@ -2527,8 +2530,13 @@ object Similarity {
     * side of the expansion join); the edge frame never moves after its
     * one-time build.
     */
-  private[graft] def beamTraverse(edges: DataFrame, base: DataFrame,
-      beamW: Int, rounds: Int = GRAPH_ROUNDS,
+  /** The beam-width-INDEPENDENT seed stage of [[beamTraverse]]: every
+    * query scored against its LSH bucket mates. Hoisted so a multi-width
+    * sweep ([[simsearchGraphRecall]]) computes the corpus-side bucket
+    * explode + seed join ONCE and fans the widths out from the pinned
+    * result — only the per-round top-beamW cut depends on the width.
+    */
+  private[graft] def beamSeeds(base: DataFrame,
       pin: DataFrame => DataFrame = _.localCheckpoint(),
       isQuery: Column = col("vec_id") < N_QUERIES,
       isNode: Column = lit(true)): DataFrame = {
@@ -2538,17 +2546,27 @@ object Similarity {
             Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val queries = base.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
     val qb = withBuckets.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
         col("nm").as("nq"), col("t"), col("bucket"))
     val nb = withBuckets.filter(isNode).select(col("vec_id").as("node"),
       col("embedding").as("ed"), col("nm").as("nd"), col("t"), col("bucket"))
     val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
-    var visited = pin(nb.join(broadcast(qb), Seq("t", "bucket"))
+    pin(nb.join(broadcast(qb), Seq("t", "bucket"))
       .select(col("q_id"), col("node"), cosine.as("cosine"))
       .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine")))
+  }
+
+  private[graft] def beamTraverse(edges: DataFrame, base: DataFrame,
+      beamW: Int, rounds: Int = GRAPH_ROUNDS,
+      pin: DataFrame => DataFrame = _.localCheckpoint(),
+      isQuery: Column = col("vec_id") < N_QUERIES,
+      isNode: Column = lit(true),
+      seeds: Option[DataFrame] = None): DataFrame = {
+    val queries = base.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
+    var visited = seeds.getOrElse(beamSeeds(base, pin, isQuery, isNode))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
     (1 to rounds).foreach { _ =>
       val beam = visited.withColumn("rn", row_number().over(w))
@@ -2632,7 +2650,14 @@ object Similarity {
     * entries, then per round (beam → expand → fold). `tag` keeps CTE
     * names unique when several widths share one statement.
     */
-  private def beamSql(tag: String, beamW: Int): String = {
+  /** Seed CTE body shared by every traversal tag — the width-independent
+    * v0, the SQL twin of [[beamSeeds]]. */
+  private val V0_SQL: String =
+    """SELECT s.q_id, s.node, c.cosine
+      |FROM seeds s JOIN qcos c ON s.q_id = c.q_id AND s.node = c.node""".stripMargin
+
+  private def beamSql(tag: String, beamW: Int,
+      v0From: Option[String] = None): String = {
     val rounds = (1 to GRAPH_ROUNDS).map { r =>
       s"""b${r}_$tag AS (
          |  SELECT q_id, node FROM (
@@ -2650,10 +2675,12 @@ object Similarity {
          |    FROM x${r}_$tag x JOIN qcos c ON x.q_id = c.q_id AND x.node = c.node) vu
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""v0_$tag AS MATERIALIZED (
-       |  SELECT s.q_id, s.node, c.cosine
-       |  FROM seeds s JOIN qcos c ON s.q_id = c.q_id AND s.node = c.node),
-       |$rounds""".stripMargin
+    val v0 = v0From match {
+      // width sweep: every tag reads the ONE materialized shared seed
+      case Some(src) => s"v0_$tag AS (SELECT * FROM $src)"
+      case None => s"v0_$tag AS MATERIALIZED (\n  $V0_SQL)"
+    }
+    s"$v0,\n$rounds"
   }
 
   val simsearchGraphTopkSql: String =
@@ -2681,8 +2708,9 @@ object Similarity {
     val truth = bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K)
       .select(col("q_id"), col("n_id")).localCheckpoint()
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    val seeds = beamSeeds(base)
     GRAPH_BEAMS.map { bw =>
-      val visited = beamTraverse(edges, base, bw)
+      val visited = beamTraverse(edges, base, bw, seeds = Some(seeds))
       val cand = visited.agg(count(lit(1)).as("n_candidates"))
       val hits = graphTopkFrom(visited).select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")
@@ -2695,7 +2723,8 @@ object Similarity {
 
   val simsearchGraphRecallSql: String = {
     val denom = N_QUERIES * IVF_TOP_K
-    val beams = GRAPH_BEAMS.map(bw => beamSql(s"b$bw", bw)).mkString(",\n")
+    val beams = s"v0_shared AS MATERIALIZED (\n  $V0_SQL),\n" +
+      GRAPH_BEAMS.map(bw => beamSql(s"b$bw", bw, Some("v0_shared"))).mkString(",\n")
     val rows = GRAPH_BEAMS.map { bw =>
       s"""final_b$bw AS (
          |  SELECT q_id, node FROM (
@@ -2746,20 +2775,7 @@ object Similarity {
   def simsearchGraphInsert(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    val edges = SharedFits.memo(spark, s"graph_index_h0:$sfDir") {
-      val even = emb.filter(col("vec_id") % 2 === 0)
-      val adj = FitStore.frame(spark,
-          s"knn_edges_nnd${NND_ITERS}_d${GRAPH_DEGREE}_h0",
-          FitStore.embeddingsFp(spark, sfDir, half = Some(0))) {
-        nnDescentAdj(even)
-      }
-      val payload = withNorm(even).select(col("vec_id").as("dst"),
-        col("embedding").as("ed"), col("nm").as("nd"))
-      adj.join(payload, Seq("dst"))
-        .select(col("src"), col("dst"), col("ed"), col("nd"))
-        .repartition(col("src"))
-        .localCheckpoint()
-    }
+    val edges = graphIndex(spark, sfDir, half = Some(0))
     val visited = beamTraverse(edges, withNorm(emb), GRAPH_BEAM,
       isQuery = col("vec_id") % 2 === 1, isNode = col("vec_id") % 2 === 0)
     graphTopkFrom(visited)

@@ -156,21 +156,42 @@ object StreamingPipeline {
     * matched keys replaced by the batch's rows (an update-mode
     * aggregation emits each changed group at its NEW running total, so
     * last write wins is the correct semantics), unmatched sink rows
-    * kept, new keys inserted — the foreachBatch upsert every
-    * update-mode aggregation needs to materialize a dashboard table.
-    * The merged frame is materialized (`localCheckpoint(true)`) BEFORE
-    * the overwrite because it reads the very directory it replaces.
+    * kept, new keys inserted — [[graft.ops.Relational.keyedMergeUpsert]]
+    * (the property-tested MERGE shape) applied per micro-batch: the
+    * foreachBatch upsert every update-mode aggregation needs to
+    * materialize a dashboard table.
+    *
+    * GENERATION SWAP, never delete-in-place: the merged frame writes to
+    * a staging dir (it reads the live one, so writing over it would
+    * both need a pre-materialization and — worse — a failure
+    * mid-overwrite would lose every previously merged key while leaving
+    * the dir present, so the retried batch would silently merge against
+    * partial remains). The staged write can fail harmlessly; only after
+    * it commits does the swap retire the live generation (live → .old,
+    * staging → live, drop .old). The one crash window — after live is
+    * renamed away, before staging lands — is healed on the next call by
+    * restoring `.old`, so foreachBatch's at-least-once retry always
+    * merges against a complete prior generation.
     */
   def mergeByKey(batch: Dataset[org.apache.spark.sql.Row], sinkDir: String,
       key: Seq[String]): Unit = {
     val sp = batch.sparkSession
+    val live = new org.apache.hadoop.fs.Path(sinkDir)
+    val staging = new org.apache.hadoop.fs.Path(sinkDir + ".staging")
+    val old = new org.apache.hadoop.fs.Path(sinkDir + ".old")
+    val fs = live.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live) // heal
+    fs.delete(staging, true) // leftover of a failed staged write
     val merged =
-      if (graft.pipeline.PipelineRunner.pathExists(sp, sinkDir))
-        sp.read.parquet(sinkDir)
-          .join(batch.select(key.map(col): _*), key, "left_anti")
-          .unionByName(batch.toDF())
+      if (fs.exists(live))
+        graft.ops.Relational.keyedMergeUpsert(
+          sp.read.parquet(sinkDir), batch.toDF(), key)
       else batch.toDF()
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(sinkDir)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(staging, live)
+    fs.delete(old, true)
   }
 
   /** GROUP-BY-day twin of the [[dailyVolumeReplay]] sink. */

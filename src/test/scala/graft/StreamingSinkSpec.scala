@@ -31,6 +31,29 @@ class StreamingSinkSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mergeByKey generation swap: merge, last-write-wins, crash-window heal") {
+    val dir = Files.createTempDirectory("graft-merge-sink")
+    val sink = s"$dir/daily"
+    def batch(rows: (String, Long)*) = rows.toDF("day", "n")
+    StreamingPipeline.mergeByKey(batch(("d1", 1L), ("d2", 1L)), sink, Seq("day"))
+    StreamingPipeline.mergeByKey(batch(("d2", 5L), ("d3", 1L)), sink, Seq("day"))
+    def read() = spark.read.parquet(sink).as[(String, Long)].collect().sorted.toSeq
+    assert(read() == Seq(("d1", 1L), ("d2", 5L), ("d3", 1L)),
+      "matched key replaced, unmatched kept, new inserted")
+    // simulate the one crash window: live renamed away, staging lost —
+    // the next merge must heal from .old instead of restarting empty
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sink),
+      new org.apache.hadoop.fs.Path(sink + ".old")))
+    StreamingPipeline.mergeByKey(batch(("d3", 9L)), sink, Seq("day"))
+    assert(read() == Seq(("d1", 1L), ("d2", 5L), ("d3", 9L)),
+      "the healed generation preserves every previously merged key")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink + ".old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(sink + ".staging")),
+      "no generation debris after a successful swap")
+  }
+
   test("GraftExtensions registers vec_dot in a fresh extended session") {
     // A second SparkSession in the same JVM shares the SparkContext but can
     // carry its own extensions.

@@ -1231,7 +1231,7 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got((0L, 1L)) == 0L, "normalized mirrors must land at hamming 0")
     assert(got.contains((0L, 2L)) && got((0L, 2L)) <= Multimodal.PFP_MAX_HAMMING,
-      "a clip sharing 7/8 slices must surface as a near-dup")
+      "a clip sharing 63/64 slices must surface as a near-dup")
     assert(got((0L, 2L)) > 0L, "a trimmed clip is near, not identical")
     assert(!got.contains((0L, 3L)) && !got.contains((1L, 3L)) && !got.contains((2L, 3L)),
       "disjoint content must not pair")
