@@ -243,6 +243,75 @@ object StreamingPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class DocArrival(doc_id: Long, ts: Timestamp, fp: String)
+  case class FpGroup(fp: String, keep_id: Long, dup_count: Long)
+
+  /** Streaming exact-dedup GROUPS with keyed state — the form of
+    * [[dedupStream]] that faces the oracle: `dropDuplicatesWithinWatermark`
+    * keeps an ARBITRARY first row per fingerprint within a micro-batch
+    * (partition order, not event order), which production dedup happily
+    * accepts but an exact-hash differential cannot. Here the state per
+    * fingerprint is (first-seen winner, running count); each batch's
+    * arrivals fold in under the uniform full-precision (ts, nanos,
+    * doc_id) order, and the group's CURRENT row re-emits whenever it
+    * changes (update mode) — so after the MERGE sink drains, the table
+    * is `Dedup.exactGroups` exactly: first-seen ≡ min doc_id under a
+    * ts-ordered replay, dup_count ≡ group size. State = one (long,
+    * long) per distinct fingerprint — the same footprint
+    * `dropDuplicatesWithinWatermark` keeps, without its winner
+    * nondeterminism (production bounds it with the watermark timeout;
+    * the replay needs every group's final count, so it keeps state to
+    * end-of-drain the way the batch groupBy holds its hash table).
+    */
+  def dedupGroupsStream(docs: Dataset[DocArrival]): Dataset[FpGroup] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[(Long, Long), FpGroup](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[(Long, Long)]) =>
+          val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.doc_id))
+          val (keep0, n0) = state.getOption.getOrElse((batch.head.doc_id, 0L))
+          // first-seen wins across the whole stream; the count accumulates
+          val out = FpGroup(fp, keep0, n0 + batch.length)
+          state.update((out.keep_id, out.dup_count))
+          Iterator(out)
+      }
+  }
+
+  /** The ORACLE-GATED replay of the exact-dedup groups: documents arrive
+    * through the file stream on a deterministic synthetic clock (the
+    * crawl replays in doc_id order — there is no event time on the
+    * documents table, and any monotone clock gives the same winner),
+    * each micro-batch's changed groups MERGE into the keyed sink, and
+    * the drained sink shares `Dedup.dedupExactSql` VERBATIM — the
+    * streaming state formulation driver-checked against the batch
+    * groupBy formulation, like first_seen_stream vs the window form.
+    */
+  def dedupGroupsReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_groups_replay")
+    val out = s"$tmp/groups"
+    withStatePartitions(spark, 8) {
+      val arrivals = Tables.documentsStream(spark, sfDir)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .as[DocArrival]
+      val q = dedupGroupsStream(arrivals).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("fp"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).select(col("fp"), col("keep_id"), col("dup_count"))
+  }
+
   case class BandRow(doc_id: Long, ts: Timestamp, band_no: Int, bucket: String)
   case class BandMatch(d1: Long, d2: Long, band_no: Int)
 

@@ -658,6 +658,32 @@ class StreamingSpec extends SparkSpec {
       "exact-gap pair shares a session; sessions survive the batch boundary")
   }
 
+  test("streaming dedup groups: first-seen winner and counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipeline.dedupGroupsStream(
+        in.toDS().map(r => StreamingPipeline.DocArrival(r._1, r._2, r._3)))
+      .writeStream.format("memory").queryName("dedupgroups")
+      .outputMode("update").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // batch 1 arrives out of order within the batch: doc 5 then doc 2
+    // share fp "a" — the earlier (ts, doc_id) arrival must win
+    in.addData((5L, t(3), "a"), (2L, t(1), "a"), (9L, t(2), "b"))
+    q.processAllAvailable()
+    // batch 2: a later "a" arrival must NOT displace the winner, only count
+    in.addData((1L, t(9), "a"), (7L, t(8), "c"))
+    q.processAllAvailable(); q.stop()
+    // update mode re-emits a group per batch it changes in — keep the last
+    val got = spark.table("dedupgroups")
+      .as[StreamingPipeline.FpGroup].collect()
+      .groupBy(_.fp).map { case (fp, rows) =>
+        fp -> rows.maxBy(_.dup_count) }.toMap
+    assert(got("a") == StreamingPipeline.FpGroup("a", 2L, 3L),
+      "fp a: earliest (ts, doc_id) wins across batches, count reaches 3")
+    assert(got("b") == StreamingPipeline.FpGroup("b", 9L, 1L))
+    assert(got("c") == StreamingPipeline.FpGroup("c", 7L, 1L))
+  }
+
   test("sessionizer replay groups equal the batch islands on the fixture") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamingPipeline.userSessionsReplay(spark, sf)
