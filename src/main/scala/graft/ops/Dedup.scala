@@ -236,6 +236,29 @@ object Dedup {
        |             AND x.doc_id < y.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** STAR-form banded candidates — the oracle for the streaming
+    * near-dup replay ([[graft.streaming.StreamingPipeline.nearDupStream]]):
+    * each (band, bucket)'s FIRST-SEEN document is its representative and
+    * every later bucket mate pairs against the rep only — |bucket|−1
+    * pairs per bucket instead of the batch clique's (|bucket| choose 2).
+    * Under a doc_id-ordered replay first-seen ≡ min(doc_id), so the
+    * star is a deterministic SQL view of the same bucket geometry (the
+    * bucket CTEs are shared with [[dedupMinhashSql]] verbatim; no exact-
+    * dedup keep-filter — the firehose sees raw arrivals).
+    */
+  val nearDupStarSql: String =
+    s"""WITH ${Tables.TOK_CTE},
+       |${Tables.SHINGLE_CTE},
+       |${minhashBucketCtes("")},
+       |rep AS (
+       |  SELECT band_no, bucket, min(doc_id) AS rep
+       |  FROM buckets GROUP BY 1, 2)
+       |SELECT r.rep AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       |FROM buckets b
+       |JOIN rep r ON b.band_no = r.band_no AND b.bucket = r.bucket
+       |WHERE b.doc_id <> r.rep
+       |GROUP BY 1, 2""".stripMargin
+
   /** The standing corpus's band index — what "prior bands persist as an
     * index" means operationally: (doc_id, band_no, bucket) rows keyed by
     * the standing half's fingerprint, memoized per session and persisted

@@ -374,6 +374,40 @@ object StreamingPipeline {
       }
   }
 
+  /** The ORACLE-GATED replay of [[nearDupStream]]: documents arrive on
+    * the same deterministic doc_id-ordered synthetic clock as
+    * [[dedupGroupsReplay]], each bucket's first arrival becomes its
+    * standing representative, and the sunk (rep, later, band) candidates
+    * grouped to (d1, d2, n_bands) face `Dedup.nearDupStarSql` — the
+    * star-form view of the SAME bucket geometry the batch clique oracle
+    * uses (first-seen ≡ min doc_id under the ordered replay). Lateness
+    * is pinned past the replay horizon so no bucket representative ages
+    * out mid-drain — production uses the short horizon; the gate needs
+    * the whole corpus in one comparable frame.
+    */
+  def nearDupReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("near_dup_replay")
+    val out = s"$tmp/cands"
+    withStatePartitions(spark, 8) {
+      val docs = Tables.documentsStream(spark, sfDir)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+          col("text"))
+      val q = nearDupStream(docs, "ts", lateness = "30 days").toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Streaming corpus gate — the batch quality/sampling operators applied
     * UNCHANGED to a document stream: [[graft.ops.TextAnalysis.quality]]
     * and [[graft.ops.TextAnalysis.hashSample]]'s bucket predicate are
