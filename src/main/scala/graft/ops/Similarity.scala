@@ -2530,9 +2530,24 @@ object Similarity {
     * side of the expansion join); the edge frame never moves after its
     * one-time build.
     */
+  /** Retained seeds per query after the LSH entry join. A seed ranked
+    * below max(beamW, k) by (cosine desc, node) can NEVER enter any
+    * round's beam nor the final top-k — at least that many better
+    * visited nodes already exist — so a cap ≥ that bound changes no
+    * answer; 32 leaves headroom over every width in [[GRAPH_BEAMS]].
+    * Without the cap the pinned seed state is |Q| × bucket occupancy,
+    * and occupancy grows WITH the corpus: the 30× rehearsal OOM'd the
+    * insert path (arrivals ∝ N × mates ∝ N = quadratic pinned state)
+    * before this bound; with it, seed state is |Q| × 32 flat. This is
+    * the HNSW convention — entry points are a fixed budget, not a
+    * bucket scan.
+    */
+  val GRAPH_SEED_CAP = 32
+
   /** The beam-width-INDEPENDENT seed stage of [[beamTraverse]]: every
-    * query scored against its LSH bucket mates. Hoisted so a multi-width
-    * sweep ([[simsearchGraphRecall]]) computes the corpus-side bucket
+    * query scored against its LSH bucket mates, retained to the
+    * [[GRAPH_SEED_CAP]] best. Hoisted so a multi-width sweep
+    * ([[simsearchGraphRecall]]) computes the corpus-side bucket
     * explode + seed join ONCE and fans the widths out from the pinned
     * result — only the per-round top-beamW cut depends on the width.
     */
@@ -2552,9 +2567,13 @@ object Similarity {
     val nb = withBuckets.filter(isNode).select(col("vec_id").as("node"),
       col("embedding").as("ed"), col("nm").as("nd"), col("t"), col("bucket"))
     val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
     pin(nb.join(broadcast(qb), Seq("t", "bucket"))
       .select(col("q_id"), col("node"), cosine.as("cosine"))
-      .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine")))
+      .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GRAPH_SEED_CAP)
+      .drop("rn"))
   }
 
   private[graft] def beamTraverse(edges: DataFrame, base: DataFrame,
@@ -2651,10 +2670,15 @@ object Similarity {
     * names unique when several widths share one statement.
     */
   /** Seed CTE body shared by every traversal tag — the width-independent
-    * v0, the SQL twin of [[beamSeeds]]. */
+    * v0, the SQL twin of [[beamSeeds]] including its [[GRAPH_SEED_CAP]]
+    * retention cut. */
   private val V0_SQL: String =
-    """SELECT s.q_id, s.node, c.cosine
-      |FROM seeds s JOIN qcos c ON s.q_id = c.q_id AND s.node = c.node""".stripMargin
+    s"""SELECT q_id, node, cosine FROM (
+       |  SELECT s.q_id, s.node, c.cosine,
+       |         row_number() OVER (PARTITION BY s.q_id
+       |                            ORDER BY c.cosine DESC, s.node) AS rn
+       |  FROM seeds s JOIN qcos c ON s.q_id = c.q_id AND s.node = c.node) sc
+       |WHERE rn <= $GRAPH_SEED_CAP""".stripMargin
 
   private def beamSql(tag: String, beamW: Int,
       v0From: Option[String] = None): String = {
