@@ -1117,4 +1117,58 @@ object StreamingPipeline {
       }
   }
 
+  /** The ORACLE-GATED replay of [[scd2Stream]]: the events table arrives
+    * as a change feed (per-day state = the day's final event, ranked by
+    * a (µs << 12 | event_id) sequence so the stream's single-long `seq`
+    * reproduces the batch (ts DESC, event_id DESC) winner), closed
+    * intervals append to the sink, and the sink faces the BATCH
+    * `events_scd2` oracle minus exactly the rows the emission contract
+    * holds back: each user's LAST interval (still open), and the
+    * second-to-last IFF the last spans a single day (its close is still
+    * pending — no strictly later day ever arrived to prove it final).
+    * That subtraction is a two-window SQL view over the shared batch
+    * CTEs, so the state machine's flush rule itself is driver-checked,
+    * not just spec'd.
+    */
+  def scd2Replay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd2_replay")
+    val out = s"$tmp/closed"
+    withStatePartitions(spark, 8) {
+      val changes = Tables.eventsStream(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type").as("state"),
+          (unix_micros(col("ts")) * 4096 + pmod(col("event_id"), lit(4096)))
+            .as("seq"))
+        .as[StateChange]
+      val q = scd2Stream(changes).toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_days"))
+  }
+
+  /** Batch SCD2 CTEs shared verbatim, minus the held-back tail. */
+  val scd2StreamSql: String =
+    s"""WITH iv AS (
+       |  SELECT * FROM (${graft.ops.Relational.eventsScd2Sql})),
+       |ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY valid_from DESC) AS rk,
+       |         first_value(n_days) OVER (PARTITION BY user_id
+       |                                   ORDER BY valid_from DESC) AS last_days
+       |  FROM iv)
+       |SELECT user_id, state, valid_from, valid_to, n_days
+       |FROM ranked
+       |WHERE rk > CASE WHEN last_days = 1 THEN 2 ELSE 1 END""".stripMargin
+
 }
