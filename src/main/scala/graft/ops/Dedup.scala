@@ -54,10 +54,17 @@ object Dedup {
     * text; emit one representative (min doc_id) + multiplicity per group.
     * Map-side partial agg; one shuffle on the 128-bit fingerprint.
     */
+  /** The exact-dedup normalization fingerprint as a Column — the ONE
+    * engine-side definition (twin of [[EXACT_FP_SQL]]); every consumer
+    * (batch groups, the watermark stream, the replay) must call this,
+    * for the same no-drift reason the oracle side centralizes.
+    */
+  def exactFp(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
   def exactGroups(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .select(col("doc_id"), exactFp(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 

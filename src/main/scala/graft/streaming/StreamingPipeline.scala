@@ -239,7 +239,7 @@ object StreamingPipeline {
   def dedupStream(docs: DataFrame, tsCol: String,
       lateness: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("fp", graft.ops.Dedup.exactFp(col("text")))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
@@ -251,29 +251,47 @@ object StreamingPipeline {
     * keeps an ARBITRARY first row per fingerprint within a micro-batch
     * (partition order, not event order), which production dedup happily
     * accepts but an exact-hash differential cannot. Here the state per
-    * fingerprint is (first-seen winner, running count); each batch's
-    * arrivals fold in under the uniform full-precision (ts, nanos,
-    * doc_id) order, and the group's CURRENT row re-emits whenever it
-    * changes (update mode) — so after the MERGE sink drains, the table
-    * is `Dedup.exactGroups` exactly: first-seen ≡ min doc_id under a
-    * ts-ordered replay, dup_count ≡ group size. State = one (long,
-    * long) per distinct fingerprint — the same footprint
-    * `dropDuplicatesWithinWatermark` keeps, without its winner
-    * nondeterminism (production bounds it with the watermark timeout;
-    * the replay needs every group's final count, so it keeps state to
+    * fingerprint is (winner's event-time key, running count); each
+    * batch's arrivals fold in under the uniform full-precision (ts,
+    * nanos, doc_id) order, and the group's CURRENT row re-emits
+    * whenever it changes (update mode) — so after the MERGE sink
+    * drains, the table is `Dedup.exactGroups` exactly: the winner is
+    * the globally EARLIEST (ts, doc_id) arrival regardless of which
+    * micro-batch delivered it — keeping the winner's KEY, not just its
+    * id, is what makes a multi-file out-of-order source safe: a
+    * displacement re-emits the group and the MERGE sink replaces the
+    * row — and dup_count ≡ group size. State = three longs per
+    * distinct fingerprint (the `dropDuplicatesWithinWatermark`
+    * footprint plus one long), without its winner nondeterminism
+    * (production bounds it with the watermark timeout; the replay
+    * needs every group's final count, so it keeps state to
     * end-of-drain the way the batch groupBy holds its hash table).
     */
   def dedupGroupsStream(docs: Dataset[DocArrival]): Dataset[FpGroup] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.fp)
-      .flatMapGroupsWithState[(Long, Long), FpGroup](
+      .flatMapGroupsWithState[(Long, Long, Long), FpGroup](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (fp, rows, state: GroupState[(Long, Long)]) =>
+        case (fp, rows, state: GroupState[(Long, Long, Long)]) =>
           val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.doc_id))
-          val (keep0, n0) = state.getOption.getOrElse((batch.head.doc_id, 0L))
-          // first-seen wins across the whole stream; the count accumulates
-          val out = FpGroup(fp, keep0, n0 + batch.length)
-          state.update((out.keep_id, out.dup_count))
+          // winner = globally earliest (ts-µs, doc_id): the state keeps
+          // the winner's KEY, not just its id, so an earlier event
+          // arriving in a LATER micro-batch (a multi-file source
+          // delivering out of order) still displaces it — update mode
+          // re-emits the group and the MERGE sink replaces the row,
+          // which is what makes displacement safe to express at all
+          def keyOf(r: DocArrival): (Long, Long) = {
+            val i = r.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.doc_id)
+          }
+          val headKey = keyOf(batch.head)
+          val (us0, id0, n0) = state.getOption
+            .getOrElse((headKey._1, headKey._2, 0L))
+          val displaces =
+            headKey._1 < us0 || (headKey._1 == us0 && headKey._2 < id0)
+          val (us1, id1) = if (displaces) headKey else (us0, id0)
+          val out = FpGroup(fp, id1, n0 + batch.length)
+          state.update((us1, id1, out.dup_count))
           Iterator(out)
       }
   }
@@ -296,7 +314,7 @@ object StreamingPipeline {
       val arrivals = Tables.documentsStream(spark, sfDir)
         .select(col("doc_id"),
           timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
-          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+          graft.ops.Dedup.exactFp(col("text")).as("fp"))
         .as[DocArrival]
       val q = dedupGroupsStream(arrivals).toDF()
         .writeStream
@@ -1009,8 +1027,12 @@ object StreamingPipeline {
     * rule is last-event-wins per day, and without an explicit order the
     * post-shuffle group iterator would pick an arbitrary winner.
     */
+  /** `seq` orders events within a (user, day); `tie` breaks seq ties —
+    * the replay maps (ts-µs, event_id) onto them UNPACKED, because no
+    * fixed-width packing of an unbounded id under a 51-bit µs clock can
+    * reproduce the batch (ts DESC, event_id DESC) winner exactly. */
   case class StateChange(user_id: Long, d: java.sql.Date, state: String,
-      seq: Long = 0L)
+      seq: Long = 0L, tie: Long = 0L)
   /** `prevTo` remembers the observed day BEFORE the last extension so a
     * same-day revision (a later event changes an already-seen day's
     * state — the batch rule is last-event-wins) can retract exactly that
@@ -1068,7 +1090,7 @@ object StreamingPipeline {
           // then fold the per-day states in day order
           val daily = rows.toSeq
             .groupBy(_.d.toLocalDate.toEpochDay).toSeq.sortBy(_._1)
-            .map { case (_, evs) => evs.maxBy(_.seq) }
+            .map { case (_, evs) => evs.maxBy(r => (r.seq, r.tie)) }
           daily.foreach { r =>
             cur match {
               case None =>
@@ -1119,8 +1141,8 @@ object StreamingPipeline {
 
   /** The ORACLE-GATED replay of [[scd2Stream]]: the events table arrives
     * as a change feed (per-day state = the day's final event, ranked by
-    * a (µs << 12 | event_id) sequence so the stream's single-long `seq`
-    * reproduces the batch (ts DESC, event_id DESC) winner), closed
+    * (seq, tie) = (ts-µs, event_id) — the batch (ts DESC, event_id
+    * DESC) winner rule, carried unpacked), closed
     * intervals append to the sink, and the sink faces the BATCH
     * `events_scd2` oracle minus exactly the rows the emission contract
     * holds back: each user's LAST interval (still open), and the
@@ -1139,8 +1161,8 @@ object StreamingPipeline {
       val changes = Tables.eventsStream(spark, sfDir)
         .select(col("user_id"), to_date(col("ts")).as("d"),
           col("event_type").as("state"),
-          (unix_micros(col("ts")) * 4096 + pmod(col("event_id"), lit(4096)))
-            .as("seq"))
+          unix_micros(col("ts")).as("seq"),
+          col("event_id").as("tie"))
         .as[StateChange]
       val q = scd2Stream(changes).toDF()
         .writeStream.format("parquet")

@@ -670,8 +670,10 @@ class StreamingSpec extends SparkSpec {
     // share fp "a" — the earlier (ts, doc_id) arrival must win
     in.addData((5L, t(3), "a"), (2L, t(1), "a"), (9L, t(2), "b"))
     q.processAllAvailable()
-    // batch 2: a later "a" arrival must NOT displace the winner, only count
-    in.addData((1L, t(9), "a"), (7L, t(8), "c"))
+    // batch 2: a later "a" arrival must NOT displace the winner, only
+    // count; an EARLIER-ts "b" arrival (an out-of-order multi-file
+    // source) MUST displace b's winner
+    in.addData((1L, t(9), "a"), (7L, t(8), "c"), (4L, t(0), "b"))
     q.processAllAvailable(); q.stop()
     // update mode re-emits a group per batch it changes in — keep the last
     val got = spark.table("dedupgroups")
@@ -680,7 +682,8 @@ class StreamingSpec extends SparkSpec {
         fp -> rows.maxBy(_.dup_count) }.toMap
     assert(got("a") == StreamingPipeline.FpGroup("a", 2L, 3L),
       "fp a: earliest (ts, doc_id) wins across batches, count reaches 3")
-    assert(got("b") == StreamingPipeline.FpGroup("b", 9L, 1L))
+    assert(got("b") == StreamingPipeline.FpGroup("b", 4L, 2L),
+      "fp b: a later batch's earlier event displaces the stored winner")
     assert(got("c") == StreamingPipeline.FpGroup("c", 7L, 1L))
   }
 
