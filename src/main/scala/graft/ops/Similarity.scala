@@ -2540,9 +2540,14 @@ object Similarity {
     * insert path (arrivals ∝ N × mates ∝ N = quadratic pinned state)
     * before this bound; with it, seed state is |Q| × 32 flat. This is
     * the HNSW convention — entry points are a fixed budget, not a
-    * bucket scan.
+    * bucket scan. Defined as max(32, widest beam, k) so the
+    * inertness precondition (cap ≥ max(beamW, k)) is ENFORCED by
+    * construction: raising GRAPH_BEAM/GRAPH_BEAMS/IVF_TOP_K past 32
+    * widens the cap with them instead of silently changing answers
+    * while this comment still claims it can't (round-11 advice).
     */
-  val GRAPH_SEED_CAP = 32
+  val GRAPH_SEED_CAP: Int =
+    math.max(32, math.max((GRAPH_BEAMS :+ GRAPH_BEAM).max, IVF_TOP_K))
 
   /** The beam-width-INDEPENDENT seed stage of [[beamTraverse]]: every
     * query scored against its LSH bucket mates, retained to the

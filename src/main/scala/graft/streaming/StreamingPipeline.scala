@@ -124,9 +124,13 @@ object StreamingPipeline {
     * (exact to far below the pin: the fixture values carry two
     * decimals). Exact across batches for the same reason as the other
     * replays: the fixture replays as ts-sortable micro-batches, so no
-    * update is ever dropped as late. The merge re-writes |days×chains|
-    * rows per batch — constant-size, the same bound as
-    * [[graft.ops.Relational.aggIncremental]]'s merge.
+    * update is ever dropped as late. The sink is the PARTITIONED merge
+    * ([[mergeByKeyPartitioned]], partitioned by `chain` — the key
+    * prefix): each batch rewrites only the chain partitions it touched,
+    * so the replay exercises the fact-scale MERGE form end-to-end
+    * against the oracle, not just the constant-size dashboard form.
+    * `chain` rides back in from the partition directory values (cast
+    * from the read-back's narrow inference to the view's BIGINT).
     */
   def dailyVolumeReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
@@ -141,14 +145,14 @@ object StreamingPipeline {
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode(OutputMode.Update.toString)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          mergeByKey(batch, out, key)
+          mergeByKeyPartitioned(batch, out, key, "chain")
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
     spark.read.parquet(out)
-      .select(col("day"), col("chain"), col("n_tx"),
+      .select(col("day"), col("chain").cast("long").as("chain"), col("n_tx"),
         round(col("total_stake"), 4).as("total_stake"))
   }
 
@@ -172,6 +176,23 @@ object StreamingPipeline {
     * renamed away, before staging lands — is healed on the next call by
     * restoring `.old`, so foreachBatch's at-least-once retry always
     * merges against a complete prior generation.
+    *
+    * FILESYSTEM ASSUMPTION: the crash-safety argument above requires
+    * `FileSystem.rename` to be an atomic directory move — true on HDFS
+    * and local/POSIX, FALSE on object stores (s3a rename is a per-file
+    * copy+delete), where a failure mid-"rename" can leave a PARTIAL live
+    * dir that the next call would trust as a complete generation. On an
+    * object store, point the sink at a table format whose commit is a
+    * metadata swap (Iceberg/Delta) or front the swap with a commit-marker
+    * protocol — do not rely on this rename. (Unlike
+    * [[decontamScrubReplay]]'s guard, which holds for any sink scheme,
+    * this one is rename-atomicity-scoped — round-11 advice.)
+    *
+    * SCALE CAVEAT: each call rewrites the WHOLE sink — correct and
+    * constant-cost for this consumer (|days×chains| rows), the
+    * scale-killer form for a fact-scale keyed sink. At fact scale use
+    * [[mergeByKeyPartitioned]], which rewrites only the key-prefix
+    * partitions the batch touches.
     */
   def mergeByKey(batch: Dataset[org.apache.spark.sql.Row], sinkDir: String,
       key: Seq[String]): Unit = {
@@ -192,6 +213,60 @@ object StreamingPipeline {
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(staging, live)
     fs.delete(old, true)
+  }
+
+  /** PARTITION-PRUNED streaming MERGE — the fact-scale form of
+    * [[mergeByKey]]: the sink is laid out as parquet partitioned by
+    * `partCol` (a key prefix — here `chain`; at fact scale a
+    * day-or-hash bucket of the key), and each micro-batch rewrites ONLY
+    * the partitions it touches, via dynamic partition overwrite:
+    *
+    *  1. the batch's distinct `partCol` values name the touched
+    *     partitions (driver-side, bounded by touched-partition count —
+    *     an update-mode batch touches few);
+    *  2. only those partitions are read back (the `isin` filter prunes
+    *     at the directory level — `PartitionFilters`, zero bytes read
+    *     from untouched partitions);
+    *  3. [[graft.ops.Relational.keyedMergeUpsert]] merges batch into
+    *     the subset (schema re-aligned: partition-value read-back
+    *     infers narrow integer types);
+    *  4. `partitionOverwriteMode=dynamic` overwrite writes back ONLY
+    *     the partitions present in the merged frame — untouched
+    *     partitions' files stay byte-identical on disk
+    *     (spec-asserted in StreamingSinkSpec).
+    *
+    * So per-batch cost is O(touched partitions), not O(sink) — the
+    * difference between a dashboard-table merge and a 100 TB keyed
+    * fact sink where full-generation rewrite is the scale-killer.
+    * Crash safety: Spark's dynamic overwrite commits each partition
+    * dir by rename, so on HDFS/local a partition is either the old or
+    * the new complete generation, and foreachBatch's at-least-once
+    * retry re-merges the SAME batch — idempotent, because
+    * replace-on-match with identical rows is a fixpoint. The same
+    * object-store caveat as [[mergeByKey]] applies (s3a rename is not
+    * atomic → use a metadata-commit table format there).
+    */
+  def mergeByKeyPartitioned(batch: Dataset[org.apache.spark.sql.Row],
+      sinkDir: String, key: Seq[String], partCol: String): Unit = {
+    val sp = batch.sparkSession
+    val live = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = live.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(live) &&
+      fs.listStatus(live).exists(_.getPath.getName.startsWith(s"$partCol="))
+    val merged =
+      if (exists) {
+        val touched = batch.select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val subset = sp.read.parquet(sinkDir)
+          .filter(col(partCol).isin(touched: _*))
+        val aligned = subset.select(batch.schema.fields
+          .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        graft.ops.Relational.keyedMergeUpsert(aligned, batch.toDF(), key)
+      } else batch.toDF()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(sinkDir)
   }
 
   /** GROUP-BY-day twin of the [[dailyVolumeReplay]] sink. */
@@ -399,20 +474,30 @@ object StreamingPipeline {
     * grouped to (d1, d2, n_bands) face `Dedup.nearDupStarSql` — the
     * star-form view of the SAME bucket geometry the batch clique oracle
     * uses (first-seen ≡ min doc_id under the ordered replay). Lateness
-    * is pinned past the replay horizon so no bucket representative ages
-    * out mid-drain — production uses the short horizon; the gate needs
-    * the whole corpus in one comparable frame.
+    * is DERIVED from the corpus — max doc_id seconds on the synthetic
+    * 1 s/doc clock, plus a day of slack — so no bucket representative
+    * can age out mid-drain at ANY SF: a fixed horizon (30 days, the
+    * round-11 pin) silently breaks past ~2.59 M documents once a
+    * multi-file layout replays as several micro-batches and the
+    * advancing watermark starts evicting standing representatives
+    * (round-11 advice). Production uses the short horizon; the gate
+    * needs the whole corpus in one comparable frame, so the gate's
+    * horizon must scale with the corpus it gates. The max() is one
+    * column of one aggregate over the batch view of the same fixture —
+    * a driver-side scalar, same cost class as the watermark singleton.
     */
   def nearDupReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("near_dup_replay")
     val out = s"$tmp/cands"
+    val horizonSec = Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 86400L
     withStatePartitions(spark, 8) {
       val docs = Tables.documentsStream(spark, sfDir)
         .select(col("doc_id"),
           timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
           col("text"))
-      val q = nearDupStream(docs, "ts", lateness = "30 days").toDF()
+      val q = nearDupStream(docs, "ts", lateness = s"$horizonSec seconds").toDF()
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", s"$tmp/ckpt")

@@ -54,6 +54,39 @@ class StreamingSinkSpec extends SparkSpec {
       "no generation debris after a successful swap")
   }
 
+  test("mergeByKeyPartitioned: merges touched partitions, untouched files byte-identical") {
+    val dir = Files.createTempDirectory("graft-merge-part")
+    val sink = s"$dir/daily"
+    def batch(rows: (String, Long, Long)*) = rows.toDF("day", "chain", "n")
+    StreamingPipeline.mergeByKeyPartitioned(
+      batch(("d1", 0L, 1L), ("d1", 1L, 2L), ("d2", 1L, 3L)),
+      sink, Seq("day", "chain"), "chain")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(part: String): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$sink/$part"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+        .toMap
+    val chain0Before = files("chain=0")
+    // second batch touches ONLY chain=1
+    StreamingPipeline.mergeByKeyPartitioned(
+      batch(("d2", 1L, 7L), ("d3", 1L, 4L)),
+      sink, Seq("day", "chain"), "chain")
+    assert(files("chain=0") == chain0Before,
+      "untouched partition's files must be byte-identical (same names, sizes, mtimes)")
+    def read() = spark.read.parquet(sink)
+      .select($"day", $"chain".cast("long"), $"n")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(read() == Seq(("d1", 0L, 1L), ("d1", 1L, 2L), ("d2", 1L, 7L), ("d3", 1L, 4L)),
+      "matched key replaced in the touched partition, unmatched kept, new inserted")
+    // idempotency of the at-least-once retry: re-merging the same batch is a fixpoint
+    StreamingPipeline.mergeByKeyPartitioned(
+      batch(("d2", 1L, 7L), ("d3", 1L, 4L)),
+      sink, Seq("day", "chain"), "chain")
+    assert(read() == Seq(("d1", 0L, 1L), ("d1", 1L, 2L), ("d2", 1L, 7L), ("d3", 1L, 4L)))
+  }
+
   test("GraftExtensions registers vec_dot in a fresh extended session") {
     // A second SparkSession in the same JVM shares the SparkContext but can
     // carry its own extensions.
