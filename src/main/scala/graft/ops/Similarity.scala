@@ -261,6 +261,34 @@ object Similarity {
     assignCol(kmeansModel(base, k, iters))
   }
 
+  /** [[cellAssigner]] against the SESSION-SHARED corpus quantizer
+    * ([[corpusModel]]: SharedFits-memoized, FitStore-persisted) — the
+    * serving form the oracle-gated `ivf_assign_stream` replay uses:
+    * in production the coarse quantizer is fitted once per corpus and
+    * every ingest session loads ~2 KB instead of re-running the Lloyd
+    * rounds. Bit-identical to a fresh [[cellAssigner]] fit (the model
+    * is deterministic and round-pinned).
+    */
+  def sharedCellAssigner(spark: SparkSession, sfDir: String): Column = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    assignCol(corpusModel(spark, sfDir, base))
+  }
+
+  /** (cell, cos) scorer columns against the SESSION-SHARED prior-half
+    * drift quantizer ([[sharedPriorHalfModel]]) — the serving form of
+    * [[driftScorerCols]] for the oracle-gated `index_drift_stream`
+    * replay: the standing index is the even-id half's fit (exactly the
+    * batch [[indexDrift]] report's frozen quantizer), arrivals score
+    * against it as stateless codegen projections.
+    */
+  def sharedDriftScorer(spark: SparkSession, sfDir: String): (Column, Column) = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val model = sharedPriorHalfModel(spark, sfDir, base)
+    (assignCol(model), maxCosCol(model))
+  }
+
   /** IVF top-k with the coarse quantizer computed in-engine (vs
     * [[simsearchIvf]], which trusts a given partition label): queries scan
     * only their own k-means cell.
@@ -1062,6 +1090,15 @@ object Similarity {
        |                               ORDER BY cosine DESC, n_id) AS rnk
        |  FROM qcos)
        |SELECT q_id, cell, n_id, cosine, rnk FROM ranked WHERE rnk <= $IVF_TOP_K""".stripMargin
+
+  /** Oracle for the `ivf_assign_stream` replay: the full-corpus k-means
+    * chain's final assignment — every vector routed to its cell by the
+    * standing quantizer, which is exactly what the streaming ingest
+    * path must reproduce arrival-by-arrival.
+    */
+  val ivfAssignStreamSql: String =
+    s"""$kmeansCtePrefix
+       |SELECT vec_id, cell FROM asgf""".stripMargin
 
   /** Multi-probe twin: rank all centroids per query, scan the best
     * [[NPROBE]] cells, then the usual top-k.
@@ -2292,6 +2329,34 @@ object Similarity {
        |       CAST((coalesce(round(avg_cos_prior - avg_cos_new, 6) > $DRIFT_QERR_THRESHOLD, false)
        |             OR abs(round(frac_new - frac_prior, 6)) > $DRIFT_OCC_THRESHOLD) AS BIGINT) AS refit_flag
        |FROM rep""".stripMargin
+  }
+
+  /** Oracle for the `index_drift_stream` replay: the arriving (odd-id)
+    * half's per-cell occupancy and tightness against the standing
+    * even-half quantizer — the `n_new`/`avg_cos_new` columns of
+    * [[simsearchIndexDriftSql]]'s report, restricted to cells that saw
+    * arrivals (the streaming aggregation's inner group-by: a monitor
+    * only emits groups with traffic; silence is the dashboard's
+    * left-join concern, not the stream's).
+    */
+  val indexDriftStreamSql: String = {
+    val last = KMEANS_ITERS
+    s"""$driftCtePrefix,
+       |d AS (
+       |  SELECT a.vec_id, a.cell, sum(u.x * c.x) AS dot
+       |  FROM asgf a
+       |  JOIN u ON u.vec_id = a.vec_id
+       |  JOIN cent$last c ON c.cell = a.cell AND c.i = u.i
+       |  WHERE a.vec_id % 2 = 1
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT d.vec_id, d.cell, round(d.dot / (n.nm * cn.cn), 6) AS cos
+       |  FROM d
+       |  JOIN nrm n ON d.vec_id = n.vec_id
+       |  JOIN cn$last cn ON d.cell = cn.cell)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+       |       round(avg(cos), 6) AS avg_cos_new
+       |FROM cs GROUP BY 1""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -3269,7 +3269,7 @@ object TextAnalysis {
     * re-runs cheaply. Deterministic (integer bucket counts), so the
     * memoized 64 doubles are exactly what each query's own fit returns.
     */
-  private def sharedDsirModel(spark: SparkSession, sfDir: String): Array[Double] =
+  private[graft] def sharedDsirModel(spark: SparkSession, sfDir: String): Array[Double] =
     SharedFits.memo(spark, s"dsir_model:$sfDir") {
       FitStore.doubles(spark, "dsir_model",
         FitStore.documentsFp(spark, sfDir)) {
@@ -3326,6 +3326,18 @@ object TextAnalysis {
   val textDsirSql: String =
     s"""WITH $DSIR_CTES
        |$DSIR_SELECT_SQL""".stripMargin
+
+  /** Oracle for the `dsir_score_stream` replay: every document's DSIR
+    * score against the standing-corpus importance model — the scoring
+    * stage of [[textDsirSql]] WITHOUT the top-[[DSIR_SELECT]] cut,
+    * because the streaming twin scores the firehose and selection is a
+    * downstream (batch or top-k) concern.
+    */
+  val dsirScoreStreamSql: String =
+    s"""WITH $DSIR_CTES
+       |SELECT tb.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS dsir_score
+       |FROM tb JOIN w ON tb.b = w.b
+       |GROUP BY 1""".stripMargin
 
   /** Selection composed with packing — the "pick the corpus, then cut
     * the batches" join-up a training run actually executes: the

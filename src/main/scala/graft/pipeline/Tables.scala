@@ -146,6 +146,16 @@ object Tables {
     spark.readStream.schema(schema).parquet(s"$sfDir/{documents.parquet}")
   }
 
+  /** The embeddings table as a FILE STREAM — the replay shape for the
+    * vector-family streaming twins (ivf assign, drift monitor): same
+    * brace-glob trick as [[eventsStream]]; embeddings has no vintage
+    * hazard.
+    */
+  private[graft] def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = read(spark, sfDir, "embeddings").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/{embeddings.parquet}")
+  }
+
   /** The complement slice: events with `ts <= wm` — the HISTORY side of an
     * incremental rollup (the rows a materialized view has already
     * absorbed). Same raw-space pushdown as [[eventsSince]]:

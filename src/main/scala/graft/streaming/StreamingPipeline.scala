@@ -584,11 +584,44 @@ object StreamingPipeline {
     * production: the quantizer is refit offline; ingest only assigns.
     * Emits (vec_id, cell) plus the vector for the downstream writer.
     */
-  def ivfAssignStream(vectors: DataFrame, corpus: DataFrame): DataFrame = {
-    val assign = graft.ops.Similarity.cellAssigner(corpus)
+  def ivfAssignStream(vectors: DataFrame, corpus: DataFrame): DataFrame =
+    ivfAssignStreamWith(vectors, graft.ops.Similarity.cellAssigner(corpus))
+
+  /** [[ivfAssignStream]] against a pre-built assignment column (the
+    * serving form: quantizer loaded from the FitStore, not refit).
+    */
+  def ivfAssignStreamWith(vectors: DataFrame,
+      assign: org.apache.spark.sql.Column): DataFrame =
     graft.ops.Similarity.withNorm(vectors)
       .withColumn("cell", assign)
       .select(col("vec_id"), col("cell"), col("embedding"))
+
+  /** The ORACLE-GATED replay of [[ivfAssignStream]]: the whole corpus
+    * arrives as a file stream and is routed cell-by-cell by the
+    * session-shared standing quantizer
+    * ([[graft.ops.Similarity.sharedCellAssigner]] — the same
+    * FitStore-persisted model every batch IVF query serves from). A
+    * stateless projection, so plain append mode with no watermark and
+    * no state store; after AvailableNow drains, the sink must equal the
+    * batch k-means chain's final assignment
+    * (`Similarity.ivfAssignStreamSql`) row-for-row — the streaming
+    * ingest path and the batch index build landing on the same index.
+    */
+  def ivfAssignReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_assign_replay")
+    val out = s"$tmp/cells"
+    val assign = graft.ops.Similarity.sharedCellAssigner(spark, sfDir)
+    val q = ivfAssignStreamWith(Tables.embeddingsStream(spark, sfDir), assign)
+      .select(col("vec_id"), col("cell"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 
   /** Streaming index-drift monitor — the online half of the batch
@@ -605,12 +638,55 @@ object StreamingPipeline {
     */
   def indexDriftStream(vectors: DataFrame, corpus: DataFrame): DataFrame = {
     val (cellCol, cosCol) = graft.ops.Similarity.driftScorerCols(corpus)
+    indexDriftStreamWith(vectors, cellCol, cosCol)
+  }
+
+  /** [[indexDriftStream]] against pre-built (cell, cos) scorer columns
+    * (the serving form: standing quantizer loaded, not refit).
+    */
+  def indexDriftStreamWith(vectors: DataFrame,
+      cellCol: org.apache.spark.sql.Column,
+      cosCol: org.apache.spark.sql.Column): DataFrame =
     graft.ops.Similarity.withNorm(vectors)
       .withColumn("cell", cellCol)
       .withColumn("cos", cosCol)
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_new"),
+      .agg(count(lit(1)).cast("long").as("n_new"),
         round(avg(col("cos")), 6).as("avg_cos_new"))
+
+  /** The ORACLE-GATED replay of [[indexDriftStream]]: the odd-id half
+    * of the embeddings arrives as a file stream (the "new traffic") and
+    * is scored against the standing even-half quantizer — exactly the
+    * frozen prior-half fit the batch [[graft.ops.Similarity.indexDrift]]
+    * report uses (session-shared, FitStore-persisted). The per-cell
+    * (n_new, avg_cos_new) aggregation is the twin's only stateful
+    * stage, bounded at K rows, so COMPLETE output mode through a
+    * per-batch overwrite is the natural sink: after AvailableNow
+    * drains, the sink is the monitor's final per-cell report and must
+    * equal the batch report's new-half columns
+    * (`Similarity.indexDriftStreamSql`).
+    */
+  def indexDriftReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("index_drift_replay")
+    val out = s"$tmp/drift"
+    val (cellCol, cosCol) = graft.ops.Similarity.sharedDriftScorer(spark, sfDir)
+    withStatePartitions(spark, 8) {
+      val arrivals = Tables.embeddingsStream(spark, sfDir)
+        .filter(col("vec_id") % 2 === 1)
+      val q = indexDriftStreamWith(arrivals, cellCol, cosCol)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Complete.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("cell"), col("n_new"), col("avg_cos_new"))
   }
 
   /** Streaming DSIR scoring — the online half of the batch
@@ -625,6 +701,33 @@ object StreamingPipeline {
   def dsirScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame =
     graft.ops.TextAnalysis.dsirScored(docs,
       graft.ops.TextAnalysis.dsirModel(corpus))
+
+  /** The ORACLE-GATED replay of [[dsirScoreStream]]: the whole corpus
+    * arrives as a file stream and every document is scored by the
+    * session-shared standing importance model (the same
+    * FitStore-persisted 64 doubles the batch `text_dsir` selection
+    * serves from). Zero-shuffle stateless projection → plain append
+    * mode, no state store; after AvailableNow drains, the sink must
+    * equal the batch scoring stage without the top-k cut
+    * (`TextAnalysis.dsirScoreStreamSql`) — the firehose-scoring half of
+    * DSIR, with selection left to the downstream consumer.
+    */
+  def dsirScoreReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("dsir_score_replay")
+    val out = s"$tmp/scores"
+    val model = graft.ops.TextAnalysis.sharedDsirModel(spark, sfDir)
+    val q = graft.ops.TextAnalysis
+      .dsirScored(Tables.documentsStream(spark, sfDir), model)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
 
   /** Streaming mixture gate — the sampling half of the batch
     * [[graft.ops.TextAnalysis.mixSample]] on a document stream: the
@@ -669,6 +772,43 @@ object StreamingPipeline {
       .withColumn("z_score", graft.ops.Relational.anomalyZ)
       .select(col("event_type"), col("day"), col("n_events"), col("z_score"),
         (abs(col("z_score")) > 2.0).as("is_anomaly"))
+  }
+
+  /** The ORACLE-GATED replay of [[anomalyStream]]: the events table
+    * arrives as a file stream, each closed (or still-filling) day
+    * window's count is z-scored against the per-type profile of the
+    * standing history — here the SAME events table, so after the drain
+    * the alert stream must land exactly on the batch
+    * [[graft.ops.Relational.eventAnomaly]] report
+    * (`Relational.eventAnomalySql`). UPDATE mode through the keyed
+    * MERGE sink, like [[dailyVolumeReplay]]: each micro-batch re-emits
+    * only the (type, day) groups it changed, at their new running count
+    * and z; last write wins, so the sink converges to the final counts
+    * — the watermark bounds STATE, not output (append would withhold
+    * every still-open tail day). Exact across batches for the same
+    * reason as the other replays: the fixture replays as ts-sortable
+    * micro-batches, so no update is dropped as late.
+    */
+  def anomalyReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("anomaly_replay")
+    val out = s"$tmp/alerts"
+    withStatePartitions(spark, 8) {
+      val q = anomalyStream(Tables.eventsStream(spark, sfDir),
+          Tables.events(spark, sfDir))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("event_type", "day"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("z_score"), col("is_anomaly"))
   }
 
   /** Streaming sessionization — the stateful twin of the batch
