@@ -28,9 +28,9 @@ class AnalysisSmokeSpec extends SparkSpec {
     assert(failures.isEmpty, s"\n${failures.size} queries failed analysis:\n${failures.mkString("\n")}")
   }
 
-  test("every query has an oracle entry or is a documented rows-only check") {
+  test("every query has an oracle entry (approx_stats got its banded gate in r12)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.subsetOf(Set("approx_stats")),
+    assert(noOracle.isEmpty,
       s"queries without an oracle: ${noOracle.mkString(", ")}")
   }
 
