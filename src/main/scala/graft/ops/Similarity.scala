@@ -2909,7 +2909,14 @@ object Similarity {
     * visible in the output, the rebuild-this-region signal, same
     * convention as the insert path's empty-seed case.
     */
-  def simsearchGraphDelete(spark: SparkSession, sfDir: String): DataFrame = {
+  def simsearchGraphDelete(spark: SparkSession, sfDir: String): DataFrame =
+    deleteRepairDelta(spark, sfDir)
+
+  /** The delete path's repair delta — shared by the gated delete query
+    * and the [[simsearchGraphRepairHealth]] report that acts on its
+    * rebuild signal.
+    */
+  private def deleteRepairDelta(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val edges = graphIndex(spark, sfDir)
     val delDst = col("dst") % DELETE_MOD === 0
@@ -2977,4 +2984,140 @@ object Similarity {
        |  JOIN gn n1 ON d.src = n1.vec_id
        |  JOIN gn n2 ON d.dst = n2.vec_id) r
        |WHERE rnk <= $GRAPH_DEGREE""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Post-repair adjacency health (acting on the delete path's signal)
+  // --------------------------------------------------------------------
+
+  /** A surviving node with fewer than this many post-repair out-edges is
+    * STARVED: it cannot serve a top-[[IVF_TOP_K]] answer from its own
+    * neighborhood, so traversals entering its region under-return.
+    */
+  val GRAPH_STARVE_DEGREE: Int = IVF_TOP_K
+
+  /** A region (quantizer cell) whose starved fraction exceeds this
+    * trips the rebuild flag — the same threshold-gated-refit convention
+    * as [[simsearchIndexDrift]]'s `refit_flag`.
+    */
+  val GRAPH_STARVED_REBUILD_FRAC = 0.05
+
+  /** Per-region health of an adjacency: every node (a (vec_id, cell)
+    * row — nodes with ZERO surviving edges must still count, so the
+    * node set is the input, not the edge list) left-joined to its
+    * out-degree, rolled up per cell to (n_nodes, avg_degree, n_starved,
+    * starved_frac, rebuild_flag). One degree aggregation on the edge
+    * key + one cell rollup — both map-side-combinable; output is
+    * K rows. Generic over the node/edge frames so the spec can plant a
+    * dead neighborhood and watch the flag trip.
+    */
+  def adjacencyHealth(nodes: DataFrame, adj: DataFrame): DataFrame = {
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).cast("long").as("degree"))
+    nodes.join(deg, nodes("vec_id") === deg("src"), "left")
+      .select(col("cell"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        round(avg(col("degree")), 6).as("avg_degree"),
+        sum((col("degree") < GRAPH_STARVE_DEGREE).cast("long")).as("n_starved"))
+      .withColumn("starved_frac",
+        round(col("n_starved").cast("double") / col("n_nodes").cast("double"), 6))
+      .withColumn("rebuild_flag",
+        (col("starved_frac") > GRAPH_STARVED_REBUILD_FRAC).cast("long"))
+      .select(col("cell"), col("n_nodes"), col("avg_degree"),
+        col("n_starved"), col("starved_frac"), col("rebuild_flag"))
+  }
+
+  /** ACTING on the delete path's rebuild signal
+    * (round-11 worklist #4): the post-delete REPAIRED adjacency —
+    * unaffected survivors keep their edges (an unaffected node by
+    * definition lost none), affected survivors take their
+    * [[deleteRepairDelta]] rows — is rolled up per REGION, where a
+    * region is the shared corpus quantizer's cell (embedding-space
+    * locality, the same regions the drift monitor watches). The output
+    * names exactly which regions of the adjacency need rebuilding
+    * after the churn batch: a cell whose starved fraction clears
+    * [[GRAPH_STARVED_REBUILD_FRAC]] flags, and the flagged cells' node
+    * lists are the rebuild work-list (re-run NN-descent restricted to
+    * those cells' nodes — region-local cost, never a full
+    * reconstruction).
+    */
+  def simsearchGraphRepairHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val edges = graphIndex(spark, sfDir)
+    val delDst = col("dst") % DELETE_MOD === 0
+    val survSrc = col("src") % DELETE_MOD =!= 0
+    val aff = edges.filter(delDst && survSrc).select(col("src")).distinct()
+    val unaffected = edges.filter(survSrc)
+      .join(aff, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"))
+    val repaired = unaffected
+      .unionByName(deleteRepairDelta(spark, sfDir).select(col("src"), col("dst")))
+    val base = withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val nodes = base.filter(col("vec_id") % DELETE_MOD =!= 0)
+      .select(col("vec_id"), assignCol(corpusModel(spark, sfDir, base)).as("cell"))
+    adjacencyHealth(nodes, repaired)
+  }
+
+  /** Oracle: the kmeans assignment chain + the delete repair chain,
+    * composed; `unaff ∪ delta` is the repaired adjacency, `asgf`
+    * restricted to survivors is the node set.
+    */
+  val simsearchGraphRepairHealthSql: String =
+    s"""$kmeansCtePrefix,
+       |knn AS MATERIALIZED (${nnDescentAdjSql()}),
+       |aff AS MATERIALIZED (
+       |  SELECT DISTINCT src FROM knn
+       |  WHERE dst % $DELETE_MOD = 0 AND src % $DELETE_MOD <> 0),
+       |surv AS (
+       |  SELECT k.src, k.dst FROM knn k JOIN aff a ON k.src = a.src
+       |  WHERE k.dst % $DELETE_MOD <> 0),
+       |bridge AS (
+       |  SELECT e1.src, e2.dst
+       |  FROM knn e1
+       |  JOIN aff a ON e1.src = a.src
+       |  JOIN knn e2 ON e1.dst = e2.src
+       |  WHERE e1.dst % $DELETE_MOD = 0 AND e2.dst % $DELETE_MOD <> 0
+       |    AND e2.dst <> e1.src),
+       |rcand AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM surv UNION ALL SELECT src, dst FROM bridge)),
+       |rcd AS (
+       |  SELECT c.src, c.dst, sum(a.x * b.x) AS dot
+       |  FROM rcand c
+       |  JOIN u a ON a.vec_id = c.src
+       |  JOIN u b ON b.vec_id = c.dst AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |delta AS (
+       |  SELECT src, dst FROM (
+       |    SELECT d.src, d.dst,
+       |           row_number() OVER (PARTITION BY d.src
+       |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC,
+       |                                       d.dst) AS rnk
+       |    FROM rcd d
+       |    JOIN nrm n1 ON d.src = n1.vec_id
+       |    JOIN nrm n2 ON d.dst = n2.vec_id) r
+       |  WHERE rnk <= $GRAPH_DEGREE),
+       |unaff AS (
+       |  SELECT k.src, k.dst FROM knn k
+       |  WHERE k.src % $DELETE_MOD <> 0
+       |    AND k.src NOT IN (SELECT src FROM aff)),
+       |repaired AS (
+       |  SELECT src, dst FROM unaff UNION ALL SELECT src, dst FROM delta),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+       |        FROM repaired GROUP BY 1),
+       |hnodes AS (
+       |  SELECT a.vec_id, a.cell, coalesce(d.degree, 0) AS degree
+       |  FROM asgf a LEFT JOIN deg d ON a.vec_id = d.src
+       |  WHERE a.vec_id % $DELETE_MOD <> 0),
+       |hstat AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         round(avg(degree), 6) AS avg_degree,
+       |         CAST(count(*) FILTER (WHERE degree < $GRAPH_STARVE_DEGREE) AS BIGINT)
+       |           AS n_starved
+       |  FROM hnodes GROUP BY 1)
+       |SELECT cell, n_nodes, avg_degree, n_starved,
+       |       round(CAST(n_starved AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       |         AS starved_frac,
+       |       CAST(round(CAST(n_starved AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       |              > $GRAPH_STARVED_REBUILD_FRAC AS BIGINT) AS rebuild_flag
+       |FROM hstat""".stripMargin
 }

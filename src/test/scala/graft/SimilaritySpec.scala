@@ -416,4 +416,31 @@ class SimilaritySpec extends SparkSpec {
       assert(ranked.length <= Similarity.GRAPH_DEGREE)
     }
   }
+
+  test("repair health: a planted dead neighborhood trips the rebuild flag") {
+    // region 0: ring of 10 nodes, each with GRAPH_STARVE_DEGREE out-edges
+    // — healthy. region 1: 2 linked nodes + 8 whose whole neighborhood
+    // died (zero surviving edges) — 80% starved, far past the 5% gate.
+    val nodes = (0L until 20L).map(i => (i, if (i < 10) 0L else 1L))
+      .toDF("vec_id", "cell")
+    val k = Similarity.GRAPH_STARVE_DEGREE
+    val healthy = for (s <- 0L until 10L; j <- 1 to k)
+      yield (s, (s + j) % 10)
+    val partial = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 10L))
+    val adj = (healthy ++ partial).toDF("src", "dst")
+    val got = Similarity.adjacencyHealth(nodes, adj).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    val (n0, avg0, starved0, _, flag0) = got(0L)
+    assert(n0 == 10 && avg0 == k.toDouble && starved0 == 0 && flag0 == 0L,
+      "healthy ring: full degree, nothing starved, no flag")
+    val (n1, _, starved1, frac1, flag1) = got(1L)
+    // node 10 has degree k (=3) -> not starved; 11 has 1; 12..19 have 0
+    assert(n1 == 10 && starved1 == 9 && frac1 == 0.9 && flag1 == 1L,
+      s"dead neighborhood must trip the flag, got $got")
+    // zero-degree nodes MUST be counted: they never appear in the edge list
+    assert(starved1 > adj.filter($"src" >= 12L).count(),
+      "starvation accounting must include nodes absent from the adjacency")
+  }
 }
