@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Tables
@@ -352,14 +352,21 @@ object Multimodal {
     * the band rows, pair fan-out bounded by bucket population, never
     * corpus²), hamming filtered inside buckets.
     */
-  def perceptualNearDup(frames: DataFrame): DataFrame = {
+  /** Banded rows of the perceptual signatures — (media_id, pfp, band_no,
+    * band_val), [[PFP_BANDS]] rows per media item. This IS the standing
+    * perceptual index the incremental assembly keeps between batches.
+    */
+  private[graft] def signatureBands(frames: DataFrame): DataFrame = {
     val mask = (1L << PFP_BAND_BITS) - 1
-    val bands = perceptualSignatures(frames).select(
+    perceptualSignatures(frames).select(
         col("media_id"), col("pfp"),
         explode(expr(s"sequence(0, ${PFP_BANDS - 1})")).as("band_no"))
       .withColumn("band_val",
         expr(s"(pfp >> (band_no * $PFP_BAND_BITS)) & $mask"))
-      .localCheckpoint()
+  }
+
+  def perceptualNearDup(frames: DataFrame): DataFrame = {
+    val bands = signatureBands(frames).localCheckpoint()
     val a = bands.select(col("band_no"), col("band_val"),
       col("media_id").as("m1"), col("pfp").as("h1"))
     val b = bands.select(col("band_no"), col("band_val"),
@@ -472,7 +479,12 @@ object Multimodal {
     * contrastive baseline is the group mean, not sampled negatives,
     * exactly so the plan stays O(N).
     */
-  def consistency(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+  /** The CLIP-score stage of [[consistency]] alone — (media_id, kind,
+    * source, clip_score) for every pair with an embedding. Factored out
+    * so the incremental assembly scores arrivals with the identical
+    * projection and merges feed stats decomposably.
+    */
+  private[graft] def clipScored(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     val folds = Dedup.EMB_DIM / CONS_DIM
     val pairs = docs.select(
       col("doc_id").as("media_id"),
@@ -491,8 +503,13 @@ object Multimodal {
     val dot = expr("aggregate(zip_with(cap, img, (c, v) -> c * v), 0D, (a, x) -> a + x)")
     val capN = sqrt(expr("aggregate(cap, 0D, (a, c) -> a + c * c)"))
     val imgN = sqrt(expr("aggregate(img, 0D, (a, v) -> a + v * v)"))
-    val scored = pairs.join(img, Seq("media_id"))
+    pairs.join(img, Seq("media_id"))
       .withColumn("clip_score", round(dot / (capN * imgN), 6))
+      .select(col("media_id"), col("kind"), col("source"), col("clip_score"))
+  }
+
+  def consistency(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val scored = clipScored(docs, embeddings)
     val feed = scored.groupBy(col("source"))
       .agg(avg(col("clip_score")).as("feed_avg"))
     scored.join(broadcast(feed), Seq("source"))
@@ -600,6 +617,168 @@ object Multimodal {
        |FROM aud a
        |LEFT JOIN pd ON a.media_id = pd.media_id
        |LEFT JOIN cons ON a.media_id = cons.media_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Incremental assembly: arrivals vs STANDING state
+  // --------------------------------------------------------------------
+
+  /** Arrival decile: `doc_id % 10 >= ARRIVAL_DECILE` (two deciles — one
+    * of each kind, since kind is id parity) arrive as the ingest batch;
+    * the rest are the standing corpus.
+    */
+  val ARRIVAL_DECILE = 8
+
+  /** Standing checksum index: per content checksum, the minimum standing
+    * media id — the only state exact dedup needs to gate arrivals.
+    */
+  private[graft] def standingChecksumIdx(standing: DataFrame): DataFrame =
+    standing
+      .select(col("doc_id").as("media_id"), md5(col("text")).as("checksum"))
+      .groupBy(col("checksum")).agg(min(col("media_id")).as("st_min_id"))
+
+  /** Standing feed stats: per source, the decomposable (Σ clip_score,
+    * count) of the standing scored pairs — merged with the batch's own
+    * partial to reproduce the full-corpus feed mean exactly (mean is an
+    * algebraic aggregate; this is the standard partial-merge).
+    */
+  private[graft] def standingFeedStats(standing: DataFrame,
+      embeddings: DataFrame): DataFrame =
+    clipScored(standing, embeddings)
+      .groupBy(col("source"))
+      .agg(sum(col("clip_score")).as("st_sum"),
+        count(lit(1)).cast("long").as("st_cnt"))
+
+  /** INCREMENTAL multimodal assembly — the production ingest shape the
+    * batch [[multimodalAssembly]] gauntlet rehearses: an ARRIVAL batch
+    * passes every gate against STANDING state instead of a full
+    * recompute.
+    *
+    *  - structural gates are per-item projections (unchanged code);
+    *  - `dup_pair` probes the standing checksum index (one broadcastable
+    *    (checksum, min_id) frame) plus a within-batch window — an
+    *    arrival is a dup iff a smaller-id holder of its checksum exists
+    *    anywhere, which is exactly the batch rank rule decomposed;
+    *  - `perceptual_dup` joins the arrival batch's signature bands
+    *    against the STANDING band index (plus the batch's own
+    *    self-join) — same pigeonhole-exact geometry, candidate fan-out
+    *    bounded by bucket occupancy, and the standing side's frames are
+    *    never re-fingerprinted;
+    *  - `inconsistent` merges the standing per-source (Σ, n) with the
+    *    batch's own partial to the full-corpus feed mean, then applies
+    *    the identical margin gate.
+    *
+    * Result ≡ the batch gauntlet restricted to arrivals (the oracle
+    * states exactly that), at per-batch cost O(|batch| + matches) —
+    * never a standing-corpus rescan. The three state frames are what a
+    * deployment persists between batches ([[FitStore]]-kept in the
+    * gated query).
+    */
+  def assemblyIncremental(docs: DataFrame, embeddings: DataFrame,
+      isArrival: Column, checksumIdx: DataFrame, bandIdx: DataFrame,
+      feedStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrivals = docs.filter(isArrival)
+    // structural gates + standing-aware dup rank
+    val len = octet_length(col("text")).cast("long")
+    val pairs = arrivals.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      md5(col("text")).as("checksum"),
+      (len % 640 + 1).cast("int").as("width"),
+      (len % 480 + 1).cast("int").as("height"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_words"))
+    val embP = embeddings.select(col("vec_id").as("media_id"), lit(1).as("has_vec"))
+    val wck = Window.partitionBy(col("checksum")).orderBy(col("media_id"))
+    val structural = pairs
+      .join(embP, Seq("media_id"), "left")
+      .join(broadcast(checksumIdx), Seq("checksum"), "left")
+      .withColumn("batch_rn", row_number().over(wck))
+      .select(col("media_id"), col("kind"),
+        when(col("has_vec").isNull, "no_embedding")
+          .when(least(col("width"), col("height")) < PAIR_MIN_SIDE, "tiny_image")
+          .when(col("n_words") < PAIR_MIN_WORDS, "short_caption")
+          .when((col("st_min_id").isNotNull
+              && col("st_min_id") < col("media_id")) || col("batch_rn") > 1,
+            "dup_pair")
+          .otherwise("kept").as("gate_verdict"))
+    // perceptual: arrival bands vs standing index, plus within-batch
+    val arrBands = signatureBands(sliceFrames(arrivals)).localCheckpoint()
+    val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
+    val vsStanding = arrBands.as("a")
+      .join(bandIdx.as("s"),
+        col("a.band_no") === col("s.band_no")
+          && col("a.band_val") === col("s.band_val"))
+      .filter(col("s.media_id") < col("a.media_id")
+        && ham(col("a.pfp"), col("s.pfp")) <= PFP_MAX_HAMMING)
+      .select(col("a.media_id").as("media_id"))
+    val vsBatch = arrBands.as("x")
+      .join(arrBands.as("y"),
+        col("x.band_no") === col("y.band_no")
+          && col("x.band_val") === col("y.band_val"))
+      .filter(col("y.media_id") < col("x.media_id")
+        && ham(col("x.pfp"), col("y.pfp")) <= PFP_MAX_HAMMING)
+      .select(col("x.media_id").as("media_id"))
+    val pdup = vsStanding.unionByName(vsBatch).distinct()
+      .withColumn("is_pdup", lit(true))
+    // consistency: batch partial merged with standing feed stats
+    val arrScored = clipScored(arrivals, embeddings)
+    val merged = arrScored.groupBy(col("source"))
+      .agg(sum(col("clip_score")).as("b_sum"),
+        count(lit(1)).cast("long").as("b_cnt"))
+      .join(feedStats, Seq("source"), "left")
+      .select(col("source"),
+        ((coalesce(col("st_sum"), lit(0.0)) + col("b_sum"))
+          / (coalesce(col("st_cnt"), lit(0L)) + col("b_cnt")).cast("double"))
+          .as("feed_avg"))
+    val cons = arrScored.join(broadcast(merged), Seq("source"))
+      .withColumn("feed_margin",
+        round(col("clip_score") - col("feed_avg"), 6) + lit(0.0))
+      .select(col("media_id"),
+        when(col("feed_margin") < 0, "inconsistent").otherwise("kept")
+          .as("cons_verdict"))
+    structural
+      .join(pdup, Seq("media_id"), "left")
+      .join(cons, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        when(col("gate_verdict") =!= "kept", col("gate_verdict"))
+          .when(col("is_pdup"), "perceptual_dup")
+          .when(col("cons_verdict") === "inconsistent", "inconsistent")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** The gated incremental assembly: last-two-decile arrivals pass the
+    * gauntlet against FitStore-persisted standing state (checksum index,
+    * perceptual band index, feed stats — a serving session loads all
+    * three and pays only the batch's own cost). Oracle = the batch
+    * gauntlet restricted to the arrival set.
+    */
+  def multimodalAssemblyIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val isArr = col("doc_id") % 10 >= ARRIVAL_DECILE
+    val standing = docs.filter(!(col("doc_id") % 10 >= ARRIVAL_DECILE))
+    val fp = FitStore.documentsFp(spark, sfDir)
+    val ck = SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
+      FitStore.frame(spark, s"mm_checksum_idx_d$ARRIVAL_DECILE", fp) {
+        standingChecksumIdx(standing)
+      }.localCheckpoint()
+    }
+    val bi = SharedFits.memo(spark, s"mm_band_idx:$sfDir") {
+      FitStore.frame(spark, s"mm_band_idx_d$ARRIVAL_DECILE", fp) {
+        signatureBands(sliceFrames(standing))
+      }.localCheckpoint()
+    }
+    val fs = SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
+      FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
+        standingFeedStats(standing, emb)
+      }.localCheckpoint()
+    }
+    assemblyIncremental(docs, emb, isArr, ck, bi, fs)
+  }
+
+  val multimodalAssemblyIncrementalSql: String =
+    s"""SELECT media_id, kind, verdict FROM ($multimodalAssemblySql) f
+       |WHERE media_id % 10 >= $ARRIVAL_DECILE""".stripMargin
 
   /** A sampled, resize-planned frame from the typed decoder path. */
   case class FrameRow(media_id: Long, kind: String, frame_no: Long,

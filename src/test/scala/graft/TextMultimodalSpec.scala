@@ -217,6 +217,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.values.toSet.size > 1, "the fixture exercises more than one stage")
   }
 
+  test("incremental assembly: planted cross-batch arrivals equal the batch gauntlet restricted") {
+    import org.apache.spark.sql.functions._
+    // standing corpus ids 0..5; arrival batch ids 100..104. Plants:
+    //   100 = checksum twin of STANDING 2      -> dup_pair (cross-batch)
+    //   101 = 9-of-10 slices shared with 3     -> perceptual_dup (cross-batch)
+    //   103 = no embedding                     -> no_embedding
+    //   104 = checksum twin of ARRIVAL 100     -> dup_pair (within-batch)
+    // 64 slices of 16 tokens — the majority-vote-robust geometry the
+    // perceptual near-dup spec proves (63/64 shared frames ⇒ hamming ≤ 3)
+    def sliceText(seed: String, n: Int): String =
+      (0 until n).flatMap(s => (0 until 16).map(t => s"$seed-$s-$t")).mkString(" ")
+    val base = sliceText("a", 64)
+    val nearTwin = sliceText("a", 63) + " " +
+      (0 until 16).map(t => s"z-63-$t").mkString(" ")
+    def uniq(tag: String) = (0 until 120).map(i => s"$tag$i").mkString(" ").take(300)
+    val d = docs(
+      (0L, uniq("a"), "en", "web"), (1L, uniq("b"), "en", "web"),
+      (2L, base, "en", "web"), (3L, base, "en", "web"),
+      (4L, uniq("c"), "en", "crawl"), (5L, uniq("d"), "en", "crawl"),
+      (100L, base, "en", "web"),
+      (101L, nearTwin, "en", "web"),
+      (102L, uniq("e"), "en", "crawl"),
+      (103L, uniq("f"), "en", "web"),
+      (104L, base, "en", "crawl"))
+    val rnd = new scala.util.Random(7)
+    val emb = d.select("doc_id").as[Long].collect().filter(_ != 103L).sorted
+      .map(id => (id, Array.fill(graft.ops.Dedup.EMB_DIM)(rnd.nextFloat()), 0))
+      .toSeq.toDF("vec_id", "embedding", "label")
+    val isArr = col("doc_id") >= 100L
+    val standing = d.filter(!(col("doc_id") >= 100L))
+    val inc = Multimodal.assemblyIncremental(d, emb, isArr,
+        Multimodal.standingChecksumIdx(standing),
+        Multimodal.signatureBands(Multimodal.sliceFrames(standing)),
+        Multimodal.standingFeedStats(standing, emb))
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    // batch twin: full-corpus gauntlet composed from the proven parts,
+    // restricted to arrivals
+    val audit = Multimodal.pairAudit(d, emb)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    val pdup = Multimodal.perceptualNearDup(Multimodal.sliceFrames(d))
+      .select("m2").as[Long].collect().toSet
+    val cons = Multimodal.consistency(d, emb)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    val expected = audit.keySet.filter(_ >= 100L).map { id =>
+      id -> (if (audit(id) != "kept") audit(id)
+             else if (pdup(id)) "perceptual_dup"
+             else if (cons.get(id).contains("inconsistent")) "inconsistent"
+             else "kept")
+    }.toMap
+    assert(inc == expected,
+      s"incremental must equal the restricted batch gauntlet: $inc vs $expected")
+    assert(inc(100L) == "dup_pair", "cross-batch checksum twin")
+    assert(inc(101L) == "perceptual_dup", "cross-batch perceptual twin")
+    assert(inc(103L) == "no_embedding")
+    assert(inc(104L) == "dup_pair", "within-batch checksum twin")
+  }
+
   test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
     val sf = "/root/testdata/sf0.001"
     val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
