@@ -2443,6 +2443,27 @@ object Similarity {
     */
   val NND_ITERS = 3
 
+  /** MEASURED degree schedule for corpus growth (SCALING.md round 12):
+    * at the fixed serving constants, recall over the ScaleUp decades is
+    * GRAPH-limited, not schedule-limited — the traversal lands exactly
+    * on the graph-local ceiling (truth ∩ own adjacency) at every scale,
+    * and rounds (3→5/7), beam (8→32), and a 1024-anchor coarse entry
+    * layer are all inert at 30×, because extreme-value noise cosines
+    * displace true weak-signal neighbors out of a FIXED-degree
+    * adjacency as N grows (ceiling 0.46 @2k → 0.33 @20k → 0.29 @60k).
+    * Rebuilding at higher degree restores it: k=24 @60k → 0.42,
+    * k=32 @60k → 0.58 (above 1×'s 0.46 at the same beam). So the dial
+    * that survives scale is construction DEGREE ∝ log N — the HNSW M
+    * convention — costing the traversal only linearly in k:
+    * k(N) = max(12, 2·log₂N) fits the measured points (2 000 → 22,
+    * 60 000 → 32). The GATED queries serve the fixed [[GRAPH_DEGREE]]
+    * index (byte-stable oracles); a deployment sizes its build with
+    * this schedule and the recall sweep re-measures it per corpus.
+    */
+  def graphDegreeFor(n: Long): Int =
+    math.max(GRAPH_DEGREE,
+      math.ceil(2.0 * math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
+
   /** NN-descent: LSH-bucket k-NN init ([[Dedup.knnGraph]] at the
     * serving degree), then [[NND_ITERS]] rounds of
     * undirected-neighbor-of-neighbor candidate generation, exact
@@ -2678,7 +2699,7 @@ object Similarity {
     * rides in the beam — expanding it IS how its true neighborhood gets
     * found — but it is not an answer).
     */
-  private def graphTopkFrom(visited: DataFrame, k: Int = IVF_TOP_K): DataFrame = {
+  private[graft] def graphTopkFrom(visited: DataFrame, k: Int = IVF_TOP_K): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
     visited.filter(col("node") =!= col("q_id"))
       .withColumn("rnk", row_number().over(w))
