@@ -2675,8 +2675,59 @@ object Similarity {
       seeds: Option[DataFrame] = None): DataFrame = {
     val queries = base.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    beamLoop(edges, queries,
+      seeds.getOrElse(beamSeeds(base, pin, isQuery, isNode)),
+      beamW, rounds, pin)
+  }
+
+  /** [[beamTraverse]] with the query set given as an id FRAME (semi-join
+    * membership) instead of a Column predicate — the micro-batch form:
+    * a streaming `foreachBatch` names its arrivals as a frame, and an
+    * `isin` literal list would put the whole batch into the expression
+    * tree. Per-query results are identical to the predicate form
+    * (traversal depends only on the query and the standing graph).
+    */
+  private[graft] def beamTraverseFor(edges: DataFrame, base: DataFrame,
+      queryIds: DataFrame, beamW: Int, rounds: Int = GRAPH_ROUNDS,
+      pin: DataFrame => DataFrame = _.localCheckpoint(),
+      isNode: Column = lit(true)): DataFrame = {
+    val ids = queryIds.select(col("vec_id"))
+    val queries = base.join(ids, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    beamLoop(edges, queries, beamSeedsFor(base, ids, pin, isNode),
+      beamW, rounds, pin)
+  }
+
+  /** [[beamSeeds]]' frame-membership twin for [[beamTraverseFor]]. */
+  private def beamSeedsFor(base: DataFrame, queryIds: DataFrame,
+      pin: DataFrame => DataFrame, isNode: Column): DataFrame = {
+    val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
+        explode(array((0 until Dedup.HYP_TABLES).map(t =>
+          struct(lit(t).as("t"),
+            Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qb = withBuckets.join(queryIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nm").as("nq"), col("t"), col("bucket"))
+    val nb = withBuckets.filter(isNode).select(col("vec_id").as("node"),
+      col("embedding").as("ed"), col("nm").as("nd"), col("t"), col("bucket"))
     val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
-    var visited = seeds.getOrElse(beamSeeds(base, pin, isQuery, isNode))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
+    pin(nb.join(broadcast(qb), Seq("t", "bucket"))
+      .select(col("q_id"), col("node"), cosine.as("cosine"))
+      .groupBy(col("q_id"), col("node")).agg(min(col("cosine")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GRAPH_SEED_CAP)
+      .drop("rn"))
+  }
+
+  /** The shared expansion loop of both traversal forms. */
+  private def beamLoop(edges: DataFrame, queries: DataFrame,
+      seedFrame: DataFrame, beamW: Int, rounds: Int,
+      pin: DataFrame => DataFrame): DataFrame = {
+    val cosine = round(dotExpr("eq", "ed") / (col("nq") * col("nd")), 6)
+    var visited = seedFrame
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("node"))
     (1 to rounds).foreach { _ =>
       val beam = visited.withColumn("rn", row_number().over(w))

@@ -379,6 +379,14 @@ object StreamingPipeline {
     * the drained sink shares `Dedup.dedupExactSql` VERBATIM — the
     * streaming state formulation driver-checked against the batch
     * groupBy formulation, like first_seen_stream vs the window form.
+    *
+    * The sink is the PARTITION-PRUNED merge, partitioned by the
+    * fingerprint's first hex nibble — unlike `daily_volume_stream`'s
+    * |chains| partitions, this is the UNBOUNDED-key case the
+    * partitioned MERGE exists for: the fingerprint space grows with
+    * the corpus, the 16 hash-prefix partitions shard it evenly, and a
+    * micro-batch rewrites only the prefixes it touched instead of the
+    * whole standing group table.
     */
   def dedupGroupsReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
@@ -396,7 +404,9 @@ object StreamingPipeline {
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode(OutputMode.Update.toString)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          mergeByKey(batch, out, Seq("fp"))
+          mergeByKeyPartitioned(
+            batch.withColumn("fp_p", substring(col("fp"), 1, 1)),
+            out, Seq("fp"), "fp_p")
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -618,6 +628,50 @@ object StreamingPipeline {
       .option("path", out)
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode(OutputMode.Append.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** The ORACLE-GATED streaming GRAPH-INSERT twin — the vector-index
+    * ingest path one level up from [[ivfAssignStream]]: arrivals (the
+    * odd half) stream in, and each micro-batch finds its link sets by
+    * LSH-seeded beam search over the STANDING even-half NN-descent
+    * adjacency (FitStore-served, loaded once at query build; the batch
+    * frame names the micro-batch's query set —
+    * [[graft.ops.Similarity.beamTraverseFor]]'s semi-join form, because
+    * an `isin` literal list would put the whole batch into the
+    * expression tree). Per-arrival results depend only on (arrival,
+    * standing graph), so batch boundaries are invisible and the drained
+    * append sink must equal the batch `simsearch_graph_insert` rows
+    * exactly. Per-batch cost = the corpus-independent beam budget ×
+    * |batch|; no state store (the standing graph IS the state, owned by
+    * the index, not the stream).
+    */
+  def graphInsertReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graph_insert_replay")
+    val out = s"$tmp/links"
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = graft.ops.Similarity.withNorm(emb).localCheckpoint()
+    val edges = graft.ops.Similarity.graphIndex(spark, sfDir, half = Some(0))
+    val q = Tables.embeddingsStream(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select(col("vec_id")).localCheckpoint()
+        val visited = graft.ops.Similarity.beamTraverseFor(
+          edges, base, ids, graft.ops.Similarity.GRAPH_BEAM,
+          isNode = col("vec_id") % 2 === 0)
+        graft.ops.Similarity.graphTopkFrom(visited)
+          .select(col("q_id").as("new_id"), col("n_id"), col("cosine"), col("rnk"))
+          .write.mode("append").parquet(out)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
