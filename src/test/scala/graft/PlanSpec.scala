@@ -462,4 +462,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"),
       "scoring runs the fused codegen kernel, not a UDF")
   }
+
+  test("simsearch_graph_repair_health: equi-joins only — repair fan-out stays degree-bounded") {
+    val p = plan("simsearch_graph_repair_health")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates = survivors ∪ bridges via equi-joins on src/mid — never a pair space")
+    assert(p.contains("vec_dot"),
+      "rescoring and cell assignment run the fused codegen kernel")
+  }
+
+  test("multimodal_assembly_incremental: standing state probes broadcast; no pair space") {
+    val p = plan("multimodal_assembly_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "the standing checksum index and merged feed stats must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band probes are equi-joins on (band_no, band_val) — never all-pairs")
+  }
+
+  test("approx_stats: sketches partial-aggregate map-side") {
+    assert(plan("approx_stats").contains("partial_"),
+      "HLL/percentile sketches must combine map-side — that is their whole point")
+  }
 }
