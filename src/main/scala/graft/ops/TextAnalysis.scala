@@ -2386,6 +2386,247 @@ object TextAnalysis {
   def textCorpusRejections(spark: SparkSession, sfDir: String): DataFrame =
     rejectionsFrom(sharedFlags(spark, sfDir))
 
+  // --------------------------------------------------------------------
+  // Incremental corpus-rejection audit: arrivals vs STANDING state
+  // --------------------------------------------------------------------
+
+  /** Arrival split for the incremental audit: the TOP fifth of the id
+    * space arrives. Ids are assigned in ingest order, so new documents
+    * carry ids above every standing one — the realistic split, and the
+    * one that makes the min-id keeper rules ONE-directional: an arrival
+    * can never displace a standing exact/near-dup keeper, so the only
+    * standing-state correction the merge needs is contamination (bench
+    * membership is id%[[DECONTAM_MOD]], directionless — an arriving
+    * benchmark document can burn a STANDING document). Computed as
+    * floor(0.8·(max_id+1)) — identical IEEE arithmetic in both engines.
+    */
+  def caThreshold(docs: DataFrame): Long = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    math.floor(0.8 * (maxId + 1)).toLong
+  }
+
+  /** (doc_id, shs, n): per-doc sorted shingle-hash arrays — the unit all
+    * dedup/decontam state is built from. Docs under 3 tokens have no
+    * 3-grams and drop out, exactly as in every batch consumer.
+    */
+  private[graft] def caShingleSets(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+  }
+
+  /** Standing per-doc stats + the stage-gate flag under STANDING-only
+    * knowledge (standing bench contamination, standing exact/near dup;
+    * arrivals can't displace keepers under the id-ordered split). The
+    * one thing a later batch can retroactively change — an arriving
+    * benchmark doc burning a standing doc — is corrected at merge time
+    * by probing the postings index, never by re-scanning.
+    */
+  private[graft] def caDocStats(standing: DataFrame): DataFrame = {
+    val contamIds = decontam(standing).filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("c"))
+    val keepIds = Dedup.exactGroups(standing)
+      .select(col("keep_id").as("doc_id"), lit(true).as("k"))
+    val loserIds = Dedup.ngramJaccardPairs(standing)
+      .select(col("d2").as("doc_id")).distinct().withColumn("l", lit(true))
+    quality(standing)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"))
+      .join(contamIds, Seq("doc_id"), "left")
+      .join(keepIds, Seq("doc_id"), "left")
+      .join(loserIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"),
+        (!(col("doc_id") % lit(DECONTAM_MOD) === 0) && col("c").isNull &&
+          col("k").isNotNull && col("l").isNull &&
+          col("quality_score") >= QUALITY_MIN).as("gated"))
+  }
+
+  /** Rarest-first AllPairs prefix of each doc's shingle set under the
+    * df order of `dfSource` — factored so the arrival batch ranks its
+    * prefixes under its OWN batch-local order: prefix completeness
+    * (a J ≥ τ pair must share a shingle inside EITHER member's prefix,
+    * by pigeonhole on the ⌈τ·n⌉−1-sized excluded suffix) holds for ANY
+    * consistent order of the prefix-side doc, so the arrival-side
+    * prefix joined against the standing FULL postings index is a
+    * complete candidate generator without ever re-ranking standing
+    * documents under a merged df.
+    */
+  private def caPrefixes(sets: DataFrame): DataFrame = {
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"), explode(expr(
+        s"""slice(ranked, 1,
+           |  CAST(size(ranked) - ceil(${Dedup.JACCARD_THRESHOLD} * size(ranked)) + 1 AS INT))"""
+          .stripMargin)).as("r"))
+      .select(col("doc_id"), col("r.h").as("h"))
+  }
+
+  /** INCREMENTAL corpus-rejection audit — the text-side capstone of the
+    * FitStore story and the twin of
+    * [[graft.ops.Multimodal.assemblyIncremental]]: an ARRIVAL batch
+    * receives its first-failing-stage verdict against STANDING state,
+    * result ≡ the batch [[corpusRejections]] restricted to arrivals.
+    *
+    *  - `contaminated`: arrival shingles probe the standing bench-hash
+    *    set UNIONED with the batch's own bench arrivals;
+    *  - `exact_dup`: one standing fp-set probe + the within-batch rank;
+    *  - `near_dup`: arrival prefixes (batch-local df order — complete by
+    *    the pigeonhole argument, see [[caPrefixes]]) join the standing
+    *    POSTINGS index, candidates verify exactly against the standing
+    *    shingle arrays; within-batch pairs run the regular AllPairs.
+    *    Arrivals carry the highest ids, so they are always the losing
+    *    side and standing keepers never move;
+    *  - `weak_domain` / mix rates: standing per-(source, lang) gated
+    *    (Σq, Σtokens, n) MINUS the standing docs newly burned by
+    *    arriving benchmark shingles (a postings-bounded probe, the one
+    *    retroactive correction the split leaves) PLUS the batch's own
+    *    partial — merged means and rates are then exactly the
+    *    full-corpus numbers.
+    *
+    * Per-batch cost: O(batch + index matches); the standing corpus is
+    * probed through its persisted indexes, never re-scanned.
+    */
+  private[graft] def rejectionsIncremental(arrivals: DataFrame,
+      benchH: DataFrame, fpIdx: DataFrame, postings: DataFrame,
+      sets: DataFrame, docStats: DataFrame): DataFrame = {
+    graft.functions.ArrayFunctions.register(arrivals.sparkSession)
+    val isBenchA = col("doc_id") % lit(DECONTAM_MOD) === 0
+    val aq = quality(arrivals)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"))
+    val aSets = caShingleSets(arrivals).localCheckpoint()
+    // contamination: standing bench hashes ∪ the batch's own bench docs
+    val abench = aSets.filter(isBenchA)
+      .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
+    val allBench = benchH.unionByName(abench).distinct()
+    val contamA = aSets.filter(!isBenchA)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .join(broadcast(allBench), Seq("h"))
+      .select(col("doc_id")).distinct().withColumn("is_contam", lit(true))
+    // exact dup: standing fp probe + within-batch rank
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val exactA = arrivals
+      .select(col("doc_id"), Dedup.exactFp(col("text")).as("fp"))
+      .join(broadcast(fpIdx.withColumn("st_hit", lit(true))), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(wfp))
+      .select(col("doc_id"),
+        (col("st_hit").isNotNull || col("rn") > 1).as("is_dup"))
+    // near dup: standing postings probe + within-batch AllPairs
+    val jt = Dedup.JACCARD_THRESHOLD
+    val candsStanding = caPrefixes(aSets)
+      .join(postings.select(col("h"), col("doc_id").as("sd")), Seq("h"))
+      .select(col("doc_id"), col("sd")).distinct()
+    val jacc = col("c").cast("double") /
+      (col("n1") + col("n2") - col("c")).cast("double")
+    val lossStanding = candsStanding
+      .join(aSets.select(col("doc_id"), col("shs").as("shs1"), col("n").as("n1")),
+        Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("sd"), col("shs").as("shs2"),
+        col("n").as("n2")), Seq("sd"))
+      .filter(col("n1") * jt <= col("n2") && col("n2") * jt <= col("n1"))
+      .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
+      .filter(jacc >= jt)
+      .select(col("doc_id"))
+    val lossBatch = Dedup.ngramJaccardPairs(arrivals)
+      .select(col("d2").as("doc_id"))
+    val loserA = lossStanding.unionByName(lossBatch).distinct()
+      .withColumn("is_loser", lit(true))
+    // gated stats: standing (corrected for arrival-bench burn) + batch
+    val burned = abench.join(postings, Seq("h"))
+      .select(col("doc_id")).distinct().withColumn("burn", lit(true))
+    val sStats = docStats.filter(col("gated"))
+      .join(burned, Seq("doc_id"), "left").filter(col("burn").isNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("quality_score")).as("sq"),
+        sum(col("n_tokens")).as("st"))
+    val flagsA = aq
+      .join(contamA, Seq("doc_id"), "left")
+      .join(exactA, Seq("doc_id"))
+      .join(loserA, Seq("doc_id"), "left")
+      .localCheckpoint()
+    val bStats = flagsA.filter(!isBenchA && col("is_contam").isNull &&
+        !col("is_dup") && col("is_loser").isNull &&
+        col("quality_score") >= QUALITY_MIN)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("quality_score")).as("sq"),
+        sum(col("n_tokens")).as("st"))
+    val merged = sStats.unionByName(bStats)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"), sum(col("st")).as("st"))
+      .localCheckpoint()
+    val bySrc = merged.groupBy(col("source"))
+      .agg((sum(col("sq")) / sum(col("n")).cast("double")).as("avg_raw"))
+      .select(col("source"), round(col("avg_raw"), 6).as("avg_q"))
+    val overall = merged.agg(
+      round(sum(col("sq")) / sum(col("n")).cast("double"), 6).as("corpus_avg"))
+    val goodSrc = bySrc.crossJoin(broadcast(overall))
+      .filter(col("avg_q") >= col("corpus_avg"))
+      .select(col("source"), lit(true).as("good_src"))
+    val perLang = merged.join(broadcast(goodSrc), Seq("source"), "left_semi")
+      .groupBy(col("lang")).agg(sum(col("st")).as("lang_tokens"))
+    val totals = perLang.agg(sum(col("lang_tokens")).as("corpus_tokens"))
+    val rates = mixRates(perLang, totals).select(col("lang"), col("rate"))
+    val bucket = md5Bucket(col("doc_id"))
+    flagsA
+      .join(broadcast(goodSrc), Seq("source"), "left")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(isBenchA, "benchmark")
+          .when(col("is_contam").isNotNull, "contaminated")
+          .when(col("is_dup"), "exact_dup")
+          .when(col("is_loser").isNotNull, "near_dup")
+          .when(col("quality_score") < QUALITY_MIN, "low_quality")
+          .when(col("good_src").isNull, "weak_domain")
+          .when(col("rate").isNull, "no_mix_share")
+          .when(bucket.cast("double") >= col("rate") * lit(4294967296.0),
+            "sampled_out")
+          .otherwise("kept").as("reason"))
+  }
+
+  /** The gated incremental audit: top-fifth arrivals against four
+    * FitStore-persisted standing artifacts (bench hashes, fp set,
+    * shingle postings + arrays, per-doc gated stats). Oracle = the
+    * batch audit restricted to the arrival ids.
+    */
+  def textCorpusRejectionsIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = caThreshold(docs)
+    val standing = docs.filter(col("doc_id") < t)
+    val arrivals = docs.filter(col("doc_id") >= t)
+    def kept(name: String)(f: => DataFrame): DataFrame =
+      SharedFits.memo(spark, s"$name:$sfDir") {
+        FitStore.frame(spark, name, FitStore.documentsFp(spark, sfDir)) { f }
+          .localCheckpoint()
+      }
+    val benchH = kept("ca_bench_h_t80") {
+      caShingleSets(standing.filter(col("doc_id") % lit(DECONTAM_MOD) === 0))
+        .select(explode(col("shs")).as("h")).distinct()
+    }
+    val fpIdx = kept("ca_fp_idx_t80") {
+      standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
+    }
+    val sets = kept("ca_sets_t80") { caShingleSets(standing) }
+    val postings = kept("ca_postings_t80") {
+      caShingleSets(standing)
+        .select(col("doc_id"), explode(col("shs")).as("h"))
+    }
+    val docStats = kept("ca_doc_stats_t80") { caDocStats(standing) }
+    rejectionsIncremental(arrivals, benchH, fpIdx, postings, sets, docStats)
+  }
+
+  lazy val textCorpusRejectionsIncrementalSql: String =
+    s"""SELECT doc_id, lang, source, reason
+       |FROM ($textCorpusRejectionsSql) r
+       |WHERE doc_id >= (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT)
+       |                 FROM documents)""".stripMargin
+
   lazy val textCorpusRejectionsSql: String =
     s"""$assemblyPrefixSql,
        |allq AS (

@@ -274,6 +274,76 @@ class TextMultimodalSpec extends SparkSpec {
     assert(inc(104L) == "dup_pair", "within-batch checksum twin")
   }
 
+  test("incremental rejections: planted arrivals equal the batch audit restricted") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextAnalysis => TA}
+    // standing ids 0..96 (0 is benchmark: id % 97 == 0); arrivals are the
+    // top fifth of the id space: max 484 -> threshold floor(0.8*485)=388,
+    // and 388 = 4*97 is an ARRIVING benchmark doc. Plants:
+    //   388 bench arrival whose shingles BURN standing doc 5 (the one
+    //       retroactive correction the id-ordered split leaves)
+    //   390 exact twin of standing 3        -> exact_dup (cross-batch)
+    //   391 near-dup of standing 4 (J>=0.5) -> near_dup (cross-batch)
+    //   392 shares a shingle with bench 0   -> contaminated
+    //   393 two tokens repeated             -> low_quality
+    //   394 clean                           -> kept / sampled_out / weak_domain
+    //   395 exact twin of arrival 390       -> exact_dup (within-batch)
+    def sent(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val burnPhrase = "alpha beta gamma delta epsilon zeta"
+    val benchPhrase = "one two three four five six seven"
+    val d4 = sent("legit", 12)
+    val rows = Seq(
+      (0L, benchPhrase + " " + sent("bench", 8), "en", "web"),
+      (3L, sent("twin", 14), "en", "web"),
+      (4L, d4, "en", "web"),
+      (5L, burnPhrase + " " + sent("victim", 10), "en", "crawl"),
+      (6L, sent("filler6", 15), "de", "web"),
+      (7L, sent("filler7", 15), "de", "crawl"),
+      (96L, sent("filler96", 15), "en", "web"),
+      (388L, burnPhrase + " " + sent("newbench", 8), "en", "web"),
+      (390L, sent("twin", 14), "en", "web"),
+      (391L, d4 + " legitx", "en", "web"),
+      (392L, benchPhrase + " " + sent("leak", 10), "en", "crawl"),
+      (393L, "aa bb aa bb aa bb aa bb aa bb", "en", "web"),
+      (394L, sent("fresh", 15), "de", "crawl"),
+      (395L, sent("twin", 14), "en", "web"),
+      (484L, sent("tail", 15), "en", "web"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val t = TA.caThreshold(d)
+    assert(t == 388L, s"threshold must land at 388, got $t")
+    val standing = d.filter($"doc_id" < t)
+    val arrivals = d.filter($"doc_id" >= t)
+    val stSets = TA.caShingleSets(standing)
+    val inc = TA.rejectionsIncremental(arrivals,
+        benchH = TA.caShingleSets(standing.filter($"doc_id" % 97L === 0L))
+          .select(explode($"shs").as("h")).distinct(),
+        fpIdx = standing.select(Dedup.exactFp($"text").as("fp")).distinct(),
+        postings = stSets.select($"doc_id", explode($"shs").as("h")),
+        sets = stSets,
+        docStats = TA.caDocStats(standing))
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    val batch = TA.corpusRejections(d)
+      .select("doc_id", "reason").as[(Long, String)].collect()
+      .filter(_._1 >= t).toMap
+    assert(inc == batch,
+      s"incremental must equal the restricted batch audit: $inc vs $batch")
+    assert(inc(388L) == "benchmark")
+    assert(inc(390L) == "exact_dup", "cross-batch exact twin")
+    assert(inc(391L) == "near_dup", "cross-batch near twin")
+    assert(inc(392L) == "contaminated")
+    assert(inc(393L) == "low_quality")
+    assert(inc(395L) == "exact_dup", "within-batch twin")
+    // the retroactive burn: standing doc 5 shares a phrase with the
+    // ARRIVING benchmark doc 388, so the batch ground truth excludes it
+    // from the gated stats — the incremental path must reach the same
+    // weak_domain/rate decisions through its correction probe (proven by
+    // the full-map equality above); this assert just pins the plant.
+    val full = TA.corpusRejections(d)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(full(5L) == "contaminated", "the burn plant must actually burn")
+  }
+
   test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
     val sf = "/root/testdata/sf0.001"
     val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
