@@ -2464,6 +2464,87 @@ object Similarity {
     math.max(GRAPH_DEGREE,
       math.ceil(2.0 * math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
 
+  /** The degree sweep the schedule is gated through: the shipped serving
+    * degree and one rung up. */
+  val GRAPH_DEGREES: Seq[Int] = Seq(GRAPH_DEGREE, 16)
+
+  /** The [[graphDegreeFor]] schedule's DIAL, gated: the graph-local
+    * recall ceiling (truth ∩ the query's own adjacency row — SCALING.md
+    * round 12 shows the traversal lands exactly on this ceiling, so it
+    * IS the serve path's recall in the regime that matters) per
+    * construction degree in [[GRAPH_DEGREES]]. A second index at the
+    * next degree rung is built through the same NN-descent
+    * (FitStore-persisted under its own degree-keyed artifact name);
+    * the ceiling must be non-decreasing in degree, and the measured gap
+    * is what the schedule spends edges on. Construction cost is the
+    * NND chain's (linear in N, quadratic in k per candidate round);
+    * the gate's comparison is |Q|·k rows per degree.
+    */
+  def simsearchGraphDegreeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val truth = bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val denom = (N_QUERIES * IVF_TOP_K).toDouble
+    GRAPH_DEGREES.map { k =>
+      val adj =
+        if (k == GRAPH_DEGREE) graphIndex(spark, sfDir).select(col("src"), col("dst"))
+        else SharedFits.memo(spark, s"graph_adj_d$k:$sfDir") {
+          FitStore.frame(spark, s"knn_edges_nnd${NND_ITERS}_d$k",
+            FitStore.embeddingsFp(spark, sfDir)) {
+            nnDescentAdj(emb, k = k)
+          }.localCheckpoint()
+        }
+      adj.filter(col("src") < N_QUERIES)
+        .select(col("src").as("q_id"), col("dst").as("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(k.toLong).as("degree"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(denom), 6).as("local_recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val simsearchGraphDegreeRecallSql: String = {
+    val truthCtes =
+      s"""tu AS MATERIALIZED (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |tn AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nm FROM tu GROUP BY 1),
+         |td AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x * b.x) AS dot
+         |  FROM tu a JOIN tu b ON a.i = b.i
+         |  WHERE a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT d.q_id, d.n_id,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |                              ORDER BY round(d.dot / (n1.nm * n2.nm), 6) DESC,
+         |                                       d.n_id) AS rnk
+         |    FROM td d
+         |    JOIN tn n1 ON d.q_id = n1.vec_id
+         |    JOIN tn n2 ON d.n_id = n2.vec_id) r
+         |  WHERE rnk <= $IVF_TOP_K)""".stripMargin
+    val degreeBlocks = GRAPH_DEGREES.map { k =>
+      s"""knn_d$k AS MATERIALIZED (${nnDescentAdjSql(k = k)}),
+         |row_d$k AS (
+         |  SELECT CAST($k AS BIGINT) AS degree,
+         |         CAST(count(*) AS BIGINT) AS n_hits,
+         |         round(CAST(count(*) AS DOUBLE) / ${N_QUERIES * IVF_TOP_K}, 6)
+         |           AS local_recall
+         |  FROM knn_d$k e JOIN truth t
+         |    ON e.src = t.q_id AND e.dst = t.n_id
+         |  WHERE e.src < $N_QUERIES)""".stripMargin
+    }.mkString(",\n")
+    val union = GRAPH_DEGREES.map(k => s"SELECT * FROM row_d$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $truthCtes,
+       |$degreeBlocks
+       |$union""".stripMargin
+  }
+
   /** NN-descent: LSH-bucket k-NN init ([[Dedup.knnGraph]] at the
     * serving degree), then [[NND_ITERS]] rounds of
     * undirected-neighbor-of-neighbor candidate generation, exact
