@@ -1,0 +1,274 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Tables
+
+/** Entity resolution / record linkage over the documents corpus, treated as
+  * entity MENTIONS: each document is a record with fields (lang, source,
+  * name = its first [[NAME_TOKENS]] tokens, n_chars), and the task is the
+  * classic three-stage linkage pipeline a metrics warehouse runs over
+  * customer/merchant/venue feeds:
+  *
+  *   1. BLOCKING — candidate pairs only within (lang, first-token) blocks,
+  *      with oversized blocks load-shed (see [[ER_BLOCK_CAP]]);
+  *   2. PAIRWISE SCORING — a Fellegi–Sunter agreement-weight sum over three
+  *      field comparators (name edit distance, source equality, length
+  *      proximity), thresholded at [[ER_SCORE_TAU]];
+  *   3. CLUSTERING + SURVIVORSHIP — connected components over accepted
+  *      pairs, then one golden record per entity with field-level
+  *      survivorship rules (mode source, rep name, summed volume).
+  *
+  * This is deliberately NOT another near-dup detector: the dedup family
+  * ([[Dedup]]) asks "is this the same TEXT"; this family asks "is this the
+  * same ENTITY" from structured field agreement, where no single field is
+  * decisive and the match decision is a weighted vote. The reference
+  * pipeline's closest shape is its per-collection `_id`/stashId probes
+  * (/root/reference/updatescript.py:61-96) — identity resolution by exact
+  * key; this family is the fuzzy generalization a 100 TB feed needs when
+  * keys are absent or dirty.
+  *
+  * Scale design: the ONLY pair generator is the blocked self-join, and block
+  * size is capped, so the pair space is Σ_blocks min(|b|, cap)² — linear in
+  * corpus size with a cap² constant, never quadratic in N. Everything
+  * downstream of pairing is equi-joins and hash aggregates on ids. The CC
+  * fixpoint reuses [[Dedup.connectedComponents]] (edge frame moves once,
+  * labels-only per round, O(log diameter) rounds).
+  */
+object EntityResolution {
+
+  /** Tokens of text that constitute a record's "name" field. Six tokens ≈
+    * a title line; long enough that edit distance discriminates, short
+    * enough that levenshtein (O(len²) per pair) stays cheap per pair.
+    */
+  val NAME_TOKENS = 6
+
+  /** Blocks larger than this are load-shed (no pairs generated from them).
+    * Blocking keys are data-dependent: at fixed vocabulary, (lang, first
+    * token) block occupancy grows LINEARLY with corpus size, so an uncapped
+    * blocked self-join degrades to |b|² on the hottest key — the classic
+    * large-scale-ER failure. The cap bounds per-block work at cap²
+    * comparisons and turns the hottest (least informative) keys into an
+    * audited skip instead of a runaway stage; [[erBlockingAudit]] reports
+    * exactly how much candidate mass the cap discards, which is the signal
+    * to move to a more selective key before raising it.
+    */
+  val ER_BLOCK_CAP = 256
+
+  /** Name comparator: agreement iff levenshtein(name_a, name_b) ≤ this.
+    * Calibrated on the sf0.01 fixture where cross-record name distance has
+    * median 22 and 5th percentile 17 — 14 sits well below the background
+    * mass, so agreement is rare (≈2% of candidates) and informative.
+    */
+  val ER_NAME_MAXDIST = 14
+
+  /** Length comparator: agreement iff |n_chars_a − n_chars_b| ≤ this. */
+  val ER_LEN_MAXDIFF = 30
+
+  /** Fellegi–Sunter agreement/disagreement log-weights in DECI-LOG integer
+    * units (ln(m/u) × 10, rounded): integers instead of doubles because a
+    * float literal is NOT the same number in both engines — DuckDB parses
+    * `2.2` as DECIMAL(2,1), Spark as a double — and a cross-engine gate
+    * must not depend on which. Integer sums are exact everywhere; the same
+    * discipline as Q3's cent-exact revenue. The calibration story: name
+    * agreement is the strongest evidence (rarest under u — ≈2% of blocked
+    * candidates), source agreement moderate (20 distinct sources), length
+    * proximity weak (≈11% of random pairs agree).
+    */
+  val W_NAME_AGREE = 22;  val W_NAME_DIS = -8
+  val W_SRC_AGREE  = 16;  val W_SRC_DIS  = -11
+  val W_LEN_AGREE  = 7;   val W_LEN_DIS  = -4
+
+  /** Match threshold over the three-term deci-weight sum. The reachable
+    * scores are the 8 combos {45, 34, 18, 15, 7, 4, −12, −23}; τ = 14
+    * admits exactly the "2-of-3 fields agree" combinations — no single
+    * field, however strong, links a pair on its own.
+    */
+  val ER_SCORE_TAU = 14
+
+  /** The record view: one narrow, codegen'd projection of documents. */
+  private def records(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      array_join(slice(split(col("text"), "\\s+"), 1, NAME_TOKENS), " ").as("name"),
+      element_at(split(col("text"), "\\s+"), 1).as("t1"))
+
+  /** Records surviving the block cap, with their block size attached. The
+    * size frame and the records frame shuffle on the same (lang, t1) key,
+    * so the filter join co-locates with the pairing self-join downstream —
+    * one partitioning serves all three.
+    */
+  private def keptRecords(docs: DataFrame): DataFrame = {
+    val r = records(docs)
+    val sizes = r.groupBy(col("lang"), col("t1"))
+      .agg(count(lit(1)).as("block_sz"))
+      .filter(col("block_sz") <= ER_BLOCK_CAP)
+    r.join(sizes, Seq("lang", "t1"))
+  }
+
+  /** Scored candidate pairs from the blocked self-join. Both sides shuffle
+    * once on the block key; `a.doc_id < b.doc_id` halves the pair space and
+    * fixes orientation. Each record carries exactly ONE block key (a
+    * function of the record), so a pair can never be generated twice — no
+    * post-pairing distinct needed.
+    */
+  private def scoredPairs(docs: DataFrame): DataFrame = {
+    val k = keptRecords(docs)
+    val a = k.select(col("doc_id").as("a_id"), col("lang"), col("t1"),
+      col("name").as("a_name"), col("source").as("a_src"), col("n_chars").as("a_len"))
+    val b = k.select(col("doc_id").as("b_id"), col("lang"), col("t1"),
+      col("name").as("b_name"), col("source").as("b_src"), col("n_chars").as("b_len"))
+    val agreeName = (levenshtein(col("a_name"), col("b_name")) <= ER_NAME_MAXDIST)
+    val agreeSrc = col("a_src") === col("b_src")
+    val agreeLen = abs(col("a_len") - col("b_len")) <= ER_LEN_MAXDIFF
+    a.join(b, Seq("lang", "t1"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        agreeName.cast("int").as("agree_name"),
+        agreeSrc.cast("int").as("agree_source"),
+        agreeLen.cast("int").as("agree_len"))
+      // The sum is written agree-name + agree-source + agree-len in this
+      // fixed order in BOTH engines; see the weight scaladoc.
+      .withColumn("score",
+        when(col("agree_name") === 1, lit(W_NAME_AGREE)).otherwise(lit(W_NAME_DIS))
+          + when(col("agree_source") === 1, lit(W_SRC_AGREE)).otherwise(lit(W_SRC_DIS))
+          + when(col("agree_len") === 1, lit(W_LEN_AGREE)).otherwise(lit(W_LEN_DIS)))
+  }
+
+  /** `er_pairs`: the accepted match pairs with their agreement vector and
+    * Fellegi–Sunter score — the reviewable linkage decisions.
+    */
+  def erPairs(spark: SparkSession, sfDir: String): DataFrame =
+    scoredPairs(Tables.documents(spark, sfDir))
+      .filter(col("score") >= ER_SCORE_TAU)
+
+  /** The shared SQL record/candidate CTE chain (DuckDB dialect). */
+  private val ER_CTES: String =
+    s"""r AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, $NAME_TOKENS), ' ') AS name,
+       |         string_split_regex(text, '\\s+')[1] AS t1
+       |  FROM documents),
+       |bsz AS (SELECT lang, t1, count(*) AS block_sz FROM r GROUP BY 1, 2),
+       |k AS (SELECT r.* FROM r JOIN bsz ON r.lang = bsz.lang AND r.t1 = bsz.t1
+       |      WHERE bsz.block_sz <= $ER_BLOCK_CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CASE WHEN levenshtein(a.name, b.name) <= $ER_NAME_MAXDIST THEN 1 ELSE 0 END AS agree_name,
+       |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_source,
+       |         CASE WHEN abs(a.n_chars - b.n_chars) <= $ER_LEN_MAXDIFF THEN 1 ELSE 0 END AS agree_len
+       |  FROM k a JOIN k b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT *,
+       |         (CASE WHEN agree_name = 1 THEN $W_NAME_AGREE ELSE $W_NAME_DIS END
+       |          + CASE WHEN agree_source = 1 THEN $W_SRC_AGREE ELSE $W_SRC_DIS END
+       |          + CASE WHEN agree_len = 1 THEN $W_LEN_AGREE ELSE $W_LEN_DIS END) AS score
+       |  FROM cand),
+       |matched AS (SELECT * FROM scored WHERE score >= $ER_SCORE_TAU)""".stripMargin
+
+  val erPairsSql: String =
+    s"""WITH $ER_CTES
+       |SELECT a_id, b_id, agree_name, agree_source, agree_len, score FROM matched""".stripMargin
+
+  /** `er_golden`: one golden record per resolved entity. Components come
+    * from min-label propagation over the accepted pairs (reusing
+    * [[Dedup.connectedComponents]]); survivorship rules per field:
+    *
+    *   - `entity_id`  — the component's minimum doc_id (stable, replayable);
+    *   - `n_members`  — component size (singletons included: every record
+    *     resolves to exactly one entity);
+    *   - `name`       — the representative record's name (rep-wins rule);
+    *   - `source`     — the MODE source across members, ties broken by the
+    *     lexicographically smallest source (deterministic mode);
+    *   - `total_chars`— summed member volume (additive survivorship);
+    *   - `lang`       — min lang (blocks are lang-pure, so this is "the"
+    *     lang; min keeps the rule total rather than assuming purity).
+    *
+    * Plan: the survivorship aggregates are two hash aggs and one window-free
+    * mode (groupBy count → max-by via a (count, source) struct max — no
+    * global sort, no window over the full corpus), all keyed by entity_id.
+    */
+  def erGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val r = records(docs)
+    val pairs = erPairs(spark, sfDir).select(col("a_id").as("d1"), col("b_id").as("d2"))
+    val assign = Dedup.connectedComponents(r.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("rep_id").as("entity_id"))
+    val members = r.join(assign, Seq("doc_id"))
+    // deterministic mode in two aggs (max count, then min source among
+    // sources achieving it) — argmax-by-struct would need a numeric
+    // inversion of the string tie-break key to be order-stable, which the
+    // two-agg form gets for free, identically in both engines
+    val srcCnt = members.groupBy(col("entity_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val maxCnt = srcCnt.groupBy(col("entity_id")).agg(max(col("cnt")).as("mx"))
+    val modeSrc = srcCnt.join(maxCnt, Seq("entity_id"))
+      .filter(col("cnt") === col("mx"))
+      .groupBy(col("entity_id")).agg(min(col("source")).as("source"))
+    val stats = members.groupBy(col("entity_id")).agg(
+      count(lit(1)).as("n_members"),
+      sum(col("n_chars")).cast("long").as("total_chars"),
+      min(col("lang")).as("lang"))
+    val repName = members.filter(col("doc_id") === col("entity_id"))
+      .select(col("entity_id"), col("name"))
+    stats.join(modeSrc, Seq("entity_id")).join(repName, Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col("name"), col("source"),
+        col("total_chars"), col("lang"))
+  }
+
+  val erGoldenSql: String =
+    s"""WITH RECURSIVE $ER_CTES,
+       |edges AS (SELECT a_id AS d1, b_id AS d2 FROM matched
+       |          UNION ALL SELECT b_id AS d1, a_id AS d2 FROM matched),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS rl FROM r
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.rl FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |assign AS (SELECT doc_id, min(rl) AS entity_id FROM reach GROUP BY 1),
+       |members AS (SELECT r.*, a.entity_id FROM r JOIN assign a ON r.doc_id = a.doc_id),
+       |src_cnt AS (SELECT entity_id, source, count(*) AS cnt FROM members GROUP BY 1, 2),
+       |max_cnt AS (SELECT entity_id, max(cnt) AS mx FROM src_cnt GROUP BY 1),
+       |mode_src AS (
+       |  SELECT s.entity_id, min(s.source) AS source
+       |  FROM src_cnt s JOIN max_cnt m ON s.entity_id = m.entity_id AND s.cnt = m.mx
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars, min(lang) AS lang
+       |  FROM members GROUP BY 1),
+       |rep_name AS (SELECT entity_id, name FROM members WHERE doc_id = entity_id)
+       |SELECT st.entity_id, st.n_members, rn.name, ms.source, st.total_chars, st.lang
+       |FROM stats st JOIN mode_src ms ON st.entity_id = ms.entity_id
+       |JOIN rep_name rn ON st.entity_id = rn.entity_id""".stripMargin
+
+  /** `er_blocking_audit`: the block-size histogram with the load-shed mass
+    * made visible — for each block size: how many blocks, how many
+    * candidate pairs that size implies, and whether the cap skips it. The
+    * scale instrument for the blocking key: when the skipped-pair share
+    * grows, the key has stopped discriminating and needs another field
+    * BEFORE anyone raises the cap. (Same instrument pattern as
+    * `dedup_lsh_quality` for the banded-LSH threshold.)
+    */
+  def erBlockingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = records(Tables.documents(spark, sfDir))
+    r.groupBy(col("lang"), col("t1")).agg(count(lit(1)).as("block_sz"))
+      .groupBy(col("block_sz")).agg(count(lit(1)).as("n_blocks"))
+      .select(
+        col("block_sz"),
+        col("n_blocks"),
+        (col("block_sz") * (col("block_sz") - 1) / 2 * col("n_blocks"))
+          .cast("long").as("candidate_pairs"),
+        (col("block_sz") > ER_BLOCK_CAP).cast("int").as("skipped"))
+  }
+
+  val erBlockingAuditSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '\\s+')[1] AS t1 FROM documents),
+       |bsz AS (SELECT lang, t1, count(*) AS block_sz FROM r GROUP BY 1, 2)
+       |SELECT block_sz, CAST(count(*) AS BIGINT) AS n_blocks,
+       |       CAST(block_sz * (block_sz - 1) / 2 * count(*) AS BIGINT) AS candidate_pairs,
+       |       CASE WHEN block_sz > $ER_BLOCK_CAP THEN 1 ELSE 0 END AS skipped
+       |FROM bsz GROUP BY block_sz""".stripMargin
+}

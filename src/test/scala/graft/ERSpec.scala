@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.EntityResolution
+
+/** Entity-resolution family: fixture behavior + the plan shapes that keep
+  * the linkage pipeline linear-in-N at 100 TB (capped blocked self-join as
+  * the ONLY pair generator, equi-joins everywhere downstream).
+  */
+class ERSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("er_pairs: matches are exactly the 2-of-3 agreement combos, oriented a<b") {
+    val rows = EntityResolution.erPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must produce matched pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(r.fieldIndex("a_id")), r.getLong(r.fieldIndex("b_id")))
+      assert(a < b, s"pair orientation must be a<b, got ($a,$b)")
+      val agrees = Seq("agree_name", "agree_source", "agree_len")
+        .map(c => r.getInt(r.fieldIndex(c))).sum
+      assert(agrees >= 2, s"τ=${EntityResolution.ER_SCORE_TAU} must admit only 2-of-3 combos")
+      val score = r.getInt(r.fieldIndex("score"))
+      assert(Set(45, 34, 18, 15).contains(score), s"unreachable matched score $score")
+    }
+  }
+
+  test("er_golden: every document resolves to exactly one entity; members sum back") {
+    val golden = EntityResolution.erGolden(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    val sums = golden.selectExpr("sum(n_members)", "count(*)", "sum(total_chars)").head
+    assert(sums.getLong(0) == nDocs, "entity membership must partition the corpus")
+    assert(sums.getLong(1) < nDocs, "fixture must merge at least one pair of records")
+    val chars = docs.selectExpr("cast(sum(n_chars) as long)").head.getLong(0)
+    assert(sums.getLong(2) == chars, "additive survivorship must conserve total volume")
+  }
+
+  test("er_golden: multi-member entities obey rep-wins name and deterministic mode source") {
+    val golden = EntityResolution.erGolden(spark, sf)
+    val multi = golden.filter("n_members > 1").collect()
+    assert(multi.nonEmpty, "fixture must contain a multi-member entity")
+    // rep-wins: the golden name equals the minimum member's name — rebuild
+    // the rep's name independently from the raw text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", s"array_join(slice(split(text, '\\\\s+'), 1, ${EntityResolution.NAME_TOKENS}), ' ') as nm")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    multi.foreach { r =>
+      val eid = r.getLong(r.fieldIndex("entity_id"))
+      assert(r.getString(r.fieldIndex("name")) == docs(eid), "golden name must be the rep's")
+    }
+  }
+
+  test("er_blocking_audit: histogram covers all blocks; nothing skipped at fixture scale") {
+    val audit = EntityResolution.erBlockingAudit(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val mass = audit.map(r => r.getLong(r.fieldIndex("block_sz")) * r.getLong(r.fieldIndex("n_blocks"))).sum
+    assert(mass == nDocs, "block-size histogram must account for every record")
+    assert(audit.forall(_.getInt(3) == 0), "no fixture block may exceed the cap")
+    assert(audit.forall { r =>
+      val s = r.getLong(r.fieldIndex("block_sz"))
+      r.getLong(r.fieldIndex("candidate_pairs")) ==
+        s * (s - 1) / 2 * r.getLong(r.fieldIndex("n_blocks"))
+    }, "pair mass must be the exact blocked-pair count")
+  }
+
+  test("plan: er pair space is the blocked equi-self-join — no cartesian, no nested loop") {
+    val p = EntityResolution.erPairs(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the only pair generator must be the capped blocked self-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "pairing must be an equi-join on the block key")
+  }
+}
