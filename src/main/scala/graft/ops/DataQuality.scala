@@ -29,6 +29,21 @@ object DataQuality {
   /** One row-level rule: name + the VIOLATION predicate (true = bad row). */
   private final case class Rule(name: String, bad: Column)
 
+  /** `k` parsed out of the events `props` JSON as a long — shared by the
+    * ledger, the incremental partials, the stream melt, and the drift
+    * rollup so all four check the identical predicate.
+    */
+  private def propsK: Column =
+    from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+
+  /** The events row-level rules — one definition, four consumers. */
+  private def eventRowRules: Seq[Rule] = Seq(
+    Rule("not_null_user_id", col("user_id").isNull),
+    Rule("positive_value", !(col("value") > 0)),
+    Rule("json_props_has_k", propsK.isNull))
+
   /** All row-level rules for one table as a single aggregate pass, melted
     * to (rule, tbl, checked, violations) rows via `stack`.
     */
@@ -95,14 +110,7 @@ object DataQuality {
       Rule("range_l_discount", !col("l_discount").between(0, 0.1)),
       Rule("nonneg_l_extendedprice", !(col("l_extendedprice") >= 0))))
 
-    val eventRules = rowRules(events, "events", Seq(
-      Rule("not_null_user_id", col("user_id").isNull),
-      Rule("positive_value", !(col("value") > 0)),
-      // parseable JSON object carrying the expected integer payload key
-      Rule("json_props_has_k",
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))).getField("k").isNull)))
+    val eventRules = rowRules(events, "events", eventRowRules)
 
     val docRules = rowRules(documents, "documents", Seq(
       Rule("chars_consistency", col("n_chars") =!= length(col("text"))),
@@ -121,11 +129,190 @@ object DataQuality {
       .withColumn("pass", (col("violations") === 0).cast("int"))
   }
 
+  // ── Incremental maintenance ────────────────────────────────────────────
+
+  /** The events-table slice of the ledger as a PARTIAL: the three row
+    * rules and the referential rule over an arbitrary event slice. Every
+    * counter here is algebraic — conditional sums, counts, and the
+    * orphan count (each row checks independently against the standing
+    * dimension key set) all ADD across slices — so a standing ledger
+    * absorbs an arriving batch by summing partials, never by re-scanning
+    * history. (The one non-algebraic ledger rule, `unique_o_orderkey`'s
+    * count-distinct, lives on orders, not here; its incremental form
+    * needs a standing key-set/sketch, a different contract.)
+    */
+  private[graft] def dqEventPartial(ev: DataFrame,
+      customer: DataFrame): DataFrame =
+    rowRules(ev, "events", eventRowRules)
+      .unionByName(refRule("ref_events_customer", "events", ev, "user_id",
+        customer.withColumnRenamed("c_custkey", "user_id"), "user_id"))
+
+  /** Merge two partial ledgers: counters add per (rule, tbl). The
+    * coalesce guards the empty-slice partial, whose conditional sums
+    * come back null.
+    */
+  private[graft] def dqIncrementalMerge(pre: DataFrame,
+      post: DataFrame): DataFrame =
+    pre.unionByName(post)
+      .groupBy(col("rule"), col("tbl"))
+      .agg(sum(col("checked")).as("checked"),
+        sum(coalesce(col("violations"), lit(0L))).as("violations"))
+      .withColumn("pass", (col("violations") === 0).cast("int"))
+
+  /** `dq_expectations_incremental`: the events ledger maintained
+    * incrementally — standing counters from the pre-watermark slice
+    * (pushed scan, [[graft.pipeline.Tables.eventsUntil]]), arriving
+    * counters from the post-watermark slice, merged by partial-sum. The
+    * merge re-aggregates ≤ |rules| rows — constant work at any corpus
+    * scale, next to [[Relational.aggIncremental]] in the incremental
+    * family. Oracle = the cold full-table events ledger.
+    */
+  def dqExpectationsIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    dqIncrementalMerge(
+      dqEventPartial(Tables.eventsUntil(spark, sfDir, Relational.MERGE_WM), cust),
+      dqEventPartial(Tables.eventsSince(spark, sfDir, Relational.MERGE_WM), cust))
+  }
+
+  /** The ROW-LEVEL melt of the events rules — (rule, bad) pairs per
+    * event, the shape the STREAMING ledger needs: a streaming
+    * aggregation keys its state by group, so `rule` must be a row value
+    * before the agg, not a `stack` applied after it (the batch ledger
+    * melts after the agg because one scan serving many metrics is the
+    * batch economy; a stream pays |rules|× rows pre-agg and gets
+    * |rules|-keyed O(1) state in return — same counters either way).
+    * The referential rule rides a stream-static broadcast left join
+    * against the dimension's distinct key set.
+    */
+  private[graft] def dqEventMelt(ev: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val withHit = ev.join(
+      broadcast(customer.select(col("c_custkey").as("user_id")).distinct()
+        .withColumn("__hit", lit(1))), Seq("user_id"), "left")
+    val rules: Seq[(String, Column)] =
+      eventRowRules.map(r => r.name -> r.bad) :+
+        ("ref_events_customer" -> col("__hit").isNull)
+    withHit.select(explode(array(rules.map { case (n, b) =>
+      struct(lit(n).as("rule"),
+        coalesce(b.cast("long"), lit(0L)).as("bad"))
+    }: _*)).as("m")).select(col("m.rule").as("rule"), col("m.bad").as("bad"))
+  }
+
+  // ── Metric drift (the Deequ anomaly-detection shape) ──────────────────
+
+  /** Violation-rate drift multiplier: a day whose violation rate exceeds
+    * this multiple of the trailing (all prior days) rate flags. With a
+    * clean history (prior violations = 0) ANY violation flags — the
+    * regression-alarm semantics.
+    */
+  val DQ_DRIFT_VIOL_MULT = 4L
+
+  /** `dq_drift`: per-day quality-metric series over events with
+    * threshold-gated drift flags — anomaly detection ON the metrics, the
+    * stage that turns the ledger from a gate into a monitor. Per day:
+    * row volume and total row-rule violations; each day compares against
+    * its TRAILING baseline (all prior days) in exact INTEGER
+    * cross-multiplication (a float rate is not the same number in DuckDB
+    * and Spark):
+    *   volume_flag: n·k > 2·prior_rows  or  2·n·k < prior_rows
+    *     (day volume beyond ±2× the trailing mean)
+    *   viol_flag:   viol·prior_rows > [[DQ_DRIFT_VIOL_MULT]]·prior_viol·n
+    *     (violation rate beyond 4× the trailing rate)
+    * Day 1 has no baseline and never flags. The window is partitionless
+    * but runs over the ALREADY-AGGREGATED |days|-row frame (the
+    * adjudicated bounded-frame pattern) — the per-row work all happens
+    * in the day rollup, one scan.
+    */
+  def dqDrift(spark: SparkSession, sfDir: String): DataFrame =
+    dqDriftOver(Tables.events(spark, sfDir))
+
+  /** [[dqDrift]] over an explicit event frame — the seam the spec uses
+    * to plant a violation day and a volume spike (the production fixture
+    * is clean and steady, so its all-zero flags prove nothing about
+    * detection).
+    */
+  private[graft] def dqDriftOver(ev: DataFrame): DataFrame = {
+    val perRow = eventRowRules
+      .map(r => coalesce(r.bad.cast("long"), lit(0L)))
+      .reduce(_ + _)
+    val day = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(perRow).as("n_viol"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    day.select(col("day"), col("n_rows"), col("n_viol"),
+        count(lit(1)).over(w).as("k"),
+        coalesce(sum(col("n_rows")).over(w), lit(0L)).as("prior_rows"),
+        coalesce(sum(col("n_viol")).over(w), lit(0L)).as("prior_viol"))
+      .select(col("day").cast("string").as("day"), col("n_rows"), col("n_viol"),
+        (col("k") > 0 && (col("n_rows") * col("k") > lit(2L) * col("prior_rows") ||
+          lit(2L) * col("n_rows") * col("k") < col("prior_rows")))
+          .cast("int").as("volume_flag"),
+        (col("k") > 0 && col("n_viol") * col("prior_rows") >
+          lit(DQ_DRIFT_VIOL_MULT) * col("prior_viol") * col("n_rows"))
+          .cast("int").as("viol_flag"))
+  }
+
+  private def sqlRow(rule: String, tbl: String, checkedSql: String,
+      violSql: String) =
+    s"""SELECT '$rule' AS rule, '$tbl' AS tbl,
+       |       CAST(($checkedSql) AS BIGINT) AS checked,
+       |       CAST(($violSql) AS BIGINT) AS violations""".stripMargin
+
+  /** The events-slice oracle rows — shared by the full ledger, the
+    * incremental merge, and the streaming replay (all three must land on
+    * the same cold full-table counters).
+    */
+  private def eventsOracleRows: Seq[String] = Seq(
+    sqlRow("not_null_user_id", "events", "SELECT count(*) FROM events",
+      "SELECT count(*) FROM events WHERE user_id IS NULL"),
+    sqlRow("positive_value", "events", "SELECT count(*) FROM events",
+      "SELECT count(*) FROM events WHERE NOT (value > 0)"),
+    sqlRow("json_props_has_k", "events", "SELECT count(*) FROM events",
+      "SELECT count(*) FROM events WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NULL"),
+    sqlRow("ref_events_customer", "events", "SELECT count(*) FROM events",
+      """SELECT count(*) FROM events e LEFT JOIN customer c
+        |   ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL""".stripMargin))
+
+  private def withPass(rows: Seq[String]): String =
+    s"""SELECT rule, tbl, checked, violations,
+       |       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+       |FROM (${rows.mkString("\nUNION ALL\n")})""".stripMargin
+
+  /** Oracle for both the incremental merge and the streaming replay:
+    * the cold full-table events ledger.
+    */
+  val dqEventsLedgerSql: String = withPass(eventsOracleRows)
+
+  val dqDriftSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+       |         COALESCE(sum(
+       |             CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+       |           + CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END
+       |           + CASE WHEN try_cast(json_extract_string(props, '$$.k') AS BIGINT) IS NULL THEN 1 ELSE 0 END
+       |         ), 0) AS n_viol
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT day, n_rows, n_viol,
+       |         count(*)                  OVER w AS k,
+       |         COALESCE(sum(n_rows) OVER w, 0) AS prior_rows,
+       |         COALESCE(sum(n_viol) OVER w, 0) AS prior_viol
+       |  FROM d
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CAST(day AS VARCHAR) AS day,
+       |       CAST(n_rows AS BIGINT) AS n_rows,
+       |       CAST(n_viol AS BIGINT) AS n_viol,
+       |       CASE WHEN k > 0 AND (n_rows * k > 2 * prior_rows
+       |                        OR 2 * n_rows * k < prior_rows)
+       |            THEN 1 ELSE 0 END AS volume_flag,
+       |       CASE WHEN k > 0 AND n_viol * prior_rows > $DQ_DRIFT_VIOL_MULT * prior_viol * n_rows
+       |            THEN 1 ELSE 0 END AS viol_flag
+       |FROM c""".stripMargin
+
   val dqExpectationsSql: String = {
-    def row(rule: String, tbl: String, checkedSql: String, violSql: String) =
-      s"""SELECT '$rule' AS rule, '$tbl' AS tbl,
-         |       CAST(($checkedSql) AS BIGINT) AS checked,
-         |       CAST(($violSql) AS BIGINT) AS violations""".stripMargin
+    val row = sqlRow _
     val rows = Seq(
       row("not_null_o_custkey", "orders", "SELECT count(*) FROM orders",
         "SELECT count(*) FROM orders WHERE o_custkey IS NULL"),
@@ -141,12 +328,6 @@ object DataQuality {
         "SELECT count(*) FROM lineitem WHERE l_discount NOT BETWEEN 0 AND 0.1"),
       row("nonneg_l_extendedprice", "lineitem", "SELECT count(*) FROM lineitem",
         "SELECT count(*) FROM lineitem WHERE NOT (l_extendedprice >= 0)"),
-      row("not_null_user_id", "events", "SELECT count(*) FROM events",
-        "SELECT count(*) FROM events WHERE user_id IS NULL"),
-      row("positive_value", "events", "SELECT count(*) FROM events",
-        "SELECT count(*) FROM events WHERE NOT (value > 0)"),
-      row("json_props_has_k", "events", "SELECT count(*) FROM events",
-        "SELECT count(*) FROM events WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NULL"),
       row("chars_consistency", "documents", "SELECT count(*) FROM documents",
         "SELECT count(*) FROM documents WHERE n_chars <> length(text)"),
       row("nonempty_text", "documents", "SELECT count(*) FROM documents",
@@ -156,12 +337,7 @@ object DataQuality {
           |   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL""".stripMargin),
       row("ref_lineitem_orders", "lineitem", "SELECT count(*) FROM lineitem",
         """SELECT count(*) FROM lineitem l LEFT JOIN orders o
-          |   ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL""".stripMargin),
-      row("ref_events_customer", "events", "SELECT count(*) FROM events",
-        """SELECT count(*) FROM events e LEFT JOIN customer c
-          |   ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL""".stripMargin))
-    s"""SELECT rule, tbl, checked, violations,
-       |       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
-       |FROM (${rows.mkString("\nUNION ALL\n")})""".stripMargin
+          |   ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL""".stripMargin))
+    withPass(rows ++ eventsOracleRows)
   }
 }

@@ -1431,6 +1431,43 @@ object StreamingPipeline {
     * CTEs, so the state machine's flush rule itself is driver-checked,
     * not just spec'd.
     */
+  /** The ORACLE-GATED replay of the streaming data-quality ledger: the
+    * events ledger ([[graft.ops.DataQuality]]'s events slice) maintained
+    * as a STREAMING aggregation — rules melted to (rule, bad) rows per
+    * event ([[graft.ops.DataQuality.dqEventMelt]]; the referential rule
+    * rides a stream-static broadcast join against the customer key set),
+    * then an update-mode groupBy(rule) running total materialized
+    * through the keyed MERGE sink. State is |rules| counters — O(1) in
+    * the corpus, the smallest state of any twin — so no watermark is
+    * needed or set: nothing ever ages out of a four-key ledger. After
+    * AvailableNow drains, the sink IS the cold full-table ledger; gated
+    * against the same DuckDB SQL as the incremental merge
+    * ([[graft.ops.DataQuality.dqEventsLedgerSql]]).
+    */
+  def dqLedgerReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("dq_ledger_replay")
+    val out = s"$tmp/ledger"
+    withStatePartitions(spark, 8) {
+      val melted = graft.ops.DataQuality.dqEventMelt(
+        Tables.eventsStream(spark, sfDir), Tables.customer(spark, sfDir))
+      val q = melted.groupBy(col("rule"))
+        .agg(count(lit(1)).as("checked"), sum(col("bad")).as("violations"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("rule"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .select(col("rule"), lit("events").as("tbl"), col("checked"),
+        col("violations"), (col("violations") === 0).cast("int").as("pass"))
+  }
+
   def scd2Replay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._

@@ -100,6 +100,66 @@ class DataQualitySpec extends SparkSpec {
     assert(m("range_l_quantity")._1 == lineitem.count() + 4)
   }
 
+  test("incremental: merge ≡ cold ledger at any split, including empty slices") {
+    val badEvents = events
+      .unionByName(planted(events, "user_id" -> lit(null)))
+      .unionByName(planted(events, "value" -> lit(-3.0)))
+      .unionByName(planted(events, "user_id" -> lit(-5L)))
+    val cold = ledgerMap(
+      DataQuality.dqEventPartial(badEvents, customer)
+        .withColumn("pass", (col("violations") === 0).cast("int")))
+    // far past (empty pre), mid-corpus, far future (empty post)
+    for (wm <- Seq("2020-01-01", "2024-01-15 13:00:00", "2030-01-01")) {
+      val cut = to_timestamp(lit(wm))
+      val merged = ledgerMap(DataQuality.dqIncrementalMerge(
+        DataQuality.dqEventPartial(badEvents.filter(col("ts") <= cut), customer),
+        DataQuality.dqEventPartial(badEvents.filter(col("ts") > cut), customer)))
+      assert(merged == cold, s"split at $wm diverged from the cold ledger")
+    }
+  }
+
+  test("stream melt: rule-keyed counters ≡ the one-scan ledger partials") {
+    val badEvents = events
+      .unionByName(planted(events, "user_id" -> lit(null)))
+      .unionByName(planted(events, "props" -> lit("""{"x":1}""")))
+      .unionByName(planted(events, "user_id" -> lit(-5L)))
+    val melted = ledgerMap(
+      DataQuality.dqEventMelt(badEvents, customer)
+        .groupBy(col("rule"))
+        .agg(count(lit(1)).as("checked"), sum(col("bad")).as("violations"))
+        .withColumn("pass", (col("violations") === 0).cast("int")))
+    val oneScan = ledgerMap(
+      DataQuality.dqEventPartial(badEvents, customer)
+        .withColumn("pass", (col("violations") === 0).cast("int")))
+    assert(melted == oneScan,
+      "the pre-agg melt (stream form) and post-agg stack (batch form) must " +
+        "count identically")
+  }
+
+  test("drift: planted violation day and volume spike flag; day one never flags") {
+    import spark.implicits._
+    def day(d: Int, n: Int, nulls: Int): Seq[(java.sql.Timestamp, java.lang.Long, Double, String)] =
+      (0 until n).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-02-$d%02d 06:00:0${i % 10}"),
+          if (i < nulls) null else java.lang.Long.valueOf(i),
+          1.0, """{"k": 3}""")
+      }
+    // day1: violation but NO baseline; day3: 3 violations vs clean history;
+    // day4: 3.1x volume; day5: volume crash
+    val ev = (day(1, 10, 1) ++ day(2, 10, 0) ++ day(3, 10, 3) ++
+      day(4, 31, 0) ++ day(5, 1, 0))
+      .toDF("ts", "user_id", "value", "props")
+    val flags = DataQuality.dqDriftOver(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(r.fieldIndex("volume_flag")), r.getInt(r.fieldIndex("viol_flag")))))
+      .toMap
+    assert(flags("2024-02-01") == ((0, 0)), "day one has no baseline, must not flag")
+    assert(flags("2024-02-02") == ((0, 0)))
+    assert(flags("2024-02-03") == ((0, 1)), "violation burst must trip viol_flag")
+    assert(flags("2024-02-04") == ((1, 0)), "3x volume must trip volume_flag")
+    assert(flags("2024-02-05") == ((1, 0)), "volume crash must trip volume_flag")
+  }
+
   test("plan: 15 rules cost 10 scans — row rules share one aggregate pass per table") {
     val scans = DataQuality.dqExpectations(spark, sf)
       .queryExecution.optimizedPlan.collect { case l: LogicalRelation => l }
