@@ -119,7 +119,14 @@ object EntityResolution {
       col("name").as("a_name"), col("source").as("a_src"), col("n_chars").as("a_len"))
     val b = k.select(col("doc_id").as("b_id"), col("lang"), col("t1"),
       col("name").as("b_name"), col("source").as("b_src"), col("n_chars").as("b_len"))
-    val agreeName = (levenshtein(col("a_name"), col("b_name")) <= ER_NAME_MAXDIST)
+    // Banded edit distance: the comparator only needs "distance ≤ τ", and
+    // levenshtein-with-threshold runs the DP in an O(len·τ) band (returns
+    // −1 past τ) instead of filling the O(len²) table — same verdict for
+    // every pair (DuckDB oracle keeps the unbanded form; agreement is
+    // threshold-equivalent). The 30× rehearsal priced the unbanded form:
+    // per-pair cost tracked name-length², this caps it at name-length·τ.
+    val agreeName =
+      levenshtein(col("a_name"), col("b_name"), ER_NAME_MAXDIST) >= 0
     val agreeSrc = col("a_src") === col("b_src")
     val agreeLen = abs(col("a_len") - col("b_len")) <= ER_LEN_MAXDIFF
     a.join(b, Seq("lang", "t1"))
