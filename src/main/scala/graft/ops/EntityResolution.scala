@@ -40,7 +40,7 @@ object EntityResolution {
 
   /** Tokens of text that constitute a record's "name" field. Six tokens ≈
     * a title line; long enough that edit distance discriminates, short
-    * enough that levenshtein (O(len²) per pair) stays cheap per pair.
+    * enough that the banded levenshtein (O(len·τ) per pair) stays cheap.
     */
   val NAME_TOKENS = 6
 
@@ -151,6 +151,78 @@ object EntityResolution {
     scoredPairs(Tables.documents(spark, sfDir))
       .filter(col("score") >= ER_SCORE_TAU)
 
+  /** `er_pairs_incremental`: the linkage maintained as new mentions
+    * arrive — the incremental form of [[erPairs]], next to
+    * `dedup_clusters_incremental` in the incremental family (same
+    * odd/even split convention: even doc_ids play the standing corpus,
+    * odd the arriving batch). Two properties make the batch-vs-standing
+    * shape work:
+    *
+    *  - BLOCK SIZES ARE ALGEBRAIC: the cap decision needs the UNION's
+    *    block occupancy, and per-block counts add — standing partials
+    *    plus arrival deltas, a ≤|blocks|-row merge, never a rescan-and-
+    *    recount of history. (A block pushed past the cap by arrivals is
+    *    shed for the arriving pairs exactly as the batch run would shed
+    *    it — cap semantics are corpus-level, not batch-level.)
+    *  - THE PROBE SIDE IS THE BATCH: pairs generate only from
+    *    arrival × (standing ∪ arrivals) within blocks, so the
+    *    standing × standing pair space — the bulk of the blocked
+    *    self-join, all of it already scored in prior runs — is never
+    *    generated. Per-batch pair cost is Σ_blocks |arrivals_b| ·
+    *    min(|b|, cap), linear in the batch at any corpus size.
+    *
+    * An arrival–arrival pair is reachable from both ends, so the probe
+    * keeps it only in the x < y orientation (the even side keeps every
+    * orientation — it can never probe); output canonicalizes to
+    * a_id < b_id, and every comparator is symmetric, so the emitted rows
+    * equal the batch run's rows restricted to pairs touching an arrival
+    * — which is the oracle.
+    */
+  def erPairsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    erPairsIncrementalOver(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  private[graft] def erPairsIncrementalOver(standing: DataFrame,
+      arrivals: DataFrame): DataFrame = {
+    val rs = records(standing)
+    val ra = records(arrivals)
+    def sizes(r: DataFrame) =
+      r.groupBy(col("lang"), col("t1")).agg(count(lit(1)).as("bs"))
+    val merged = sizes(rs).unionByName(sizes(ra))
+      .groupBy(col("lang"), col("t1"))
+      .agg(sum(col("bs")).as("block_sz"))
+      .filter(col("block_sz") <= ER_BLOCK_CAP)
+    val keptAll = rs.unionByName(ra).join(merged, Seq("lang", "t1"))
+    val keptArr = ra.join(merged, Seq("lang", "t1"))
+    val x = keptArr.select(col("doc_id").as("x_id"), col("lang"), col("t1"),
+      col("name").as("x_name"), col("source").as("x_src"),
+      col("n_chars").as("x_len"))
+    val y = keptAll.select(col("doc_id").as("y_id"), col("lang"), col("t1"),
+      col("name").as("y_name"), col("source").as("y_src"),
+      col("n_chars").as("y_len"))
+    val agreeName =
+      levenshtein(col("x_name"), col("y_name"), ER_NAME_MAXDIST) >= 0
+    val agreeSrc = col("x_src") === col("y_src")
+    val agreeLen = abs(col("x_len") - col("y_len")) <= ER_LEN_MAXDIFF
+    x.join(y, Seq("lang", "t1"))
+      .filter(col("x_id") =!= col("y_id") &&
+        (col("y_id") % 2 === 0 || col("x_id") < col("y_id")))
+      .select(
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        agreeName.cast("int").as("agree_name"),
+        agreeSrc.cast("int").as("agree_source"),
+        agreeLen.cast("int").as("agree_len"))
+      .withColumn("score",
+        when(col("agree_name") === 1, lit(W_NAME_AGREE)).otherwise(lit(W_NAME_DIS))
+          + when(col("agree_source") === 1, lit(W_SRC_AGREE)).otherwise(lit(W_SRC_DIS))
+          + when(col("agree_len") === 1, lit(W_LEN_AGREE)).otherwise(lit(W_LEN_DIS)))
+      .filter(col("score") >= ER_SCORE_TAU)
+  }
+
   /** The shared SQL record/candidate CTE chain (DuckDB dialect). */
   private val ER_CTES: String =
     s"""r AS (
@@ -178,6 +250,15 @@ object EntityResolution {
   val erPairsSql: String =
     s"""WITH $ER_CTES
        |SELECT a_id, b_id, agree_name, agree_source, agree_len, score FROM matched""".stripMargin
+
+  /** Oracle for the incremental run: the COLD full-corpus linkage
+    * restricted to pairs that touch an arrival (odd doc_id) — the rows an
+    * incremental pass is responsible for emitting.
+    */
+  val erPairsIncrementalSql: String =
+    s"""WITH $ER_CTES
+       |SELECT a_id, b_id, agree_name, agree_source, agree_len, score FROM matched
+       |WHERE a_id % 2 = 1 OR b_id % 2 = 1""".stripMargin
 
   /** `er_golden`: one golden record per resolved entity. Components come
     * from min-label propagation over the accepted pairs (reusing

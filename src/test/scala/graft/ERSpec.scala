@@ -63,6 +63,39 @@ class ERSpec extends SparkSpec {
     }, "pair mass must be the exact blocked-pair count")
   }
 
+  test("er_pairs_incremental: ≡ the cold linkage restricted to arrival-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Int, Int, Int, Int) =
+      (r.getLong(r.fieldIndex("a_id")), r.getLong(r.fieldIndex("b_id")),
+        r.getInt(r.fieldIndex("agree_name")), r.getInt(r.fieldIndex("agree_source")),
+        r.getInt(r.fieldIndex("agree_len")), r.getInt(r.fieldIndex("score")))
+    val incr = EntityResolution.erPairsIncremental(spark, sf).collect().map(key)
+    assert(incr.nonEmpty, "fixture must produce arrival-touching matches")
+    assert(incr.distinct.length == incr.length,
+      "arrival–arrival pairs are reachable from both ends and must emit once")
+    val cold = EntityResolution.erPairs(spark, sf)
+      .filter(col("a_id") % 2 === 1 || col("b_id") % 2 === 1)
+      .collect().map(key)
+    assert(incr.toSet == cold.toSet,
+      "incremental run must equal the cold linkage on its responsibility set")
+    // and every emitted pair touches an arrival — standing×standing never re-scores
+    assert(incr.forall { case (a, b, _, _, _, _) => a % 2 == 1 || b % 2 == 1 })
+  }
+
+  test("plan: incremental probe side is arrivals-only — the parity filter reaches the scan") {
+    val p = EntityResolution.erPairsIncremental(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental pairing must stay a blocked equi-join")
+    // the arrival restriction must survive into the physical plan as a
+    // filter on the probe branch (parity is an expression predicate, so it
+    // lands in a Filter above the scan, not in PushedFilters) — otherwise
+    // the standing×standing space regrows
+    assert(raw"\(doc_id#\d+L? % 2\) = 1".r.findFirstIn(p).isDefined,
+      s"arrivals parity filter must appear as a probe-side predicate:\n$p")
+  }
+
   test("plan: er pair space is the blocked equi-self-join — no cartesian, no nested loop") {
     val p = EntityResolution.erPairs(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
