@@ -673,12 +673,35 @@ object Dedup {
     * DuckDB expression builders below (the constants are baked into both
     * generated strings, so no RNG needs to exist in either engine).
     */
-  private def hypSign(t: Int, i: Int, j: Int): Int = {
-    var x = ((t.toLong * HYP_BITS + i) * EMB_DIM + j) * 6364136223846793005L +
+  private def hypSign(t: Int, i: Int, j: Int, stride: Int = HYP_BITS): Int = {
+    var x = ((t.toLong * stride + i) * EMB_DIM + j) * 6364136223846793005L +
       1442695040888963407L
     x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 29)
     if (((x >>> 17) & 1L) == 1L) 1 else -1
   }
+
+  /** Occupancy-targeted LSH bit-width: enough bits that expected bucket
+    * occupancy stays ≈ [[HYP_TARGET_OCC]] as the corpus grows. The FIXED
+    * [[HYP_BITS]] geometry is quadratic in N — 2^bits buckets hold
+    * N/2^bits vectors each, so the per-bucket pair space is N²/2^bits —
+    * and the 30× triangle rehearsal measured exactly that
+    * (simsearch_knn_graph 45.5 s at 30×, exponent ≈ 2/decade). Scaling
+    * bits with log₂(N/occ) pins occupancy, making the candidate space
+    * N·occ — linear. At every GATED corpus (≤ 4096 vectors) this returns
+    * [[HYP_BITS]] = 6 exactly, so the static DuckDB oracles (which bake
+    * the 6-bit hyperplane constants into SQL text) remain bit-identical
+    * where they are ever evaluated; scaled-up rehearsal corpora take the
+    * wider geometry on the Spark side only (bench has no oracle). Wider
+    * tables draw their hyperplanes with stride = bits so no two tables
+    * share a plane (the 6-bit stride would alias table t's bit 6+ onto
+    * table t+1's low bits).
+    */
+  val HYP_TARGET_OCC = 64L
+
+  private[graft] def hypBitsFor(n: Long): Int =
+    math.max(HYP_BITS,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (n + HYP_TARGET_OCC - 1) / HYP_TARGET_OCC - 1)))
 
   /** DuckDB SQL text of the t-th table's bucket id over an `embedding`
     * column (1-based array indexing): each projection is a left-associated
@@ -702,9 +725,15 @@ object Dedup {
     * SQL chain.
     */
   private[ops] def bucketCol(t: Int, dim: Int): Column =
-    (0 until HYP_BITS).map { i =>
+    bucketColBits(t, dim, HYP_BITS)
+
+  /** [[bucketCol]] at an explicit bit-width (see [[hypBitsFor]]) — at
+    * `bits` = [[HYP_BITS]] this IS [[bucketCol]], same planes, same sum.
+    */
+  private[ops] def bucketColBits(t: Int, dim: Int, bits: Int): Column =
+    (0 until bits).map { i =>
       val arr = (0 until dim)
-        .map(j => s"CAST(${hypSign(t, i, j)} AS FLOAT)")
+        .map(j => s"CAST(${hypSign(t, i, j, bits)} AS FLOAT)")
         .mkString("array(", ", ", ")")
       when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -1673,10 +1702,15 @@ object Dedup {
   def knnGraph(emb: DataFrame, k: Int = KNN_K, dim: Int = EMB_DIM): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val base = Similarity.withNorm(emb).localCheckpoint()
+    // occupancy-pinned geometry: one count over the checkpointed base (a
+    // driver scalar, same cost class as pageRank's node count) sizes the
+    // bucket space so the candidate pair space stays N·occ, not N²/2^bits
+    // — identical to the 6-bit oracle geometry at every gated corpus
+    val bits = hypBitsFor(base.count())
     val buckets = base.select(
       col("vec_id"), col("embedding"), col("nm"),
       explode(array((0 until HYP_TABLES).map(t =>
-        struct(lit(t).as("t"), bucketCol(t, dim).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("t"), bucketColBits(t, dim, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val a = buckets.select(col("t"), col("bucket"), col("vec_id"),

@@ -90,6 +90,142 @@ object Graph {
       .select(col("id").as("vec_id"), col("rank_ppb"), col("rank"))
   }
 
+  // ── Triangle counting / clustering structure ───────────────────────────
+
+  /** The k-NN graph UNDIRECTED and degree-ORIENTED — the preprocessing
+    * that makes distributed triangle counting linear-ish instead of
+    * wedge-explosive: every edge is kept once (least/greatest collapse +
+    * distinct — mutual k-NN edges merge), then oriented from the
+    * lower-(degree, id) endpoint to the higher. Orientation is THE scale
+    * device (Schank/Wagner; the MapReduce form is Suri & Vassilvitskii's
+    * MR-NodeIterator++): every triangle is found exactly once from its
+    * lowest-ordered vertex, and a node's oriented out-degree is O(√m) on
+    * ANY graph — a celebrity hub with millions of undirected neighbors
+    * orients almost all of them INWARD, so the wedge join fans out from
+    * the small side and the hub never materializes its neighborhood².
+    * Here in-degree is the unbounded one (k-NN out-degree is capped at
+    * [[Dedup.KNN_K]], but a hub vector can be in everyone's top-k);
+    * orientation bounds exactly that. Returns (orientedEdges(a, b),
+    * degrees(id, d)); the oriented frame is localCheckpoint'ed — it is
+    * probed three times by the triangle join.
+    */
+  private def orientedKnn(emb: DataFrame): (DataFrame, DataFrame) = {
+    val knn = Dedup.knnGraph(emb)
+    orient(knn.select(
+      least(col("vec_id"), col("nn_id")).as("u"),
+      greatest(col("vec_id"), col("nn_id")).as("v")).distinct())
+  }
+
+  /** Degree-orient a unique undirected (u, v) edge frame — the seam the
+    * spec drives with planted graphs (K4, stars, pendants).
+    */
+  private[graft] def orient(und: DataFrame): (DataFrame, DataFrame) = {
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val e = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    (e, deg)
+  }
+
+  /** Each triangle once, as (x, y, z) in orientation order: edges
+    * (x→y), (y→z), (x→z) all exist in the oriented frame. Two equi-joins
+    * — the wedge build (x→y→z) then the closing-edge probe — no
+    * cartesian anywhere, wedge count bounded by Σ out-deg² ≤ O(m^1.5).
+    */
+  private[graft] def triangleSet(e: DataFrame): DataFrame =
+    e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(col("x"), col("y"), col("z"))
+
+  /** `graph_triangles`: per-node triangle membership + local clustering
+    * coefficient over the k-NN similarity graph — the local-density
+    * signal (a document whose neighbors are neighbors of each other sits
+    * in a tight semantic cluster; a zero-coefficient node bridges).
+    * Output (vec_id, degree, triangles, coeff_ppm) with coeff_ppm =
+    * ⌊2·T·10⁶ / (d·(d−1))⌋ — exact integer arithmetic, no cross-engine
+    * float (`div` ≡ DuckDB `//` on the non-negative operands here).
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, deg) = orientedKnn(Tables.embeddings(spark, sfDir))
+    val perNode = triangleSet(e)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** `graph_transitivity`: the global clustering summary — triangle
+    * count, wedge count (Σ d·(d−1)/2), and the transitivity ratio
+    * 3·T/W in ppm. One row; the corpus-level "how clustered is the
+    * embedding space" scalar that complements the per-node view.
+    */
+  def graphTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, deg) = orientedKnn(Tables.embeddings(spark, sfDir))
+    val nt = triangleSet(e).agg(count(lit(1)).as("n_triangles"))
+    val w = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nt.crossJoin(w) // two singleton rows — the adjudicated stitch shape
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 1000000) div n_wedges"))
+          .otherwise(lit(0L)).as("transitivity_ppm"))
+  }
+
+  /** Shared oracle CTE chain: undirected-unique edges, degrees,
+    * degree-oriented edges, and the triangle set — the same construction
+    * the Spark side runs, over [[Dedup.simsearchKnnGraphSql]]'s edge
+    * list.
+    */
+  private val TRI_CTES: String =
+    s"""knn AS (${Dedup.simsearchKnnGraphSql}),
+       |und AS (SELECT DISTINCT least(vec_id, nn_id) AS u, greatest(vec_id, nn_id) AS v FROM knn),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+       |        FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |        GROUP BY 1),
+       |e AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+       |                  THEN und.u ELSE und.v END AS a,
+       |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+       |                  THEN und.v ELSE und.u END AS b
+       |      FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin
+
+  val graphTrianglesSql: String =
+    s"""WITH $TRI_CTES,
+       |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+       |         FROM (SELECT x AS id FROM tri UNION ALL
+       |               SELECT y AS id FROM tri UNION ALL
+       |               SELECT z AS id FROM tri)
+       |         GROUP BY 1)
+       |SELECT deg.id AS vec_id, deg.d AS degree,
+       |       CAST(coalesce(tcnt.t, 0) AS BIGINT) AS triangles,
+       |       CAST(CASE WHEN deg.d >= 2
+       |                 THEN (2 * coalesce(tcnt.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+       |                 ELSE 0 END AS BIGINT) AS coeff_ppm
+       |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id""".stripMargin
+
+  val graphTransitivitySql: String =
+    s"""WITH $TRI_CTES,
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+       |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+       |SELECT n_triangles, n_wedges,
+       |       CAST(CASE WHEN n_wedges > 0
+       |                 THEN (3 * n_triangles * 1000000) // n_wedges
+       |                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+       |FROM nt CROSS JOIN w""".stripMargin
+
   /** The oracle unrolls the fixed iteration count as chained CTEs over
     * the same k-NN edge list ([[Dedup.simsearchKnnGraphSql]] nested as a
     * CTE), replaying the identical integer arithmetic (`//` floor

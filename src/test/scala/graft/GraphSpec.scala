@@ -51,4 +51,69 @@ class GraphSpec extends SparkSpec {
     // symmetric cycle -> identical ranks
     assert(got.map(_._2).distinct.length == 1)
   }
+
+  /** Planted triangle graph: K4 on 1–4 (four triangles, every K4 node in
+    * three), a pendant 5–1 (stretches node 1's degree without adding
+    * triangles), and a star hub 10→11..16 (big degree, ZERO triangles —
+    * the orientation stress case: all its edges must orient INTO the
+    * leaves' order or out, but never produce a wedge that closes).
+    */
+  private val plantedUnd: Seq[(Long, Long)] = Seq(
+    1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, // K4
+    1L -> 5L,                                                    // pendant
+    10L -> 11L, 10L -> 12L, 10L -> 13L, 10L -> 14L, 10L -> 15L, 10L -> 16L)
+
+  test("triangles: K4 counts exactly; star hub and pendant count zero") {
+    val (e, deg) = Graph.orient(plantedUnd.toDF("u", "v"))
+    // every triangle exactly once
+    val tris = Graph.triangleSet(e)
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) =>
+        Set(x, y, z) }.toSeq
+    assert(tris.length == 4 && tris.distinct.length == 4,
+      s"K4 has exactly 4 triangles, each found once; got $tris")
+    assert(tris.forall(_.subsetOf(Set(1L, 2L, 3L, 4L))))
+    // per-node: brute-force reference over all triples
+    val adj = plantedUnd.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = adj.keys.toSeq.sorted
+    val refTri = ids.map { v =>
+      val nbrs = adj(v).toSeq
+      v -> nbrs.combinations(2).count { case Seq(p, q) => adj(p).contains(q) }
+    }.toMap
+    val degDf = deg.as[(Long, Long)].collect().toMap
+    ids.foreach { v =>
+      assert(degDf(v) == adj(v).size, s"degree of $v")
+    }
+    assert(refTri(1L) == 3 && refTri(5L) == 0 && refTri(10L) == 0)
+  }
+
+  test("graph_triangles / graph_transitivity: fixture self-consistency") {
+    val per = Graph.graphTriangles(spark, "/root/testdata/sf0.001").collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val d = r.getLong(r.fieldIndex("degree"))
+      val t = r.getLong(r.fieldIndex("triangles"))
+      val c = r.getLong(r.fieldIndex("coeff_ppm"))
+      assert(t <= d * (d - 1) / 2, "a node's triangles cannot exceed its wedge count")
+      assert(c >= 0 && c <= 1000000, s"coefficient must be a ratio, got $c ppm")
+      if (d >= 2) assert(c == 2 * t * 1000000 / (d * (d - 1)))
+    }
+    val g = Graph.graphTransitivity(spark, "/root/testdata/sf0.001").head
+    val nt = g.getLong(g.fieldIndex("n_triangles"))
+    val nw = g.getLong(g.fieldIndex("n_wedges"))
+    // 3·T counts each triangle's three wedges; transitivity ≤ 1
+    assert(3 * nt <= nw)
+    assert(nt * 3 == per.map(_.getLong(2)).sum,
+      "per-node memberships must sum to 3 per triangle")
+    assert(nw == per.map { r =>
+      val d = r.getLong(1); d * (d - 1) / 2 }.sum)
+  }
+
+  test("plan: triangle join is equi-joins over the oriented frame — no cartesian") {
+    val p = Graph.graphTriangles(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge build and closing-edge probe must be hash/merge equi-joins")
+  }
 }
