@@ -1658,10 +1658,15 @@ object Dedup {
     // dedup shuffle is saved.
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val base = Similarity.withNorm(emb).localCheckpoint()
+    // occupancy-pinned geometry (see [[hypBitsFor]]): the per-vector
+    // candidate pool stays at its gated design size instead of growing
+    // ∝ N (which silently bought best-match recall at N²/2^bits cost);
+    // 6 bits exactly at every gated corpus, so the oracle SQL is safe
+    val bits = hypBitsFor(base.count())
     val buckets = base.select(
       col("vec_id"), col("label"), col("embedding"), col("nm"),
       explode(array((0 until HYP_TABLES).map(t =>
-        struct(lit(t).as("t"), bucketCol(t, dim).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("t"), bucketColBits(t, dim, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val a = buckets.select(col("t"), col("bucket"), col("vec_id"), col("label"),

@@ -2727,10 +2727,17 @@ object Similarity {
       pin: DataFrame => DataFrame = _.localCheckpoint(),
       isQuery: Column = col("vec_id") < N_QUERIES,
       isNode: Column = lit(true)): DataFrame = {
+    // occupancy-pinned bucket geometry (Dedup.hypBitsFor): at fixed bits
+    // the seed-scoring join fans |Q| × occupancy with occupancy ∝ N —
+    // arrivals ∝ N made that quadratic in total, a hidden term inside the
+    // insert/delete serving curves; pinning occupancy keeps the per-query
+    // seed candidate pool at its gated design size (6 bits exactly at
+    // every gated corpus, so the traversal-replay oracles are unaffected)
+    val bits = Dedup.hypBitsFor(base.count())
     val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
         explode(array((0 until Dedup.HYP_TABLES).map(t =>
           struct(lit(t).as("t"),
-            Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
+            Dedup.bucketColBits(t, Dedup.EMB_DIM, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val qb = withBuckets.filter(isQuery)
@@ -2779,13 +2786,16 @@ object Similarity {
       beamW, rounds, pin)
   }
 
-  /** [[beamSeeds]]' frame-membership twin for [[beamTraverseFor]]. */
+  /** [[beamSeeds]]' frame-membership twin for [[beamTraverseFor]] —
+    * same occupancy-pinned geometry (see [[beamSeeds]]).
+    */
   private def beamSeedsFor(base: DataFrame, queryIds: DataFrame,
       pin: DataFrame => DataFrame, isNode: Column): DataFrame = {
+    val bits = Dedup.hypBitsFor(base.count())
     val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
         explode(array((0 until Dedup.HYP_TABLES).map(t =>
           struct(lit(t).as("t"),
-            Dedup.bucketCol(t, Dedup.EMB_DIM).as("bucket"))): _*)).as("tb"))
+            Dedup.bucketColBits(t, Dedup.EMB_DIM, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val qb = withBuckets.join(queryIds, Seq("vec_id"), "left_semi")
