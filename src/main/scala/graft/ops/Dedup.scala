@@ -1787,6 +1787,111 @@ object Dedup {
     */
   val EMB_CLUSTER_COSINE = 0.4
 
+  /** Probe-set size for the hyperplane-LSH quality gate: the truth side
+    * is brute-force (|probes| × N dot products), so it must be bounded —
+    * 200 probes against the corpus is the adjudicated
+    * bounded-brute-force shape the ANN recall queries use.
+    */
+  val EMB_QUALITY_PROBES = 200
+
+  /** Hyperplane-LSH retrieval quality, MEASURED — the embedding twin of
+    * [[lshQuality]] and the quality gate behind the occupancy-pinned
+    * geometry ([[hypBitsFor]]): recall and precision of the bucket
+    * candidate set against the exact-cosine truth, at BOTH operating
+    * thresholds the engine uses ([[EMB_CLUSTER_COSINE]] = the cluster
+    * edge, 0.9 = the near-dup verdict). Pinning occupancy keeps the
+    * candidate budget at its gated design point; this query is the
+    * measured statement of what that budget retrieves. Truth is a
+    * bounded brute force (probe set × corpus, broadcast — never N²);
+    * candidates are the SAME bucket geometry [[embeddingNearDup]] runs
+    * (probe-side restricted). Closer pairs agree on more sign planes, so
+    * recall at the higher threshold must sit at or above the lower one —
+    * measured per row instead of asserted. Thresholds are the fixture's
+    * populated regimes (0.3 ≈ 1k pairs, [[EMB_CLUSTER_COSINE]] = 0.4
+    * ≈ 60; the synthetic corpus tops out near 0.51, so a 0.9 row would
+    * gate a vacuous zero).
+    */
+  def embLshQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val base = Similarity.withNorm(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val bits = hypBitsFor(base.count())
+    val probes = base.filter(col("vec_id") < EMB_QUALITY_PROBES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
+    val truthScores = base
+      .select(col("vec_id").as("v_id"), col("embedding").as("ev"), col("nm").as("nv"))
+      .join(broadcast(probes), col("q_id") =!= col("v_id"))
+      .select(col("q_id"), col("v_id"),
+        round(Similarity.dotExpr("eq", "ev") / (col("nq") * col("nv")), 6).as("cosine"))
+    val buckets = base.select(col("vec_id"),
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), bucketColBits(t, EMB_DIM, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = buckets.filter(col("vec_id") < EMB_QUALITY_PROBES)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("v_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("v_id"))
+      .select(col("q_id"), col("v_id")).distinct()
+    val joined = truthScores
+      .join(cand.withColumn("is_cand", lit(1L)), Seq("q_id", "v_id"), "left")
+      .localCheckpoint() // both threshold rows read it
+    val nCand = cand.count()
+    Seq(0.3, EMB_CLUSTER_COSINE).map { tau =>
+      joined.filter(col("cosine") >= tau)
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("is_cand")), lit(0L)).as("n_hits"))
+        .select(lit((tau * 100).round).as("tau_pct"), col("n_truth"), col("n_hits"),
+          lit(nCand).as("n_candidates"),
+          round(col("n_hits").cast("double") /
+            nullif(col("n_truth"), lit(0L)).cast("double"), 6).as("recall"),
+          round(col("n_hits").cast("double") / lit(nCand).cast("double"), 6)
+            .as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
+  val embLshQualitySql: String = {
+    val bucketUnion = (0 until HYP_TABLES)
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExprSql(t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    def tauRow(tauPct: Long, tau: String) =
+      s"""SELECT $tauPct AS tau_pct,
+         |       CAST(count(*) AS BIGINT) AS n_truth,
+         |       CAST(coalesce(sum(j.is_cand), 0) AS BIGINT) AS n_hits,
+         |       (SELECT n FROM ncand) AS n_candidates,
+         |       round(CAST(coalesce(sum(j.is_cand), 0) AS DOUBLE)
+         |             / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS recall,
+         |       round(CAST(coalesce(sum(j.is_cand), 0) AS DOUBLE)
+         |             / CAST((SELECT n FROM ncand) AS DOUBLE), 6) AS precision
+         |FROM joined j WHERE j.cosine >= $tau""".stripMargin
+    s"""WITH ${Similarity.UNNEST_CTE},
+       |${Similarity.NORM_CTE},
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS v_id, sum(a.x * b.x) AS dot
+       |  FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $EMB_QUALITY_PROBES
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT d.q_id, d.v_id, round(d.dot / (n1.nm * n2.nm), 6) AS cosine
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.q_id = n1.vec_id
+       |  JOIN nrm n2 ON d.v_id = n2.vec_id),
+       |buckets AS (
+       |  $bucketUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS v_id
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id < $EMB_QUALITY_PROBES),
+       |ncand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand),
+       |joined AS (
+       |  SELECT t.q_id, t.v_id, t.cosine,
+       |         CASE WHEN c.q_id IS NULL THEN NULL ELSE 1 END AS is_cand
+       |  FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.v_id = c.v_id)
+       |${tauRow(30L, "0.3")}
+       |UNION ALL
+       |${tauRow((EMB_CLUSTER_COSINE * 100).round, EMB_CLUSTER_COSINE.toString)}""".stripMargin
+  }
+
   /** Semantic duplicate clusters: connected components over the
     * hyperplane-LSH best-match graph, edges = best-neighbor links with
     * cosine ≥ [[EMB_CLUSTER_COSINE]] — the embedding-space twin of

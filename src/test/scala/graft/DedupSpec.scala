@@ -286,6 +286,23 @@ class DedupSpec extends SparkSpec {
     assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 1.0)
   }
 
+  test("emb lsh quality: accounting holds and recall is monotone in the threshold") {
+    val rows = Dedup.embLshQuality(spark, "/root/testdata/sf0.001")
+      .orderBy(org.apache.spark.sql.functions.col("tau_pct")).collect()
+    assert(rows.length == 2)
+    val byTau = rows.map(r => r.getLong(r.fieldIndex("tau_pct")) ->
+      ((r.getLong(r.fieldIndex("n_truth")), r.getLong(r.fieldIndex("n_hits")),
+        r.getDouble(r.fieldIndex("recall"))))).toMap
+    byTau.foreach { case (tau, (nt, nh, rec)) =>
+      assert(nt > 0, s"threshold $tau must gate a populated regime, not a vacuous zero")
+      assert(nh <= nt, "hits are a subset of truth")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // closer pairs agree on more sign planes — recall must not fall with tau
+    assert(byTau(40L)._3 >= byTau(30L)._3,
+      s"recall at the tighter threshold must dominate: $byTau")
+  }
+
   test("minhash estimate: per-pair agreement fraction tracks the exact jaccard") {
     val nearDup = base.replaceFirst("window", "vector")
     val d = docs(1L -> base, 2L -> nearDup)
