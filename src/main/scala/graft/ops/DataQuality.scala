@@ -138,14 +138,58 @@ object DataQuality {
     * dimension key set) all ADD across slices — so a standing ledger
     * absorbs an arriving batch by summing partials, never by re-scanning
     * history. (The one non-algebraic ledger rule, `unique_o_orderkey`'s
-    * count-distinct, lives on orders, not here; its incremental form
-    * needs a standing key-set/sketch, a different contract.)
+    * count-distinct, lives on orders, not here; its incremental form is
+    * [[dqUniqueIncremental]] — a standing key set probed by anti-join.)
     */
   private[graft] def dqEventPartial(ev: DataFrame,
       customer: DataFrame): DataFrame =
     rowRules(ev, "events", eventRowRules)
       .unionByName(refRule("ref_events_customer", "events", ev, "user_id",
         customer.withColumnRenamed("c_custkey", "user_id"), "user_id"))
+
+  /** Incremental UNIQUENESS — the one ledger rule whose counter is NOT
+    * algebraic (count-distinct partials don't add), maintained exactly
+    * with a standing KEY SET instead of a recount: violations =
+    * N − |distinct keys|, and the distinct count advances by the number
+    * of arriving keys that are new — (distinct within the batch) ∖
+    * (standing keys), one LEFT ANTI probe against the standing set (the
+    * FitStore-shaped artifact a production run persists; here the
+    * standing side is the even-orderkey half, the ER/dedup split
+    * convention, since orders carries no event time). History is never
+    * recounted: per-batch cost is the batch's distinct + one anti-join,
+    * and the anti-join prunes to the batch's key set. Oracle = the cold
+    * full-table `count − count_distinct`.
+    */
+  def dqUniqueIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    dqUniqueIncrementalOver(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1))
+  }
+
+  private[graft] def dqUniqueIncrementalOver(standing: DataFrame,
+      arrivals: DataFrame): DataFrame = {
+    val standingKeys = standing.select(col("o_orderkey")).distinct()
+    val standingAgg = standing.agg(
+      count(lit(1)).as("s_checked"), count_distinct(col("o_orderkey")).as("s_distinct"))
+    val newKeys = arrivals.select(col("o_orderkey")).distinct()
+      .join(standingKeys, Seq("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("a_new_distinct"))
+    val arrivalsAgg = arrivals.agg(count(lit(1)).as("a_checked"))
+    standingAgg.crossJoin(arrivalsAgg).crossJoin(newKeys) // three 1-row aggs
+      .select(lit("unique_o_orderkey").as("rule"), lit("orders").as("tbl"),
+        (col("s_checked") + col("a_checked")).as("checked"),
+        (col("s_checked") + col("a_checked")
+          - col("s_distinct") - col("a_new_distinct")).as("violations"))
+      .withColumn("pass", (col("violations") === 0).cast("int"))
+  }
+
+  val dqUniqueIncrementalSql: String =
+    """SELECT 'unique_o_orderkey' AS rule, 'orders' AS tbl,
+      |       CAST(count(*) AS BIGINT) AS checked,
+      |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+      |       CASE WHEN count(*) = count(DISTINCT o_orderkey) THEN 1 ELSE 0 END AS pass
+      |FROM orders""".stripMargin
 
   /** Merge two partial ledgers: counters add per (rule, tbl). The
     * coalesce guards the empty-slice partial, whose conditional sums

@@ -136,6 +136,32 @@ class DataQualitySpec extends SparkSpec {
         "count identically")
   }
 
+  test("unique incremental: standing key set + anti-join ≡ cold count-distinct") {
+    // planted: D duplicates a standing key from the arriving side, E
+    // duplicates WITHIN the batch, F re-dups a key already dup in standing
+    val standing = orders.filter(col("o_orderkey") % 2 === 0)
+      .unionByName(planted(orders, "o_orderkey" -> lit(2L)))          // standing-side dup
+    val arrivals = orders.filter(col("o_orderkey") % 2 === 1)
+      .unionByName(planted(orders, "o_orderkey" -> lit(2L)))          // D: dups a standing key
+      .unionByName(planted(orders, "o_orderkey" -> lit(9000011L)))    // E1
+      .unionByName(planted(orders, "o_orderkey" -> lit(9000011L)))    // E2: within-batch dup
+    val got = DataQuality.dqUniqueIncrementalOver(standing, arrivals).head
+    val all = standing.unionByName(arrivals)
+    val n = all.count()
+    val nd = all.select(col("o_orderkey")).distinct().count()
+    assert(got.getLong(got.fieldIndex("checked")) == n)
+    assert(got.getLong(got.fieldIndex("violations")) == n - nd,
+      "incremental uniqueness must equal the cold count - count_distinct")
+    assert(got.getLong(got.fieldIndex("violations")) >= 3,
+      "all three planted duplication shapes must be counted")
+    assert(got.getInt(got.fieldIndex("pass")) == 0)
+    // and the clean split passes
+    val clean = DataQuality.dqUniqueIncrementalOver(
+      orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1)).head
+    assert(clean.getInt(clean.fieldIndex("pass")) == 1)
+  }
+
   test("drift: planted violation day and volume spike flag; day one never flags") {
     import spark.implicits._
     def day(d: Int, n: Int, nulls: Int): Seq[(java.sql.Timestamp, java.lang.Long, Double, String)] =
