@@ -25,9 +25,34 @@ object Verify {
     * `outDir/_errors.json`, written even when empty so its presence proves
     * the accounting ran. Returns the error map for tests.
     */
+  /** Oracle-geometry tie: the DuckDB oracle SQL for the hyperplane-LSH
+    * family bakes the fixed [[ops.Dedup.HYP_BITS]]-bit bucket constants
+    * into static text, while the Spark side computes
+    * [[ops.Dedup.hypBitsFor]](n) — a function of corpus size. The two
+    * agree iff the gated fixture stays small enough that the occupancy
+    * pin returns the base width. This check makes that dependency LOUD:
+    * a grown fixture fails here with a named cause instead of surfacing
+    * as an inscrutable hash mismatch in the driver's compare. Rehearsal
+    * corpora never pass through Verify, so the wider geometry stays
+    * available to them.
+    */
+  private def assertOracleGeometry(spark: SparkSession, sfDir: String): Unit = {
+    // a dir without the embeddings fixture (unit-test stubs) has no LSH
+    // query to protect — those queries fail visibly on their own scan
+    if (!Files.exists(Paths.get(s"$sfDir/embeddings.parquet"))) return
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val bits = ops.Dedup.hypBitsFor(n)
+    require(bits == ops.Dedup.HYP_BITS,
+      s"oracle geometry violated: $sfDir has $n vectors -> hypBitsFor = " +
+        s"$bits, but the static DuckDB oracles bake ${ops.Dedup.HYP_BITS}-bit " +
+        "buckets. Regenerate the LSH oracle SQL at the computed width (or " +
+        "shrink the gated fixture) before trusting any hash compare.")
+  }
+
   def dump(spark: SparkSession,
            queries: Map[String, (SparkSession, String) => DataFrame],
            sfDir: String, outDir: String): Map[String, String] = {
+    assertOracleGeometry(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>

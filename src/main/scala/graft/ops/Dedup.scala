@@ -80,7 +80,7 @@ object Dedup {
     * fingerprint group-by + a semi join, both shuffling far less than the
     * pair blowup they prevent. The oracle mirrors the restriction.
     */
-  private def exactReps(docs: DataFrame): DataFrame =
+  private[graft] def exactReps(docs: DataFrame): DataFrame =
     docs.join(exactGroups(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
@@ -336,28 +336,90 @@ object Dedup {
     * no join back to the signature table.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val mask = (1L << SIMHASH_BAND_BITS) - 1
-    // 8 rows/doc, 4 longs wide — locally checkpointed so both join sides
-    // read the materialized bands instead of re-running the 56-vote
-    // signature aggregation. A plain equi-join on the bucket key keeps the
+    // kernel-checkpointed once; the band explode per join side is a
+    // 1-long projection. A plain equi-join on the bucket key keeps the
     // whole pair loop (xor + bit_count + threshold) inside
     // WholeStageCodegen; the collect_list+pair-explode alternative runs
     // the pair lambda interpreted, which measures ~3× slower.
-    val bands = simhashSignatures(exactReps(docs)).select(
-      col("doc_id"), col("simhash"),
-      explode(expr(s"sequence(0, ${SIMHASH_BANDS - 1})")).as("band_no"))
+    val sigs = simhashSignatures(exactReps(docs)).localCheckpoint()
+    val (blocks, radius) = mihGeometry(sigs.count(),
+      SIMHASH_BANDS, SIMHASH_MAX_HAMMING, SIMHASH_RUNG1_N)
+    bandedHammingPairs(sigs, "doc_id", "simhash",
+      SIMHASH_BITS, SIMHASH_MAX_HAMMING, blocks, radius, ("d1", "d2"))
+  }
+
+  /** Occupancy-rung geometry for hamming-exact banded self-join over a
+    * fixed-width signature — the fixed-band twin of [[hypBitsFor]]'s
+    * occupancy pin. The base geometry (blocks = H+1, radius 0) buckets
+    * into 2^(bits/(H+1)) values per band; occupancy grows ∝ N, so the
+    * per-bucket pair space is the same N²/2^bandBits quadratic the
+    * hyperplane fix killed (the SimHash knee: 2^7 = 128 values/band).
+    * Unlike the hyperplane tables the band width is NOT a free dial —
+    * pigeonhole at hamming ≤ H needs one ALL-AGREEING band out of H+1 —
+    * so the rung ladder rebalances blocks and a probe radius instead
+    * (multi-index hashing, Norouzi & Fleet: a pair within hamming H of a
+    * B-block signature has SOME block within ⌊H/B⌋): halving the blocks
+    * doubles the band width (squares the value space) and the probe side
+    * expands each band value by its ≤⌊H/B⌋-bit-flip neighbors, keeping
+    * candidate generation COMPLETE. The exact in-bucket hamming filter
+    * is unchanged, so the returned pair set is bit-identical at EVERY
+    * rung — geometry changes cost, never results, and the static DuckDB
+    * oracles stay safe at any corpus size (stronger than the hyperplane
+    * story, which is bit-identical only below the pin). Rung 1 for
+    * SimHash (4 blocks × 14 bits, radius 1): candidate mass drops from
+    * N²/2^7 per band-pair to (1+14)·N²/2^14 — ≈ 17× — at 4+60 band rows
+    * per doc instead of 16; the shuffle-vs-verify crossover lands near
+    * 10^5 docs on measured constants (SCALING.md).
+    */
+  private[graft] def mihGeometry(n: Long, baseBlocks: Int, maxH: Int,
+      rung1N: Long): (Int, Int) =
+    if (n < rung1N) (baseBlocks, 0)
+    else {
+      val blocks = math.max(1, baseBlocks / 2)
+      (blocks, maxH / blocks)
+    }
+
+  /** Corpus size where SimHash banding takes the wider rung-1 geometry
+    * (see [[mihGeometry]]); every gated fixture sits far below.
+    */
+  val SIMHASH_RUNG1_N = 65536L
+
+  /** Hamming-≤maxH pairs of a signature frame via rung-geometry banded
+    * LSH (see [[mihGeometry]]): index side emits exact (band_no,
+    * band_val) rows; the probe side additionally emits every band value
+    * within `radius` bit flips (radius 0 = the classic exact-band plan,
+    * byte-for-byte today's geometry). Both orientations of every
+    * qualifying pair are generated (x probes y's index row and vice
+    * versa), so the d1 < d2 keep-rule loses nothing and `distinct`
+    * collapses multi-band hits, exactly as before.
+    */
+  private[graft] def bandedHammingPairs(sigs: DataFrame, id: String,
+      sig: String, bits: Int, maxH: Int, blocks: Int, radius: Int,
+      out: (String, String)): DataFrame = {
+    require(radius <= 1, s"probe expansion beyond 1 bit flip not built (radius=$radius)")
+    require(blocks * (radius + 1) >= maxH + 1,
+      s"pigeonhole violated: $blocks blocks at radius $radius miss hamming-$maxH pairs")
+    val bandBits = bits / blocks
+    val mask = (1L << bandBits) - 1
+    val bands = sigs.select(col(id), col(sig),
+        explode(expr(s"sequence(0, ${blocks - 1})")).as("band_no"))
       .withColumn("band_val",
-        expr(s"(simhash >> (band_no * $SIMHASH_BAND_BITS)) & $mask"))
-      .localCheckpoint()
-    val a = bands.select(col("band_no"), col("band_val"),
-      col("doc_id").as("d1"), col("simhash").as("h1"))
+        expr(s"($sig >> (band_no * $bandBits)) & $mask"))
+    val probe = if (radius == 0) bands else
+      bands.select(col(id), col(sig), col("band_no"),
+        explode(expr(
+          s"concat(array(band_val), transform(sequence(0, ${bandBits - 1}), " +
+            "i -> band_val ^ shiftleft(1L, i)))")).as("band_val"))
+    val a = probe.select(col("band_no"), col("band_val"),
+      col(id).as("_d1"), col(sig).as("h1"))
     val b = bands.select(col("band_no"), col("band_val"),
-      col("doc_id").as("d2"), col("simhash").as("h2"))
+      col(id).as("_d2"), col(sig).as("h2"))
     a.join(b, Seq("band_no", "band_val"))
-      .filter(col("d1") < col("d2"))
+      .filter(col("_d1") < col("_d2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
-      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxH)
+      .select(col("_d1").as(out._1), col("_d2").as(out._2),
+        col("hamming").cast("long").as("hamming"))
       .distinct()
   }
 

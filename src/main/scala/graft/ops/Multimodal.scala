@@ -365,18 +365,21 @@ object Multimodal {
         expr(s"(pfp >> (band_no * $PFP_BAND_BITS)) & $mask"))
   }
 
+  /** Corpus size where perceptual banding takes the wider rung-1
+    * geometry (2 blocks × 28 bits, probe radius 1 — see
+    * [[Dedup.mihGeometry]]): the 2^14 base value space holds occupancy
+    * to far larger corpora than SimHash's 2^7, so the rung engages
+    * later; candidate mass drops ≈ 1100× at the switch ((1+28)/2^28 vs
+    * 4/2^14 per ordered pair).
+    */
+  val PFP_RUNG1_N = 1000000L
+
   def perceptualNearDup(frames: DataFrame): DataFrame = {
-    val bands = signatureBands(frames).localCheckpoint()
-    val a = bands.select(col("band_no"), col("band_val"),
-      col("media_id").as("m1"), col("pfp").as("h1"))
-    val b = bands.select(col("band_no"), col("band_val"),
-      col("media_id").as("m2"), col("pfp").as("h2"))
-    a.join(b, Seq("band_no", "band_val"))
-      .filter(col("m1") < col("m2"))
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= PFP_MAX_HAMMING)
-      .select(col("m1"), col("m2"), col("hamming").cast("long").as("hamming"))
-      .distinct()
+    val sigs = perceptualSignatures(frames).localCheckpoint()
+    val (blocks, radius) = Dedup.mihGeometry(sigs.count(),
+      PFP_BANDS, PFP_MAX_HAMMING, PFP_RUNG1_N)
+    Dedup.bandedHammingPairs(sigs, "media_id", "pfp",
+      PFP_BITS, PFP_MAX_HAMMING, blocks, radius, ("m1", "m2"))
   }
 
   /** Tokens per temporal slice for the stubbed frame fingerprints. */
@@ -654,10 +657,13 @@ object Multimodal {
     * recompute.
     *
     *  - structural gates are per-item projections (unchanged code);
-    *  - `dup_pair` probes the standing checksum index (one broadcastable
-    *    (checksum, min_id) frame) plus a within-batch window — an
-    *    arrival is a dup iff a smaller-id holder of its checksum exists
-    *    anywhere, which is exactly the batch rank rule decomposed;
+    *  - `dup_pair` probes the standing checksum index (one
+    *    (checksum, min_id) row per standing item — corpus-proportional,
+    *    so the probe join carries NO broadcast hint; AQE broadcasts it
+    *    while small and shuffles on checksum once it isn't) plus a
+    *    within-batch window — an arrival is a dup iff a smaller-id
+    *    holder of its checksum exists anywhere, which is exactly the
+    *    batch rank rule decomposed;
     *  - `perceptual_dup` joins the arrival batch's signature bands
     *    against the STANDING band index (plus the batch's own
     *    self-join) — same pigeonhole-exact geometry, candidate fan-out
@@ -673,10 +679,26 @@ object Multimodal {
     * deployment persists between batches ([[FitStore]]-kept in the
     * gated query).
     */
+  /** Standing checksum probe + within-batch dup rank for the incremental
+    * assembly path. The checksum index is one (checksum, st_min_id) row
+    * per distinct standing media item — corpus-proportional — so this
+    * join must NEVER carry a static broadcast hint (the hint inverts at
+    * exactly the scale the incremental path exists for). AQE sizes it:
+    * broadcast while small, shuffle on checksum once it isn't. PlanSpec
+    * guards the hint-free shape on this method's own plan.
+    */
+  private[graft] def standingDupRank(pairs: DataFrame,
+      checksumIdx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wck = Window.partitionBy(col("checksum")).orderBy(col("media_id"))
+    pairs
+      .join(checksumIdx, Seq("checksum"), "left")
+      .withColumn("batch_rn", row_number().over(wck))
+  }
+
   def assemblyIncremental(docs: DataFrame, embeddings: DataFrame,
       isArrival: Column, checksumIdx: DataFrame, bandIdx: DataFrame,
       feedStats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val arrivals = docs.filter(isArrival)
     // structural gates + standing-aware dup rank
     val len = octet_length(col("text")).cast("long")
@@ -688,11 +710,8 @@ object Multimodal {
       (len % 480 + 1).cast("int").as("height"),
       size(split(col("text"), "\\s+")).cast("long").as("n_words"))
     val embP = embeddings.select(col("vec_id").as("media_id"), lit(1).as("has_vec"))
-    val wck = Window.partitionBy(col("checksum")).orderBy(col("media_id"))
-    val structural = pairs
-      .join(embP, Seq("media_id"), "left")
-      .join(broadcast(checksumIdx), Seq("checksum"), "left")
-      .withColumn("batch_rn", row_number().over(wck))
+    val structural = standingDupRank(pairs.join(embP, Seq("media_id"), "left"),
+        checksumIdx)
       .select(col("media_id"), col("kind"),
         when(col("has_vec").isNull, "no_embedding")
           .when(least(col("width"), col("height")) < PAIR_MIN_SIDE, "tiny_image")

@@ -46,12 +46,16 @@ object Privacy {
   val L_MIN = 3L
 
   /** Balance bucket at the finest ladder level: floor(acctbal / 1000).
-    * floor of an IEEE double division is bit-identical in Spark and
-    * DuckDB (both evaluate in double); integer `div` would NOT be (Spark
+    * The fixture scans `c_acctbal` as parquet DOUBLE, and the explicit
+    * cast below pins that: floor of an IEEE double division is then
+    * bit-identical in Spark and DuckDB by construction, even if a future
+    * fixture ships the column as DECIMAL (whose division follows
+    * engine-specific scale rules, a different argument entirely).
+    * Integer `div` would NOT be cross-engine-safe either way (Spark
     * truncates toward zero, DuckDB floors — they differ on negatives).
     */
   private def balBucket(width: Int): Column =
-    floor(col("c_acctbal") / lit(width)).cast("long")
+    floor(col("c_acctbal").cast("double") / lit(width)).cast("long")
 
   /** The ladder: level → the QI tuple rendered as one class-key string.
     * Levels coarsen monotonically — each level's classes are unions of

@@ -2401,8 +2401,13 @@ object TextAnalysis {
     * floor(0.8·(max_id+1)) — identical IEEE arithmetic in both engines.
     */
   def caThreshold(docs: DataFrame): Long = {
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-    math.floor(0.8 * (maxId + 1)).toLong
+    // max() over an empty frame is NULL — surface that as a named fixture
+    // problem instead of an opaque NPE from getLong on a null cell
+    val row = docs.agg(max(col("doc_id"))).head
+    require(!row.isNullAt(0),
+      "caThreshold: documents table is empty (or doc_id all null) — " +
+        "cannot derive the standing/arrival split horizon")
+    math.floor(0.8 * (row.getLong(0) + 1)).toLong
   }
 
   /** (doc_id, shs, n): per-doc sorted shingle-hash arrays — the unit all
@@ -2492,6 +2497,30 @@ object TextAnalysis {
     * Per-batch cost: O(batch + index matches); the standing corpus is
     * probed through its persisted indexes, never re-scanned.
     */
+  /** Standing-fingerprint exact-dup probe for the incremental rejection
+    * audit: an arrival is a dup iff a STANDING holder of its fingerprint
+    * exists, or a smaller-id arrival in the same batch holds it (the
+    * within-batch rank). The fp index is one row per distinct standing
+    * document — corpus-proportional — so this join must NEVER carry a
+    * static broadcast hint (at 100 TB it is billions of rows and the
+    * hint becomes a driver OOM at exactly the scale the operator exists
+    * for). AQE sizes it at runtime: small standing corpora still
+    * broadcast, large ones shuffle on fp — the same no-static-hint
+    * discipline as the decontam scrub join. PlanSpec guards the
+    * hint-free shape on this method's own plan (the final query
+    * checkpoints the flag frame, hiding this join behind ExistingRDD).
+    */
+  private[graft] def standingFpProbe(arrivals: DataFrame,
+      fpIdx: DataFrame): DataFrame = {
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    arrivals
+      .select(col("doc_id"), Dedup.exactFp(col("text")).as("fp"))
+      .join(fpIdx.withColumn("st_hit", lit(true)), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(wfp))
+      .select(col("doc_id"),
+        (col("st_hit").isNotNull || col("rn") > 1).as("is_dup"))
+  }
+
   private[graft] def rejectionsIncremental(arrivals: DataFrame,
       benchH: DataFrame, fpIdx: DataFrame, postings: DataFrame,
       sets: DataFrame, docStats: DataFrame): DataFrame = {
@@ -2510,13 +2539,7 @@ object TextAnalysis {
       .join(broadcast(allBench), Seq("h"))
       .select(col("doc_id")).distinct().withColumn("is_contam", lit(true))
     // exact dup: standing fp probe + within-batch rank
-    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val exactA = arrivals
-      .select(col("doc_id"), Dedup.exactFp(col("text")).as("fp"))
-      .join(broadcast(fpIdx.withColumn("st_hit", lit(true))), Seq("fp"), "left")
-      .withColumn("rn", row_number().over(wfp))
-      .select(col("doc_id"),
-        (col("st_hit").isNotNull || col("rn") > 1).as("is_dup"))
+    val exactA = standingFpProbe(arrivals, fpIdx)
     // near dup: standing postings probe + within-batch AllPairs
     val jt = Dedup.JACCARD_THRESHOLD
     val candsStanding = caPrefixes(aSets)

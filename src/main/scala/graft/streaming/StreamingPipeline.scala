@@ -238,13 +238,20 @@ object StreamingPipeline {
     * So per-batch cost is O(touched partitions), not O(sink) — the
     * difference between a dashboard-table merge and a 100 TB keyed
     * fact sink where full-generation rewrite is the scale-killer.
-    * Crash safety: Spark's dynamic overwrite commits each partition
-    * dir by rename, so on HDFS/local a partition is either the old or
-    * the new complete generation, and foreachBatch's at-least-once
-    * retry re-merges the SAME batch — idempotent, because
-    * replace-on-match with identical rows is a fixpoint. The same
-    * object-store caveat as [[mergeByKey]] applies (s3a rename is not
-    * atomic → use a metadata-commit table format there).
+    * Crash safety: Spark's dynamic overwrite DELETES a touched
+    * partition's existing contents during commit before moving the
+    * staged files in — a crash inside that delete-then-commit window
+    * loses the old generation even on HDFS/local (weaker than
+    * [[mergeByKey]]'s .old backup-and-restore protocol). The recovery
+    * story is the checkpoint, not the filesystem: foreachBatch's
+    * at-least-once retry re-reads the SAME batch from the checkpointed
+    * offsets and re-derives the whole touched partition from
+    * (surviving sink state ∪ batch), and replace-on-match with
+    * identical rows is a fixpoint — so the sink converges on retry;
+    * only a crash with no subsequent retry leaves a partition torn.
+    * Deployments needing the stronger single-commit guarantee should
+    * front this with a metadata-commit table format (which also lifts
+    * the [[mergeByKey]] s3a non-atomic-rename caveat).
     */
   def mergeByKeyPartitioned(batch: Dataset[org.apache.spark.sql.Row],
       sinkDir: String, key: Seq[String], partCol: String): Unit = {
@@ -500,8 +507,11 @@ object StreamingPipeline {
       sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("near_dup_replay")
     val out = s"$tmp/cands"
-    val horizonSec = Tables.documents(spark, sfDir)
-      .agg(max(col("doc_id"))).head().getLong(0) + 86400L
+    val horizonRow = Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head()
+    require(!horizonRow.isNullAt(0),
+      s"nearDupReplay: documents table at $sfDir is empty — no replay horizon")
+    val horizonSec = horizonRow.getLong(0) + 86400L
     withStatePartitions(spark, 8) {
       val docs = Tables.documentsStream(spark, sfDir)
         .select(col("doc_id"),
@@ -663,19 +673,25 @@ object StreamingPipeline {
       .writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
       .outputMode(OutputMode.Append.toString)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ids = batch.select(col("vec_id")).localCheckpoint()
         val visited = graft.ops.Similarity.beamTraverseFor(
           edges, base, ids, graft.ops.Similarity.GRAPH_BEAM,
           isNode = col("vec_id") % 2 === 0)
+        // idempotent under at-least-once retries: each micro-batch owns a
+        // batchId-derived directory and OVERWRITES it, so a replayed batch
+        // rewrites its own rows instead of appending them twice (a plain
+        // mode("append") here would diverge from the batch oracle on any
+        // retry — every other replay uses the _spark_metadata file sink or
+        // a keyed merge for the same guarantee)
         graft.ops.Similarity.graphTopkFrom(visited)
           .select(col("q_id").as("new_id"), col("n_id"), col("cosine"), col("rnk"))
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    spark.read.parquet(out).drop("batch")
   }
 
   /** Streaming index-drift monitor — the online half of the batch

@@ -42,4 +42,13 @@ class AnalysisSmokeSpec extends SparkSpec {
     assert(stated.contains(SparkEntry.queries.size),
       s"README says $stated; SparkEntry.queries has ${SparkEntry.queries.size}")
   }
+
+  test("SURVEY §2.13's stated query count matches SparkEntry.queries (no doc drift)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val stated = """\*\*(\d+)/\d+\s*\n?\s*exact-hash matching""".r
+      .findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(stated.contains(SparkEntry.queries.size),
+      s"SURVEY §2.13 says $stated; SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ops.Dedup
 
@@ -80,6 +81,36 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash rung-1 geometry (4x14 + radius-1 probe) returns the exact rung-0 pair set") {
+    // the occupancy rung changes candidate GENERATION only — the in-bucket
+    // hamming filter makes every rung return the identical pair set, which
+    // is what keeps the static DuckDB oracle safe at any corpus size. Run
+    // both geometries over the real fixture and demand set equality.
+    val d = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.simhashSignatures(Dedup.exactReps(d)).localCheckpoint()
+    def pairsAt(blocks: Int, radius: Int) =
+      Dedup.bandedHammingPairs(sigs, "doc_id", "simhash",
+          Dedup.SIMHASH_BITS, Dedup.SIMHASH_MAX_HAMMING, blocks, radius, ("d1", "d2"))
+        .as[(Long, Long, Long)].collect().toSet
+    val rung0 = pairsAt(Dedup.SIMHASH_BANDS, 0)
+    val rung1 = pairsAt(Dedup.SIMHASH_BANDS / 2, 1)
+    assert(rung0.nonEmpty, "fixture must contain at least one simhash near-dup pair")
+    assert(rung1 == rung0,
+      s"rung-1 must be candidate-complete: missing=${(rung0 -- rung1).take(5)} " +
+        s"extra=${(rung1 -- rung0).take(5)}")
+  }
+
+  test("mihGeometry: pigeonhole-violating rungs are rejected; rung switch at the pin") {
+    assert(Dedup.mihGeometry(100L, 8, 7, 1000L) == ((8, 0)))
+    assert(Dedup.mihGeometry(1000L, 8, 7, 1000L) == ((4, 1)))
+    val sigs = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(1).select(col("doc_id"), col("doc_id").as("simhash"))
+    intercept[IllegalArgumentException] {
+      // 2 blocks at radius 1 only cover hamming <= 3, not 7
+      Dedup.bandedHammingPairs(sigs, "doc_id", "simhash", 56, 7, 2, 1, ("d1", "d2"))
+    }
   }
 
   test("ngram jaccard: planted pair above threshold with exact score") {

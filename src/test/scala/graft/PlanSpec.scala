@@ -471,12 +471,45 @@ class PlanSpec extends SparkSpec {
       "rescoring and cell assignment run the fused codegen kernel")
   }
 
-  test("multimodal_assembly_incremental: standing state probes broadcast; no pair space") {
+  test("multimodal_assembly_incremental: bounded feed stats broadcast; no pair space") {
     val p = plan("multimodal_assembly_incremental")
     assert(p.contains("BroadcastHashJoin"),
-      "the standing checksum index and merged feed stats must broadcast")
+      "the |sources|-bounded merged feed stats must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "band probes are equi-joins on (band_no, band_val) — never all-pairs")
+  }
+
+  test("standing probe joins carry no static broadcast hint (fp + checksum twins)") {
+    // The incremental capstones probe arrivals against STANDING indexes
+    // that are one row per standing document/media item — frames that
+    // grow with the corpus. A static broadcast() hint on such a side
+    // inverts at exactly the scale the incremental path exists for
+    // (8 GB broadcast ceiling / driver OOM at 100 TB); the join must be
+    // left unhinted so AQE broadcasts while small and shuffles on the
+    // key once it isn't. The gated queries checkpoint their flag frames
+    // (ExistingRDD hides the join), so the guard runs on the factored
+    // probe methods' own plans — the winnow-lesson pattern.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def staticHints(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) =>
+          j.hint.toString
+      }
+    val docs = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val standing = docs.filter(col("doc_id") % 10 < 8)
+    val arrivals = docs.filter(col("doc_id") % 10 >= 8)
+    val fpIdx = standing.select(ops.Dedup.exactFp(col("text")).as("fp")).distinct()
+    assert(staticHints(ops.TextAnalysis.standingFpProbe(arrivals, fpIdx)).isEmpty,
+      "the standing fp index is corpus-proportional — the probe join must be AQE-sized")
+    val pairs = arrivals.select(col("doc_id").as("media_id"),
+      org.apache.spark.sql.functions.md5(col("text")).as("checksum"), lit(1).as("has_vec"))
+    val ckIdx = standing.select(
+      org.apache.spark.sql.functions.md5(col("text")).as("checksum"),
+      col("doc_id").as("st_min_id"))
+    assert(staticHints(ops.Multimodal.standingDupRank(pairs, ckIdx)).isEmpty,
+      "the standing checksum index is corpus-proportional — the probe join must be AQE-sized")
   }
 
   test("approx_stats: sketches partial-aggregate map-side") {

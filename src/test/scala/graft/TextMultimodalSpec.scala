@@ -1363,4 +1363,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!got.contains((0L, 3L)) && !got.contains((1L, 3L)) && !got.contains((2L, 3L)),
       "disjoint content must not pair")
   }
+
+  test("perceptual rung-1 geometry (2x28 + radius-1 probe) returns the exact rung-0 pair set") {
+    val d = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Multimodal.perceptualSignatures(Multimodal.sliceFrames(d))
+      .localCheckpoint()
+    def pairsAt(blocks: Int, radius: Int) =
+      graft.ops.Dedup.bandedHammingPairs(sigs, "media_id", "pfp",
+          Multimodal.PFP_BITS, Multimodal.PFP_MAX_HAMMING, blocks, radius, ("m1", "m2"))
+        .as[(Long, Long, Long)].collect().toSet
+    val rung0 = pairsAt(Multimodal.PFP_BANDS, 0)
+    val rung1 = pairsAt(Multimodal.PFP_BANDS / 2, 1)
+    assert(rung0.nonEmpty, "fixture must contain at least one perceptual near-dup pair")
+    assert(rung1 == rung0,
+      s"rung-1 must be candidate-complete: missing=${(rung0 -- rung1).take(5)} " +
+        s"extra=${(rung1 -- rung0).take(5)}")
+  }
 }
