@@ -331,6 +331,212 @@ object EntityResolution {
        |FROM stats st JOIN mode_src ms ON st.entity_id = ms.entity_id
        |JOIN rep_name rn ON st.entity_id = rn.entity_id""".stripMargin
 
+  /** The standing (even-id) half's CLUSTERING state — the frozen model
+    * [[erGoldenIncremental]] maintains: (doc_id, entity_id) from the
+    * standing-only linkage (standing-cap pairs → connected components).
+    * FitStore-persisted like every fitted artifact; serving loads it and
+    * never re-clusters history. The survivorship PARTIALS (per-entity
+    * source counts, member/char/lang aggregates) are derived from it by
+    * one linear scan per serve here; a deployment persists those too and
+    * merges arrival deltas algebraically — the derivation below is
+    * written in exactly that partial-merge form so the persisted shape
+    * drops in.
+    */
+  private def sharedStandingAssignment(spark: SparkSession,
+      sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"er_assign_st:$sfDir") {
+      FitStore.frame(spark, "er_assign_st",
+        FitStore.documentsFp(spark, sfDir, half = Some(0))) {
+        standingAssignmentOf(Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0))
+      }.localCheckpoint()
+    }
+
+  /** The standing-only linkage: standing-cap pairs → CC → (doc_id,
+    * entity_id). The fit [[sharedStandingAssignment]] persists.
+    */
+  private[graft] def standingAssignmentOf(standing: DataFrame): DataFrame = {
+    val pairs = scoredPairs(standing)
+      .filter(col("score") >= ER_SCORE_TAU)
+      .select(col("a_id").as("d1"), col("b_id").as("d2"))
+    Dedup.connectedComponents(
+        records(standing).select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("rep_id").as("entity_id"))
+  }
+
+  /** `er_golden_incremental`: golden records MAINTAINED as mentions
+    * arrive — the incremental completion of [[erGolden]], closing the
+    * round-12 gap (ER was the last first-class family with no
+    * incremental form). Odd doc_ids play the arriving batch against the
+    * even standing corpus, and the decomposition never re-clusters or
+    * re-scans standing history beyond linear probes:
+    *
+    *  - NEW PAIRS are [[erPairsIncrementalOver]]'s arrival-touching set
+    *    (union-cap semantics, the already-gated probe shape);
+    *  - CLUSTERING runs on the CONTRACTED graph: each standing endpoint
+    *    collapses to its standing entity label, so the CC fixpoint sees
+    *    |arrivals| + |touched entities| nodes — batch-bounded, never the
+    *    corpus. Contraction is exact: standing entities are internally
+    *    connected by construction, no new standing–standing edge can
+    *    exist (every new pair touches an arrival), and the min-id label
+    *    convention survives contraction because a standing entity's
+    *    label IS its members' min id;
+    *  - SURVIVORSHIP merges algebraically: standing per-entity partials
+    *    (source counts; member/char/lang aggregates — derived from the
+    *    FitStore-persisted assignment, see [[sharedStandingAssignment]])
+    *    are remapped to the merged entity and summed with the batch's
+    *    own partials. The mode is the one non-trivial rule and it
+    *    merges exactly at the (entity, source) count grain — the reason
+    *    the count table, not the mode itself, is the standing state;
+    *  - the REP-NAME lookup probes the record-by-id view with an
+    *    UNHINTED equi-join (corpus-proportional standing side — the
+    *    round-13 broadcast-hint lesson applies verbatim).
+    *
+    * Emitted: golden records of every component containing ≥ 1 arrival
+    * — exactly the rows the cold [[erGolden]] over the full corpus
+    * produces for those components, under the GROW-HISTORY pair set
+    * (standing pairs were capped at standing block sizes when they were
+    * decided; arrival pairs at union sizes; a block pushed past the cap
+    * by growth sheds future pairs but never retracts standing links —
+    * production incremental semantics, and what the oracle states).
+    * Untouched entities' golden records stand unchanged, so per-batch
+    * cost is O(batch + touched), independent of corpus size.
+    */
+  def erGoldenIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    erGoldenIncrementalOver(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      sharedStandingAssignment(spark, sfDir))
+  }
+
+  private[graft] def erGoldenIncrementalOver(standing: DataFrame,
+      arrivals: DataFrame, assignSt: DataFrame): DataFrame = {
+    val rs = records(standing)
+    val ra = records(arrivals).localCheckpoint()
+    val newPairs = erPairsIncrementalOver(standing, arrivals)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    // contract standing endpoints to their entity label (left join: an
+    // arrival endpoint has no standing assignment and keeps its own id).
+    // Unhinted: assignSt is corpus-proportional; AQE broadcasts the
+    // batch-bounded pair side instead.
+    val e1 = newPairs
+      .join(assignSt.select(col("doc_id").as("a_id"),
+        col("entity_id").as("la")), Seq("a_id"), "left")
+      .join(assignSt.select(col("doc_id").as("b_id"),
+        col("entity_id").as("lb")), Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("d1"),
+        coalesce(col("lb"), col("b_id")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .distinct()
+    val touchedSt = e1
+      .select(explode(array(col("d1"), col("d2"))).as("id"))
+      .filter(col("id") % 2 === 0).distinct()
+    val nodes = ra.select(col("doc_id").as("id")).unionByName(touchedSt)
+    // batch-bounded fixpoint: |arrivals| + |touched entities| nodes
+    val cc2 = Dedup.connectedComponents(nodes, e1)
+      .select(col("id"), col("rep_id").as("new_entity"))
+      .localCheckpoint()
+    // remap is batch-bounded → broadcast back onto the standing partials
+    // (the dedup_clusters_incremental joiner-counts pattern)
+    val remap = cc2.filter(col("id") % 2 === 0)
+      .select(col("id").as("entity_id"), col("new_entity"))
+    val arrAssign = cc2.filter(col("id") % 2 === 1)
+      .select(col("id").as("doc_id"), col("new_entity"))
+    // standing partials at the (entity, source) / entity grain — one
+    // linear scan off the persisted assignment (deployments persist the
+    // partials themselves; the merge below is identical either way)
+    val membersSt = rs.join(assignSt, Seq("doc_id"))
+      .join(broadcast(remap), Seq("entity_id"))
+    val arrMembers = ra.join(broadcast(arrAssign), Seq("doc_id"))
+    val srcMerged = membersSt
+      .groupBy(col("new_entity"), col("source")).agg(count(lit(1)).as("cnt"))
+      .unionByName(arrMembers
+        .groupBy(col("new_entity"), col("source")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("new_entity"), col("source")).agg(sum(col("cnt")).as("cnt"))
+    val maxCnt = srcMerged.groupBy(col("new_entity")).agg(max(col("cnt")).as("mx"))
+    val modeSrc = srcMerged.join(maxCnt, Seq("new_entity"))
+      .filter(col("cnt") === col("mx"))
+      .groupBy(col("new_entity")).agg(min(col("source")).as("source"))
+    def parts(m: DataFrame) = m.groupBy(col("new_entity")).agg(
+      count(lit(1)).as("n"), sum(col("n_chars")).as("tc"), min(col("lang")).as("lg"))
+    val statsMerged = parts(membersSt).unionByName(parts(arrMembers))
+      .groupBy(col("new_entity")).agg(
+        sum(col("n")).cast("long").as("n_members"),
+        sum(col("tc")).cast("long").as("total_chars"),
+        min(col("lg")).as("lang"))
+    // rep name: the record whose doc_id IS the merged entity label —
+    // unhinted probe of the corpus-proportional by-id record view
+    val names = rs.select(col("doc_id").as("new_entity"), col("name"))
+      .unionByName(ra.select(col("doc_id").as("new_entity"), col("name")))
+    statsMerged.join(modeSrc, Seq("new_entity"))
+      .join(names, Seq("new_entity"))
+      .select(col("new_entity").as("entity_id"), col("n_members"),
+        col("name"), col("source"), col("total_chars"), col("lang"))
+  }
+
+  /** Oracle: the cold golden records over the GROW-HISTORY pair set
+    * (standing–standing pairs under the standing cap, arrival-touching
+    * pairs under the union cap — see [[erGoldenIncremental]]),
+    * restricted to entities containing ≥ 1 arrival (odd doc_id).
+    */
+  val erGoldenIncrementalSql: String = {
+    def agreeCols(a: String, b: String) =
+      s"""CASE WHEN levenshtein($a.name, $b.name) <= $ER_NAME_MAXDIST THEN 1 ELSE 0 END AS agree_name,
+         |         CASE WHEN $a.source = $b.source THEN 1 ELSE 0 END AS agree_source,
+         |         CASE WHEN abs($a.n_chars - $b.n_chars) <= $ER_LEN_MAXDIFF THEN 1 ELSE 0 END AS agree_len""".stripMargin
+    s"""WITH RECURSIVE r AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, $NAME_TOKENS), ' ') AS name,
+       |         string_split_regex(text, '\\s+')[1] AS t1
+       |  FROM documents),
+       |bsz_st AS (SELECT lang, t1, count(*) AS bs FROM r WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |k_st AS (SELECT r.* FROM r JOIN bsz_st b ON r.lang = b.lang AND r.t1 = b.t1
+       |         WHERE r.doc_id % 2 = 0 AND b.bs <= $ER_BLOCK_CAP),
+       |bsz AS (SELECT lang, t1, count(*) AS bs FROM r GROUP BY 1, 2),
+       |k AS (SELECT r.* FROM r JOIN bsz b ON r.lang = b.lang AND r.t1 = b.t1
+       |      WHERE b.bs <= $ER_BLOCK_CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         ${agreeCols("a", "b")}
+       |  FROM k_st a JOIN k_st b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         ${agreeCols("a", "b")}
+       |  FROM k a JOIN k b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1),
+       |matched AS (
+       |  SELECT a_id, b_id FROM cand
+       |  WHERE (CASE WHEN agree_name = 1 THEN $W_NAME_AGREE ELSE $W_NAME_DIS END
+       |         + CASE WHEN agree_source = 1 THEN $W_SRC_AGREE ELSE $W_SRC_DIS END
+       |         + CASE WHEN agree_len = 1 THEN $W_LEN_AGREE ELSE $W_LEN_DIS END) >= $ER_SCORE_TAU),
+       |edges AS (SELECT a_id AS d1, b_id AS d2 FROM matched
+       |          UNION ALL SELECT b_id AS d1, a_id AS d2 FROM matched),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS rl FROM r
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.rl FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |assign AS (SELECT doc_id, min(rl) AS entity_id FROM reach GROUP BY 1),
+       |members AS (SELECT r.*, a.entity_id FROM r JOIN assign a ON r.doc_id = a.doc_id),
+       |touched AS (SELECT DISTINCT entity_id FROM members WHERE doc_id % 2 = 1),
+       |src_cnt AS (SELECT entity_id, source, count(*) AS cnt FROM members GROUP BY 1, 2),
+       |max_cnt AS (SELECT entity_id, max(cnt) AS mx FROM src_cnt GROUP BY 1),
+       |mode_src AS (
+       |  SELECT s.entity_id, min(s.source) AS source
+       |  FROM src_cnt s JOIN max_cnt m ON s.entity_id = m.entity_id AND s.cnt = m.mx
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars, min(lang) AS lang
+       |  FROM members GROUP BY 1),
+       |rep_name AS (SELECT entity_id, name FROM members WHERE doc_id = entity_id)
+       |SELECT st.entity_id, st.n_members, rn.name, ms.source, st.total_chars, st.lang
+       |FROM stats st
+       |JOIN touched t ON st.entity_id = t.entity_id
+       |JOIN mode_src ms ON st.entity_id = ms.entity_id
+       |JOIN rep_name rn ON st.entity_id = rn.entity_id""".stripMargin
+  }
+
   /** `er_blocking_audit`: the block-size histogram with the load-shed mass
     * made visible — for each block size: how many blocks, how many
     * candidate pairs that size implies, and whether the cap skips it. The

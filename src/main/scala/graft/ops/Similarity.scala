@@ -2465,8 +2465,13 @@ object Similarity {
       math.ceil(2.0 * math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
 
   /** The degree sweep the schedule is gated through: the shipped serving
-    * degree and one rung up. */
-  val GRAPH_DEGREES: Seq[Int] = Seq(GRAPH_DEGREE, 16)
+    * degree, one rung up, and 24 — the first rung inside
+    * [[graphDegreeFor]]'s OPERATIVE regime (the schedule says 22–32 for
+    * every corpus from 2k up, so a deployment acting on it runs a
+    * construction of this class; gating only 12/16 would leave the
+    * regime that actually ships oracle-unchecked — the round-12 gap).
+    */
+  val GRAPH_DEGREES: Seq[Int] = Seq(GRAPH_DEGREE, 16, 24)
 
   /** The [[graphDegreeFor]] schedule's DIAL, gated: the graph-local
     * recall ceiling (truth ∩ the query's own adjacency row — SCALING.md

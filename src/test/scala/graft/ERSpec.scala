@@ -96,6 +96,53 @@ class ERSpec extends SparkSpec {
       s"arrivals parity filter must appear as a probe-side predicate:\n$p")
   }
 
+  test("er_golden_incremental: contracted CC merges two standing entities through an arrival bridge") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two standing records (ids 0, 2) agree ONLY on name (score 7 < τ):
+    // sources differ and lengths differ by 60 > ER_LEN_MAXDIFF, so the
+    // standing run leaves them as separate entities. Arrival 1 agrees
+    // with 0 on all three fields (score 45) and with 2 on name+len
+    // (score 18) — the bridge must merge everything into entity 0
+    val near = "alpha beta gamma delta epsilon zeta " // shared 6-token name
+    def doc(id: Long, src: String, chars: Long) =
+      (id, near + "x", "en", src, chars)
+    val rows = Seq(
+      doc(0L, "s1", 100L),
+      doc(2L, "s2", 160L),
+      doc(1L, "s1", 130L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val standing = rows.filter(col("doc_id") % 2 === 0)
+    val arrivals = rows.filter(col("doc_id") % 2 === 1)
+    val assignSt = EntityResolution.standingAssignmentOf(standing)
+    assert(assignSt.select("entity_id").distinct().count() == 2,
+      "standing records must start as separate entities")
+    val golden = EntityResolution
+      .erGoldenIncrementalOver(standing, arrivals, assignSt).collect()
+    assert(golden.length == 1, s"bridge must merge everything: ${golden.toSeq}")
+    val g = golden.head
+    assert(g.getLong(g.fieldIndex("entity_id")) == 0L, "min-id label survives contraction")
+    assert(g.getLong(g.fieldIndex("n_members")) == 3L)
+    assert(g.getString(g.fieldIndex("source")) == "s1")
+  }
+
+  test("er_golden_incremental: volume conservation over the emitted (arrival-touching) slice") {
+    import org.apache.spark.sql.functions.col
+    // the full inc ≡ restricted-cold equivalence is the driver's DuckDB
+    // gate; here assert the algebraic-merge invariant the decomposition
+    // must conserve: emitted members = arrivals + standing members of
+    // touched entities, chars likewise
+    val inc = EntityResolution.erGoldenIncremental(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nArr = docs.filter(col("doc_id") % 2 === 1).count()
+    val sums = inc.selectExpr("sum(n_members)", "sum(total_chars)").head
+    assert(sums.getLong(0) >= nArr,
+      "every arrival must resolve into exactly one emitted entity")
+    val emitted = sums.getLong(0) - nArr // standing members pulled in
+    val nSt = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(emitted >= 0 && emitted <= nSt)
+  }
+
   test("plan: er pair space is the blocked equi-self-join — no cartesian, no nested loop") {
     val p = EntityResolution.erPairs(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
