@@ -223,6 +223,97 @@ object EntityResolution {
       .filter(col("score") >= ER_SCORE_TAU)
   }
 
+  /** Blocks the FROZEN-cap policy rejects: standing block size > cap.
+    * The streaming serve ([[graft.streaming.StreamingPipeline]]'s
+    * `erLinkageReplay`) pins cap decisions at index-build time — the
+    * production policy when total arrival volume is unknowable
+    * mid-stream — so admission is "not in this (tiny) rejected list";
+    * a block the standing corpus has never seen is admitted at size 0.
+    * Refreshing the list is the rebuild cadence, same as every fitted
+    * artifact.
+    */
+  private[graft] def frozenRejectedBlocks(standing: DataFrame): DataFrame =
+    records(standing).groupBy(col("lang"), col("t1"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > ER_BLOCK_CAP)
+      .select(col("lang"), col("t1"))
+
+  /** Record view of `docs` restricted to frozen-admitted blocks (an
+    * anti-join against the ≤|hot blocks|-row rejected list — AQE
+    * broadcasts the tiny side).
+    */
+  private[graft] def keptFrozen(docs: DataFrame, rejected: DataFrame): DataFrame =
+    records(docs).join(rejected, Seq("lang", "t1"), "left_anti")
+
+  /** One micro-batch of streaming linkage: the batch's records probe
+    * (base ∪ batch) within blocks, emitting each qualifying pair EXACTLY
+    * once under a batch-decomposition-invariant rule — a pair is emitted
+    * by the batch containing its LATER-ARRIVING member (y ∈ base), or by
+    * the x < y orientation when both arrived together. No ordering
+    * assumption: however the stream is batched, each cross-batch pair
+    * has exactly one "second arrival" and each within-batch pair exactly
+    * one ascending orientation, so the drained union over batches equals
+    * the one-shot incremental pair set.
+    */
+  private[graft] def erStreamProbe(batchRecs: DataFrame,
+      baseRecs: DataFrame): DataFrame = {
+    val x = batchRecs.select(col("doc_id").as("x_id"), col("lang"), col("t1"),
+      col("name").as("x_name"), col("source").as("x_src"),
+      col("n_chars").as("x_len"))
+    val y = baseRecs.withColumn("is_base", lit(true))
+      .unionByName(batchRecs.withColumn("is_base", lit(false)))
+      .select(col("doc_id").as("y_id"), col("lang"), col("t1"),
+        col("name").as("y_name"), col("source").as("y_src"),
+        col("n_chars").as("y_len"), col("is_base"))
+    val agreeName =
+      levenshtein(col("x_name"), col("y_name"), ER_NAME_MAXDIST) >= 0
+    val agreeSrc = col("x_src") === col("y_src")
+    val agreeLen = abs(col("x_len") - col("y_len")) <= ER_LEN_MAXDIFF
+    x.join(y, Seq("lang", "t1"))
+      .filter(col("x_id") =!= col("y_id") &&
+        (col("is_base") || col("x_id") < col("y_id")))
+      .select(
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        agreeName.cast("int").as("agree_name"),
+        agreeSrc.cast("int").as("agree_source"),
+        agreeLen.cast("int").as("agree_len"))
+      .withColumn("score",
+        when(col("agree_name") === 1, lit(W_NAME_AGREE)).otherwise(lit(W_NAME_DIS))
+          + when(col("agree_source") === 1, lit(W_SRC_AGREE)).otherwise(lit(W_SRC_DIS))
+          + when(col("agree_len") === 1, lit(W_LEN_AGREE)).otherwise(lit(W_LEN_DIS)))
+      .filter(col("score") >= ER_SCORE_TAU)
+  }
+
+  /** Oracle for the streaming linkage replay: the cold arrival-touching
+    * pair set under the FROZEN-cap admission (blocks judged by STANDING
+    * size only; unseen blocks admitted at 0 — see
+    * [[frozenRejectedBlocks]]).
+    */
+  val erPairsStreamSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, $NAME_TOKENS), ' ') AS name,
+       |         string_split_regex(text, '\\s+')[1] AS t1
+       |  FROM documents),
+       |bsz_st AS (SELECT lang, t1, count(*) AS bs FROM r WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |k AS (SELECT r.* FROM r LEFT JOIN bsz_st b ON r.lang = b.lang AND r.t1 = b.t1
+       |      WHERE COALESCE(b.bs, 0) <= $ER_BLOCK_CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CASE WHEN levenshtein(a.name, b.name) <= $ER_NAME_MAXDIST THEN 1 ELSE 0 END AS agree_name,
+       |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_source,
+       |         CASE WHEN abs(a.n_chars - b.n_chars) <= $ER_LEN_MAXDIFF THEN 1 ELSE 0 END AS agree_len
+       |  FROM k a JOIN k b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+       |SELECT a_id, b_id, agree_name, agree_source, agree_len, score
+       |FROM (SELECT *,
+       |         (CASE WHEN agree_name = 1 THEN $W_NAME_AGREE ELSE $W_NAME_DIS END
+       |          + CASE WHEN agree_source = 1 THEN $W_SRC_AGREE ELSE $W_SRC_DIS END
+       |          + CASE WHEN agree_len = 1 THEN $W_LEN_AGREE ELSE $W_LEN_DIS END) AS score
+       |      FROM cand)
+       |WHERE score >= $ER_SCORE_TAU""".stripMargin
+
   /** The shared SQL record/candidate CTE chain (DuckDB dialect). */
   private val ER_CTES: String =
     s"""r AS (

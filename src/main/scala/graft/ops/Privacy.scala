@@ -135,6 +135,91 @@ object Privacy {
       .select(col("level"), col("n_classes"), col("min_k"), col("rows_below_k"),
         (col("rows_below_k") === 0).cast("int").as("meets_k"))
 
+  /** `privacy_k_anon_incremental`: the k-anonymity audit MAINTAINED as
+    * customers arrive — the incremental completion of [[kAnonymity]]
+    * (privacy was the last audit family without one). k-anonymity is a
+    * corpus-level property, so there is no "arrival-touching
+    * restriction": the standing state is the per-QI-class COUNT table
+    * ([[FitStore]]-persisted, one row per occupied class — aggregate
+    * grain, never per-record), arrival deltas merge by sum, and the
+    * histogram rolls up from the merged counts. Output ≡ the cold audit
+    * over the full corpus (the oracle is literally [[kAnonymitySql]]).
+    * Even c_custkey plays the standing corpus, odd the arriving batch.
+    * Per-batch cost: one scan of the batch + a ≤|classes|-row merge —
+    * the DQ-ledger partial-merge pattern applied to the privacy grain.
+    */
+  def kAnonymityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val standing = sharedClassCounts(spark, sfDir,
+      "privacy_qik_st", qiK, cust.filter(col("c_custkey") % 2 === 0))
+    val deltas = classCounts(qiK, cust.filter(col("c_custkey") % 2 === 1))
+    kHistogram(mergeCounts(standing, deltas).select(col("qi"), col("k")))
+  }
+
+  /** `privacy_l_div_incremental`: l-diversity maintained under arrivals.
+    * `count_distinct(segment)` does NOT merge from per-class counts —
+    * the mergeable grain is one level finer: the standing state is the
+    * (qi, segment, cnt) table, deltas sum at that grain, and k/l derive
+    * from the merged table (k = Σ cnt, l = distinct segments present).
+    * The same choose-the-grain lesson as ER's mode-source survivorship:
+    * persist the count table, not the statistic.
+    */
+  def lDiversityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val standing = sharedClassCounts(spark, sfDir,
+      "privacy_qiseg_st", qiSeg, cust.filter(col("c_custkey") % 2 === 0))
+    val deltas = classCounts(qiSeg, cust.filter(col("c_custkey") % 2 === 1))
+    val merged = mergeCounts(standing, deltas)
+    merged.groupBy(col("qi"))
+      .agg(sum(col("k")).as("k"), count(lit(1)).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).cast("long").as("n_rows"))
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        (col("l") < L_MIN).cast("int").as("below_l"))
+  }
+
+  /** k-anonymity QI key (level 0) and the l-diversity (QI, sensitive)
+    * grain key. Both include every column the downstream statistic
+    * needs, so partials merge without loss.
+    */
+  private def qiK: Seq[Column] = Seq(
+    concat_ws("|", col("c_nationkey"), col("c_mktsegment"), balBucket(1000))
+      .as("qi"))
+  private def qiSeg: Seq[Column] = Seq(
+    concat_ws("|", col("c_nationkey"), balBucket(1000)).as("qi"),
+    col("c_mktsegment").as("seg"))
+
+  private def classCounts(keys: Seq[Column], c: DataFrame): DataFrame =
+    c.groupBy(keys: _*).agg(count(lit(1)).as("k"))
+
+  private def mergeCounts(standing: DataFrame, deltas: DataFrame): DataFrame = {
+    val keyCols = standing.columns.filterNot(_ == "k").map(col).toSeq
+    standing.unionByName(deltas)
+      .groupBy(keyCols: _*).agg(sum(col("k")).as("k"))
+  }
+
+  private def kHistogram(classes: DataFrame): DataFrame =
+    classes.groupBy(col("k")).agg(count(lit(1)).as("n_classes"))
+      .select(col("k"), col("n_classes"),
+        (col("k") * col("n_classes")).as("n_rows"),
+        (col("k") < K_MIN).cast("int").as("at_risk"))
+
+  /** The FitStore-persisted standing class-count table (fingerprinted on
+    * the even-custkey half it is fitted from).
+    */
+  private def sharedClassCounts(spark: SparkSession, sfDir: String,
+      name: String, keys: Seq[Column], standing: DataFrame): DataFrame =
+    SharedFits.memo(spark, s"$name:$sfDir") {
+      FitStore.frame(spark, name,
+        SharedFits.memo(spark, s"fp:customer_even:$sfDir") {
+          FitStore.fingerprint(
+            Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0),
+            Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
+        }) {
+        classCounts(keys, standing)
+      }.localCheckpoint()
+    }
+
   // ── DuckDB oracles ─────────────────────────────────────────────────────
 
   val kAnonymitySql: String =

@@ -694,6 +694,58 @@ object StreamingPipeline {
     spark.read.parquet(out).drop("batch")
   }
 
+  /** The ORACLE-GATED streaming ENTITY-LINKAGE twin — record linkage as
+    * an ingest stream, completing the ER family's deployment-mode
+    * coverage (batch → incremental → streaming): odd-id documents
+    * arrive as micro-batches, and each batch's records probe the
+    * STANDING record view plus every EARLIER arrival within blocks,
+    * under the FROZEN-cap admission policy
+    * ([[graft.ops.EntityResolution.frozenRejectedBlocks]]: cap
+    * decisions pinned at index-build time — the production policy when
+    * total arrival volume is unknowable mid-stream). Emission is
+    * batch-decomposition-invariant ("the batch holding the
+    * later-arriving member emits", x < y within a batch — see
+    * [[graft.ops.EntityResolution.erStreamProbe]]), so the drained sink
+    * equals the one-shot arrival-touching pair set EXACTLY however the
+    * file stream happens to batch — single-file fixtures replay as one
+    * batch, the 32-file rehearsal corpora as many. Cross-batch state is
+    * the accumulated arrival record view (linear, the standing index's
+    * append side); the sink is the idempotent batchId-keyed overwrite
+    * (the graph-insert lesson). Per-batch cost: Σ_blocks |batch_b| ·
+    * (standing_b + seen_b) — the batch probes indexes, never history
+    * rescans.
+    */
+  def erLinkageReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.EntityResolution
+    val tmp = java.nio.file.Files.createTempDirectory("er_linkage_replay")
+    val out = s"$tmp/pairs"
+    val standing = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+    val rejected = EntityResolution.frozenRejectedBlocks(standing)
+      .localCheckpoint()
+    val rsKept = EntityResolution.keptFrozen(standing, rejected)
+      .localCheckpoint()
+    var seenKept = EntityResolution.keptFrozen(standing.limit(0), rejected)
+      .localCheckpoint()
+    val q = Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rb = EntityResolution.keptFrozen(batch.toDF(), rejected)
+          .localCheckpoint()
+        EntityResolution.erStreamProbe(rb, rsKept.unionByName(seenKept))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenKept = seenKept.unionByName(rb).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).drop("batch")
+  }
+
   /** Streaming index-drift monitor — the online half of the batch
     * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
     * on the STANDING corpus (same fit rule as the batch report's

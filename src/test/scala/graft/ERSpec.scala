@@ -143,6 +143,47 @@ class ERSpec extends SparkSpec {
     assert(emitted >= 0 && emitted <= nSt)
   }
 
+  test("er stream probe: emission is batch-decomposition-invariant (3-way split ≡ one-shot)") {
+    import org.apache.spark.sql.functions.col
+    // the streaming replay's correctness rests on this invariant: however
+    // arrivals are batched, "the batch holding the later-arriving member
+    // emits (x<y within a batch)" yields each qualifying pair exactly
+    // once. Drive the probe by hand through an arbitrary 3-way split and
+    // demand the drained union equals the single-batch run.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+    val rejected = EntityResolution.frozenRejectedBlocks(standing)
+    val rs = EntityResolution.keptFrozen(standing, rejected)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val oneShot = rows(EntityResolution.erStreamProbe(
+      EntityResolution.keptFrozen(arrivals, rejected), rs))
+    var seen = EntityResolution.keptFrozen(arrivals.limit(0), rejected)
+    var drained = Set.empty[Seq[Any]]
+    (0 to 2).foreach { g =>
+      val rb = EntityResolution.keptFrozen(
+        arrivals.filter(col("doc_id") % 3 === g), rejected).localCheckpoint()
+      val emitted = rows(EntityResolution.erStreamProbe(rb, rs.unionByName(seen)))
+      assert(emitted.intersect(drained).isEmpty,
+        s"batch $g re-emitted pairs already drained")
+      drained ++= emitted
+      seen = seen.unionByName(rb).localCheckpoint()
+    }
+    assert(drained == oneShot,
+      s"missing=${(oneShot -- drained).take(3)} extra=${(drained -- oneShot).take(3)}")
+    assert(oneShot.nonEmpty)
+  }
+
+  test("privacy incrementals: merged partials equal the cold audits exactly") {
+    val kInc = graft.ops.Privacy.kAnonymityIncremental(spark, sf)
+    val kCold = graft.ops.Privacy.kAnonymity(spark, sf)
+    assert(kInc.collect().map(_.toSeq).toSet == kCold.collect().map(_.toSeq).toSet)
+    val lInc = graft.ops.Privacy.lDiversityIncremental(spark, sf)
+    val lCold = graft.ops.Privacy.lDiversity(spark, sf)
+    assert(lInc.collect().map(_.toSeq).toSet == lCold.collect().map(_.toSeq).toSet)
+  }
+
   test("plan: er pair space is the blocked equi-self-join — no cartesian, no nested loop") {
     val p = EntityResolution.erPairs(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
