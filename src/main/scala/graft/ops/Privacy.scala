@@ -178,6 +178,49 @@ object Privacy {
         (col("l") < L_MIN).cast("int").as("below_l"))
   }
 
+  /** `privacy_ladder_incremental`: the generalization ladder maintained
+    * under arrivals — the last privacy audit to get its incremental
+    * form. The melt is per-record and level-local, so the standing
+    * state is the (level, qi, k) count table (the same one-pass melt,
+    * persisted at the aggregate grain) and arrival deltas are the
+    * batch's own melt; the per-level rollup runs over the merged
+    * ≤ |levels|·|classes|-row table. Output ≡ the cold ladder over the
+    * full corpus ([[generalizationLadderSql]] verbatim). The nation dim
+    * joins BROADCAST on both sides of the split, as in the cold pass.
+    */
+  def generalizationLadderIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val standing = SharedFits.memo(spark, s"privacy_ladder_st:$sfDir") {
+      FitStore.frame(spark, "privacy_ladder_st",
+        SharedFits.memo(spark, s"fp:customer_even:$sfDir") {
+          FitStore.fingerprint(
+            Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0),
+            Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
+        }) {
+        ladderCounts(cust.filter(col("c_custkey") % 2 === 0), nation)
+      }.localCheckpoint()
+    }
+    val deltas = ladderCounts(cust.filter(col("c_custkey") % 2 === 1), nation)
+    standing.unionByName(deltas)
+      .groupBy(col("level"), col("qi")).agg(sum(col("k")).as("k"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+        sum(when(col("k") < K_MIN, col("k")).otherwise(lit(0L))).as("rows_below_k"))
+      .select(col("level"), col("n_classes"), col("min_k"), col("rows_below_k"),
+        (col("rows_below_k") === 0).cast("int").as("meets_k"))
+  }
+
+  /** The ladder melt at its mergeable (level, qi, k) grain. */
+  private def ladderCounts(customer: DataFrame, nation: DataFrame): DataFrame =
+    withRegion(customer, nation)
+      .select(explode(array(ladder.map { case (lvl, key) =>
+        struct(lit(lvl).as("level"), key.as("qi"))
+      }: _*)).as("m"))
+      .groupBy(col("m.level").as("level"), col("m.qi").as("qi"))
+      .agg(count(lit(1)).as("k"))
+
   /** k-anonymity QI key (level 0) and the l-diversity (QI, sensitive)
     * grain key. Both include every column the downstream statistic
     * needs, so partials merge without loss.
