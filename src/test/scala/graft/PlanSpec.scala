@@ -516,4 +516,33 @@ class PlanSpec extends SparkSpec {
     assert(plan("approx_stats").contains("partial_"),
       "HLL/percentile sketches must combine map-side — that is their whole point")
   }
+
+  test("privacy incrementals: scan + hash-agg merges — no window, no pair space") {
+    for (name <- Seq("privacy_k_anon_incremental", "privacy_l_div_incremental",
+        "privacy_ladder_incremental")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name: the audit is aggregation-only")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name: the only join is the broadcast nation dim / none")
+      assert(p.contains("partial_"),
+        s"$name: class counts must combine map-side")
+    }
+  }
+
+  test("er stream probe: blocked equi-join only — no cartesian, no rank window") {
+    // the gated replay's plan is hidden behind the foreachBatch sink;
+    // guard the probe method's own plan (the winnow-lesson pattern)
+    val docs = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val standing = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val rejected = ops.EntityResolution.frozenRejectedBlocks(standing)
+    val p = ops.EntityResolution.erStreamProbe(
+        ops.EntityResolution.keptFrozen(arrivals, rejected),
+        ops.EntityResolution.keptFrozen(standing, rejected))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairing must stay the blocked equi-join")
+    assert(!p.contains("Window"), "emission is a filter rule, never a rank")
+  }
 }
