@@ -343,9 +343,13 @@ object Dedup {
     // the pair lambda interpreted, which measures ~3× slower.
     val sigs = simhashSignatures(exactReps(docs)).localCheckpoint()
     val (blocks, radius) = mihGeometry(sigs.count(),
-      SIMHASH_BANDS, SIMHASH_MAX_HAMMING, SIMHASH_RUNG1_N)
-    bandedHammingPairs(sigs, "doc_id", "simhash",
-      SIMHASH_BITS, SIMHASH_MAX_HAMMING, blocks, radius, ("d1", "d2"))
+      SIMHASH_BANDS, SIMHASH_MAX_HAMMING, SIMHASH_RUNG1_N, SIMHASH_RUNG2_N)
+    if (radius > 1)
+      mihPairsRung2(sigs, "doc_id", "simhash",
+        SIMHASH_BITS, SIMHASH_MAX_HAMMING, ("d1", "d2"))
+    else
+      bandedHammingPairs(sigs, "doc_id", "simhash",
+        SIMHASH_BITS, SIMHASH_MAX_HAMMING, blocks, radius, ("d1", "d2"))
   }
 
   /** Occupancy-rung geometry for hamming-exact banded self-join over a
@@ -372,17 +376,32 @@ object Dedup {
     * 10^5 docs on measured constants (SCALING.md).
     */
   private[graft] def mihGeometry(n: Long, baseBlocks: Int, maxH: Int,
-      rung1N: Long): (Int, Int) =
+      rung1N: Long, rung2N: Long = Long.MaxValue): (Int, Int) =
     if (n < rung1N) (baseBlocks, 0)
-    else {
+    else if (n < rung2N || baseBlocks <= 4) {
       val blocks = math.max(1, baseBlocks / 2)
       (blocks, maxH / blocks)
-    }
+    } else (2, maxH / 2)
 
   /** Corpus size where SimHash banding takes the wider rung-1 geometry
     * (see [[mihGeometry]]); every gated fixture sits far below.
     */
   val SIMHASH_RUNG1_N = 65536L
+
+  /** Corpus size where SimHash pairing switches to the rung-2 cogroup
+    * operator ([[mihPairsRung2]]). MEASURED, not extrapolated
+    * (SCALING.md round 13, 32 g heap): rung 1 wins decisively at 500k
+    * docs (7.6 s vs rung 2's 80.7 — its N²/2¹⁴ candidate mass is still
+    * cheap) and DIES at 1.5 M: the ≈4.3 B candidate rows spill the
+    * shuffle until the box's 78 GB scratch disk fills ("No space left
+    * on device"), while rung 2 completes in 233 s with an O(N) working
+    * set and measured-flat per-doc cost (80.7 → 232.9 s for 3× docs).
+    * The pin sits at the survivability boundary, not the wall-time
+    * crossover: past it the explode-join's candidate mass is what
+    * fails first — and it fails on DISK, the resource a cluster also
+    * rations per executor.
+    */
+  val SIMHASH_RUNG2_N = 1000000L
 
   /** Hamming-≤maxH pairs of a signature frame via rung-geometry banded
     * LSH (see [[mihGeometry]]): index side emits exact (band_no,
@@ -799,6 +818,102 @@ object Dedup {
         .mkString("array(", ", ", ")")
       when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Rung-2 MIH pair search — hamming-≤maxH pairs at the 2-block
+    * geometry (bandBits = bits/2, probe radius ⌊maxH/2⌋) WITHOUT
+    * materializing the Σᵢ≤ᵣ C(bandBits, i) probe explode that makes the
+    * naive rung 2 infeasible (3,683 rows per doc·band at 28 bits,
+    * radius 3). The trick is PARTITION-GROUPED QUERY EXPANSION:
+    *
+    *  - the band-value space is hash-partitioned into `parts` buckets;
+    *  - a probe emits one row per DISTINCT partition its neighbor set
+    *    touches — ≤ min(parts, expansion) rows per doc·band (the only
+    *    shuffled fan-out), never one row per neighbor;
+    *  - inside each (band_no, partition) cogroup, the index rows build
+    *    a local value → entries hash map (N/parts entries — bounded by
+    *    the partition, never the corpus) and each probe enumerates its
+    *    full neighbor set against it, keeping only values this
+    *    partition owns.
+    *
+    * Exactness is the same pigeonhole as [[mihGeometry]]'s rung 1: a
+    * pair within hamming maxH over 2 blocks has some block within
+    * ⌊maxH/2⌋, both orientations are probed, and the in-bucket exact
+    * hamming filter leaves the rung-0 pair set BIT-IDENTICAL
+    * (spec-asserted). This is the ladder's next rung for corpora past
+    * rung 1's N²/2^(bits/4) candidate knee (≈1–2 M docs for the 56-bit
+    * SimHash — see SCALING.md); the cogroup is the one operator the
+    * DataFrame API cannot express without the explode, which is exactly
+    * when `KeyValueGroupedDataset` is the right tool.
+    */
+  /** Bits of the band value that form the partition id — low 6 → 64
+    * value-space partitions per band. Structured (bit-select, not
+    * hashed) so a probe's neighbor set SPLITS across partitions
+    * losslessly: flips spent on the partition bits move the probe to a
+    * sibling partition, flips spent on the high bits are enumerable
+    * INSIDE it, and the total enumeration over touched partitions is
+    * exactly the ball size — no per-partition re-enumeration. The cost
+    * is data-dependent partition balance (simhash bits are biased);
+    * acceptable for a probe stage whose per-partition state is a
+    * value→entries map, and the dial is this constant.
+    */
+  private val MIH_PART_BITS = 6
+
+  private[graft] def mihPairsRung2(sigs: DataFrame, id: String, sig: String,
+      bits: Int, maxH: Int, out: (String, String)): DataFrame = {
+    val blocks = 2
+    val bandBits = bits / blocks
+    val radius = maxH / blocks
+    require(blocks * (radius + 1) >= maxH + 1,
+      s"pigeonhole violated: $blocks blocks at radius $radius miss hamming-$maxH pairs")
+    require(radius <= 3, s"ball enumeration built for radius <= 3, got $radius")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val pBits = MIH_PART_BITS
+    val hiBits = bandBits - pBits
+    val pMask = (1L << pBits) - 1
+    val mask = (1L << bandBits) - 1
+    val sigDs = sigs.select(col(id).cast("long"), col(sig).cast("long"))
+      .as[(Long, Long)]
+    val bands = sigDs.flatMap { case (i, s) =>
+      (0 until blocks).map(b => (b, (s >>> (b * bandBits)) & mask, i, s))
+    }
+    val idxK = bands.groupByKey { case (b, v, _, _) => (b, (v & pMask).toInt) }
+    // a probe touches every partition within `radius` flips of its own
+    // low bits — Σᵢ≤ᵣ C(pBits, i) rows (42 at 6 bits, radius 3)
+    val probeK = bands.flatMap { case (b, v, i, s) =>
+      MihExpansion.ball(v & pMask, pBits, radius)
+        .map(p => (b, p.toInt, v, i, s))
+    }.groupByKey { case (b, p, _, _, _) => (b, p) }
+    val cands = idxK.cogroup(probeK) { case ((_, part), idxIt, probeIt) =>
+      val local = new java.util.HashMap[java.lang.Long,
+        java.util.ArrayList[(Long, Long)]]()
+      idxIt.foreach { case (_, v, i, s) =>
+        local.computeIfAbsent(v, _ => new java.util.ArrayList[(Long, Long)]())
+          .add((i, s))
+      }
+      if (local.isEmpty) Iterator.empty
+      else probeIt.flatMap { case (_, _, v, i, s) =>
+        // flips already spent reaching this partition's low-bit pattern
+        val dt = java.lang.Long.bitCount((v & pMask) ^ part)
+        MihExpansion.ball(v >>> pBits, hiBits, radius - dt).iterator
+          .flatMap { hi =>
+            val hits = local.get((hi << pBits) | part)
+            if (hits == null) Iterator.empty
+            else {
+              val b = Iterator.newBuilder[(Long, Long, Long, Long)]
+              hits.forEach { case (j, t) => if (i < j) b += ((i, j, s, t)) }
+              b.result()
+            }
+          }
+      }
+    }.toDF("_d1", "_d2", "h1", "h2")
+    cands
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxH)
+      .select(col("_d1").as(out._1), col("_d2").as(out._2),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
 
   /** Asymmetric set-containment threshold: containment(A in B) =
     * |A∩B| / |A| — how much of A's shingle set lives inside B's.
@@ -2080,4 +2195,44 @@ object Dedup {
        |       CAST(count(*) AS BIGINT) AS n_docs
        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
        |GROUP BY 1, 2""".stripMargin
+}
+
+/** Hamming-ball enumeration for the rung-2 MIH probe
+  * ([[Dedup.mihPairsRung2]]): all `bits`-bit patterns within `r` bit
+  * flips of `v`, `v` itself first. Bounded combinatorics (r ≤ 3), no
+  * allocation beyond the result array — this runs once per probe row on
+  * the partition-bit space (42 patterns at 6 bits) and once per touched
+  * partition on the high-bit space (≤ 1,794 at 22 bits), totalling
+  * exactly the ball size per probe across all partitions.
+  */
+private[graft] object MihExpansion extends Serializable {
+  def ball(v: Long, bits: Int, r: Int): Array[Long] = {
+    if (r < 0) return Array.empty
+    val buf = scala.collection.mutable.ArrayBuffer[Long](v)
+    if (r >= 1) {
+      var i = 0
+      while (i < bits) { buf += v ^ (1L << i); i += 1 }
+    }
+    if (r >= 2) {
+      var i = 0
+      while (i < bits) {
+        var j = i + 1
+        while (j < bits) { buf += v ^ (1L << i) ^ (1L << j); j += 1 }
+        i += 1
+      }
+    }
+    if (r >= 3) {
+      var i = 0
+      while (i < bits) {
+        var j = i + 1
+        while (j < bits) {
+          var k = j + 1
+          while (k < bits) { buf += v ^ (1L << i) ^ (1L << j) ^ (1L << k); k += 1 }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buf.toArray
+  }
 }

@@ -41,12 +41,17 @@ object BandProbe {
     val n = sigs.count()
     // candidate mass: the pre-filter join size this geometry generates
     // (per unordered pair of distinct docs; multi-band hits counted once,
-    // like the pair output)
+    // like the pair output). blocks=2 routes to the rung-2 cogroup
+    // operator (partition-grouped expansion — no explode-join exists at
+    // that geometry).
     val t0 = System.nanoTime()
-    val pairs = Dedup.bandedHammingPairs(sigs, id, sig, bits, maxH,
-      blocks, radius, ("d1", "d2")).count()
+    val pairs =
+      (if (blocks == 2 && radius > 1)
+        Dedup.mihPairsRung2(sigs, id, sig, bits, maxH, ("d1", "d2"))
+      else Dedup.bandedHammingPairs(sigs, id, sig, bits, maxH,
+        blocks, radius, ("d1", "d2"))).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    val cands = {
+    val cands = if (blocks == 2 && radius > 1) -1L else {
       val bandBits = bits / blocks
       val mask = (1L << bandBits) - 1
       val bands = sigs.select(col(id), col(sig),

@@ -102,6 +102,36 @@ class DedupSpec extends SparkSpec {
         s"extra=${(rung1 -- rung0).take(5)}")
   }
 
+  test("rung-2 MIH (2x28, radius-3 cogroup) returns the exact rung-0 pair set") {
+    val d = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.simhashSignatures(Dedup.exactReps(d)).localCheckpoint()
+    val rung0 = Dedup.bandedHammingPairs(sigs, "doc_id", "simhash",
+        Dedup.SIMHASH_BITS, Dedup.SIMHASH_MAX_HAMMING, Dedup.SIMHASH_BANDS, 0,
+        ("d1", "d2"))
+      .as[(Long, Long, Long)].collect().toSet
+    val rung2 = Dedup.mihPairsRung2(sigs, "doc_id", "simhash",
+        Dedup.SIMHASH_BITS, Dedup.SIMHASH_MAX_HAMMING, ("d1", "d2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rung0.nonEmpty)
+    assert(rung2 == rung0,
+      s"missing=${(rung0 -- rung2).take(5)} extra=${(rung2 -- rung0).take(5)}")
+  }
+
+  test("hamming ball: sizes are the binomial sums and members are within radius") {
+    for ((bits, r) <- Seq((6, 3), (22, 3), (28, 1), (14, 0))) {
+      val v = 0x2AAAAAAL & ((1L << bits) - 1)
+      val ball = graft.ops.MihExpansion.ball(v, bits, r)
+      val expected = (0 to r).map { i =>
+        (0 until i).map(k => (bits - k).toLong).product /
+          (1L to math.max(1, i)).product
+      }.sum
+      assert(ball.length == expected, s"bits=$bits r=$r: ${ball.length} != $expected")
+      assert(ball.distinct.length == ball.length, "no duplicate members")
+      assert(ball.forall(m => java.lang.Long.bitCount(m ^ v) <= r))
+      assert(ball.head == v, "the center comes first")
+    }
+  }
+
   test("mihGeometry: pigeonhole-violating rungs are rejected; rung switch at the pin") {
     assert(Dedup.mihGeometry(100L, 8, 7, 1000L) == ((8, 0)))
     assert(Dedup.mihGeometry(1000L, 8, 7, 1000L) == ((4, 1)))
