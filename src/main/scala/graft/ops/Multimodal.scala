@@ -668,7 +668,12 @@ object Multimodal {
     *    against the STANDING band index (plus the batch's own
     *    self-join) — same pigeonhole-exact geometry, candidate fan-out
     *    bounded by bucket occupancy, and the standing side's frames are
-    *    never re-fingerprinted;
+    *    never re-fingerprinted. The index's band geometry is pinned at
+    *    FIT time (like the graph index's construction degree): past
+    *    [[PFP_RUNG1_N]] standing items a deployment re-bands the
+    *    standing index at the wider rung and the arrival probe expands
+    *    by the matching radius — a rebuild-cadence decision, not a
+    *    per-batch one;
     *  - `inconsistent` merges the standing per-source (Σ, n) with the
     *    batch's own partial to the full-corpus feed mean, then applies
     *    the identical margin gate.
