@@ -109,12 +109,23 @@ object Graph {
     * degrees(id, d)); the oriented frame is localCheckpoint'ed — it is
     * probed three times by the triangle join.
     */
-  private def orientedKnn(emb: DataFrame): (DataFrame, DataFrame) = {
-    val knn = Dedup.knnGraph(emb)
-    orient(knn.select(
+  private def orientedKnn(emb: DataFrame): (DataFrame, DataFrame) =
+    orient(undirectedKnn(emb))
+
+  /** The k-NN graph as a unique undirected (u, v) edge frame — the raw
+    * edge set both the cold queries and the incremental maintenance
+    * decompose.
+    */
+  private[graft] def undirectedKnn(emb: DataFrame): DataFrame =
+    Dedup.knnGraph(emb).select(
       least(col("vec_id"), col("nn_id")).as("u"),
-      greatest(col("vec_id"), col("nn_id")).as("v")).distinct())
-  }
+      greatest(col("vec_id"), col("nn_id")).as("v")).distinct()
+
+  /** Per-node undirected degrees of a unique (u, v) edge frame. */
+  private[graft] def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
 
   /** Degree-orient a unique undirected (u, v) edge frame — the seam the
     * spec drives with planted graphs (K4, stars, pendants).
@@ -123,14 +134,25 @@ object Graph {
     val deg = und.select(col("u").as("id"))
       .unionByName(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    (orientBy(und, deg), deg)
+  }
+
+  /** Orient `und` by a SUPPLIED strict total order (d, id) — the seam the
+    * incremental delta needs: standing and arrival edge frames must share
+    * ONE orientation (the merged-degree order, which — standing ∪ arrival
+    * degrees being the full graph's — is exactly the cold pass's), or a
+    * triangle straddling the split could be enumerated twice or lost.
+    * `deg` joins are node-sized linear probes; the oriented frame is
+    * localCheckpoint'ed because the triangle join probes it repeatedly.
+    */
+  private[graft] def orientBy(und: DataFrame, deg: DataFrame): DataFrame = {
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val e = und
+    und
       .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"))
       .localCheckpoint()
-    (e, deg)
   }
 
   /** Each triangle once, as (x, y, z) in orientation order: edges
@@ -152,19 +174,37 @@ object Graph {
     * ⌊2·T·10⁶ / (d·(d−1))⌋ — exact integer arithmetic, no cross-engine
     * float (`div` ≡ DuckDB `//` on the non-negative operands here).
     */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, deg) = orientedKnn(Tables.embeddings(spark, sfDir))
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    withCoeff(nodeStats(undirectedKnn(Tables.embeddings(spark, sfDir))))
+
+  /** Per-node (id, d, t) over a unique undirected edge frame — degree and
+    * triangle membership. This is BOTH the cold computation and the
+    * standing state the incremental form persists (triangle membership is
+    * orientation-independent, so standing counts computed under the
+    * standing-only orientation merge exactly with delta counts computed
+    * under the merged orientation).
+    */
+  private[graft] def nodeStats(und: DataFrame): DataFrame = {
+    val (e, deg) = orient(und)
     val perNode = triangleSet(e)
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("t"))
     deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+  }
+
+  /** (id, d, t) → the gated output shape (vec_id, degree, triangles,
+    * coeff_ppm) — shared by the cold and incremental forms so the
+    * projection cannot drift.
+    */
+  private[graft] def withCoeff(stats: DataFrame): DataFrame =
+    stats
       .select(col("id").as("vec_id"), col("d").as("degree"),
-        coalesce(col("t"), lit(0L)).as("triangles"))
+        col("t").as("triangles"))
       .withColumn("coeff_ppm",
         when(col("degree") >= 2,
           expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
           .otherwise(lit(0L)))
-  }
 
   /** `graph_transitivity`: the global clustering summary — triangle
     * count, wedge count (Σ d·(d−1)/2), and the transitivity ratio
@@ -180,6 +220,110 @@ object Graph {
         when(col("n_wedges") > 0,
           expr("(3 * n_triangles * 1000000) div n_wedges"))
           .otherwise(lit(0L)).as("transitivity_ppm"))
+  }
+
+  // ── Incremental triangle maintenance ────────────────────────────────────
+
+  /** `graph_triangles_incremental`: the per-node triangle stats MAINTAINED
+    * as the similarity graph grows — the incremental completion of
+    * [[graphTriangles]], closing the last first-class family with no
+    * incremental form. The graph-ANN insert path already defines how the
+    * EDGE SET evolves (arrivals link in, standing–standing edges persist —
+    * [[Similarity.simsearchGraphInsert]]); this operator consumes that
+    * decomposition: standing per-node (degree, triangles) state — the
+    * FitStore-persisted artifact a deployment carries between stats runs —
+    * plus the arrival-incident edge delta, and produces the full updated
+    * stats table without re-enumerating standing wedges.
+    *
+    * Odd vec_ids play the arriving nodes (the repo's split convention): an
+    * edge is an ARRIVAL iff it touches an odd node, STANDING iff both
+    * endpoints are even. Delta triangles (≥ 1 arrival edge) are enumerated
+    * EXACTLY ONCE by splitting the cold oriented enumeration
+    * (x→y, y→z, close x→z) into the three disjoint first-arrival-edge
+    * classes — W1: x→y ∈ A (the other two anywhere); W2: x→y ∈ S,
+    * y→z ∈ A; W3: x→y, y→z ∈ S, close ∈ A, driven FROM the arrival
+    * closing edge so standing wedges are never built. Orientation uses the
+    * MERGED degrees — which are the full graph's, so the enumeration is
+    * the cold one restricted to arrival-touching triangles, and per-node
+    * counts merge additively: t = t_standing + t_delta, d = d_standing +
+    * d_arrival. Every join is an equi-join whose bounded side is the batch
+    * (W3's standing probes fan Σ_{x ∈ A} outdeg_S(x) — the oriented
+    * out-degree is O(√m), the same Schank–Wagner bound as cold); the
+    * standing-side probes are UNHINTED (the round-13 broadcast lesson).
+    * Oracle: the cold [[graphTrianglesSql]] VERBATIM — incremental ≡ cold
+    * on the whole node set.
+    */
+  def graphTrianglesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = undirectedKnn(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
+    val undA = und.filter(col("u") % 2 === 1 || col("v") % 2 === 1)
+    trianglesIncrementalOver(undA, sharedStandingTriStats(spark, sfDir, undS),
+      orientBy(undS, _))
+  }
+
+  /** The standing half's per-node (id, d, t) — the artifact the stats
+    * maintainer persists between runs, fingerprint-keyed like every fit.
+    */
+  private def sharedStandingTriStats(spark: SparkSession, sfDir: String,
+      undS: => DataFrame): DataFrame =
+    SharedFits.memo(spark, s"tri_stats_even:$sfDir") {
+      FitStore.frame(spark, "tri_stats_even",
+        FitStore.embeddingsFp(spark, sfDir)) {
+        nodeStats(undS)
+      }.localCheckpoint()
+    }
+
+  /** The split-agnostic core: arrival edges + persisted standing stats +
+    * a function producing the standing edge frame oriented by a supplied
+    * degree table (the seam — the gated query orients the true standing
+    * edges; the spec drives planted graphs). Standing EDGES are read only
+    * through `orientSt` (one linear pass to orient), never wedge-joined
+    * to themselves.
+    */
+  private[graft] def trianglesIncrementalOver(undA: DataFrame,
+      statsSt: DataFrame, orientSt: DataFrame => DataFrame): DataFrame = {
+    val dA = degreesOf(undA)
+    // merged degrees = full-graph degrees (standing ∪ arrival edge sets
+    // are disjoint and exhaustive); arrival-only nodes enter at d_S = 0
+    val degM = statsSt.select(col("id"), col("d"))
+      .join(dA.select(col("id"), col("d").as("da")), Seq("id"), "full")
+      .select(col("id"),
+        (coalesce(col("d"), lit(0L)) + coalesce(col("da"), lit(0L))).as("d"))
+      .localCheckpoint()
+    val eS = orientSt(degM)
+    val eA = orientBy(undA, degM)
+    val tDelta = triangleDelta(eS, eA)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("td"))
+    withCoeff(degM
+      .join(statsSt.select(col("id"), col("t")), Seq("id"), "left")
+      .join(tDelta, Seq("id"), "left")
+      .select(col("id"), col("d"),
+        (coalesce(col("t"), lit(0L)) + coalesce(col("td"), lit(0L))).as("t")))
+  }
+
+  /** Each arrival-touching triangle once: the cold oriented enumeration
+    * split by the FIRST arrival edge along (x→y, y→z, x→z). W1/W2/W3
+    * partition the ≥1-arrival patterns (A**, SA*, SSA) — disjoint by the
+    * leading-edge membership, complete by case exhaustion. Both frames
+    * must share one strict orientation ([[orientBy]] under merged
+    * degrees).
+    */
+  private[graft] def triangleDelta(eS: DataFrame, eA: DataFrame): DataFrame = {
+    val eAll = eS.unionByName(eA)
+    val w1 = eA.select(col("a").as("x"), col("b").as("y"))
+      .join(eAll.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(eAll.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val w2 = eS.select(col("a").as("x"), col("b").as("y"))
+      .join(eA.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(eAll.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    // driven from the arrival CLOSING edge: probe standing out-edges of x,
+    // then the standing closing wedge — standing wedges never materialize
+    val w3 = eA.select(col("a").as("x"), col("b").as("z"))
+      .join(eS.select(col("a").as("x"), col("b").as("y")), Seq("x"))
+      .join(eS.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+    Seq(w1, w2, w3).map(_.select(col("x"), col("y"), col("z")))
+      .reduce(_ unionByName _)
   }
 
   /** Shared oracle CTE chain: undirected-unique edges, degrees,

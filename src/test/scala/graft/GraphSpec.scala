@@ -109,6 +109,63 @@ class GraphSpec extends SparkSpec {
       val d = r.getLong(1); d * (d - 1) / 2 }.sum)
   }
 
+  /** Edge-level split of a planted graph for the incremental delta — the
+    * seam accepts ANY standing/arrival edge decomposition, so the spec
+    * plants every class the delta must count exactly once: exactly-one-A
+    * ({1,3,4}, {2,3,4} via arrival K4 edge (3,4)), two-A ({6,7,8}), all-A
+    * ({10,11,12}) — including positions a node-based split can never
+    * produce — plus arrival pendant (1,5) and standing star hub (no
+    * triangles from either).
+    */
+  private val incUnd: Seq[(Long, Long)] = Seq(
+    1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, // K4
+    6L -> 7L, 6L -> 8L, 7L -> 8L,
+    10L -> 11L, 10L -> 12L, 11L -> 12L,
+    1L -> 5L,
+    20L -> 21L, 20L -> 22L, 20L -> 23L, 20L -> 24L)
+  private val incArr: Set[(Long, Long)] = Set(
+    3L -> 4L, 6L -> 7L, 6L -> 8L,
+    10L -> 11L, 10L -> 12L, 11L -> 12L, 1L -> 5L)
+
+  test("triangle delta: every arrival-touching triangle once, none missed") {
+    val undDf = incUnd.toDF("u", "v")
+    val undA = incArr.toSeq.toDF("u", "v")
+    val undS = incUnd.filterNot(incArr).toDF("u", "v")
+    val degM = Graph.degreesOf(undDf) // merged = full-graph degrees
+    val delta = Graph.triangleDelta(
+        Graph.orientBy(undS, degM), Graph.orientBy(undA, degM))
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) => Set(x, y, z) }
+    assert(delta.length == delta.distinct.length,
+      s"each delta triangle exactly once; got ${delta.toSeq}")
+    assert(delta.toSet == Set(
+      Set(1L, 3L, 4L), Set(2L, 3L, 4L), Set(6L, 7L, 8L), Set(10L, 11L, 12L)),
+      "delta = all triangles with ≥1 arrival edge, and no all-standing one")
+  }
+
+  test("triangles incremental: standing stats + delta ≡ cold on any edge split") {
+    val undDf = incUnd.toDF("u", "v")
+    val undA = incArr.toSeq.toDF("u", "v")
+    val undS = incUnd.filterNot(incArr).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = rows(Graph.trianglesIncrementalOver(
+      undA, Graph.nodeStats(undS), Graph.orientBy(undS, _)))
+    val want = rows(Graph.withCoeff(Graph.nodeStats(undDf)))
+    assert(got == want)
+    // and the empty-batch degenerate: no arrivals → exactly the standing stats
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    val still = rows(Graph.trianglesIncrementalOver(
+      none, Graph.nodeStats(undS), Graph.orientBy(undS, _)))
+    assert(still == rows(Graph.withCoeff(Graph.nodeStats(undS))))
+  }
+
+  test("graph_triangles_incremental ≡ graph_triangles on the fixture") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(Graph.graphTrianglesIncremental(spark, "/root/testdata/sf0.001"))
+      == rows(Graph.graphTriangles(spark, "/root/testdata/sf0.001")))
+  }
+
   test("plan: triangle join is equi-joins over the oriented frame — no cartesian") {
     val p = Graph.graphTriangles(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(

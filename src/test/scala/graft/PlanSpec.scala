@@ -529,6 +529,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles_incremental: delta wedges are equi-joins, standing probes unhinted") {
+    // W1–W3 fan from the batch side through equi-joins; the standing
+    // oriented frame is corpus-proportional, so nothing may force-
+    // broadcast it and no wedge class may degrade to a nested loop
+    val p = plan("graph_triangles_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "delta enumeration must stay hash/merge equi-joins")
+  }
+
   test("er stream probe: blocked equi-join only — no cartesian, no rank window") {
     // the gated replay's plan is hidden behind the foreachBatch sink;
     // guard the probe method's own plan (the winnow-lesson pattern)
