@@ -282,16 +282,7 @@ object Graph {
     */
   private[graft] def trianglesIncrementalOver(undA: DataFrame,
       statsSt: DataFrame, orientSt: DataFrame => DataFrame): DataFrame = {
-    val dA = degreesOf(undA)
-    // merged degrees = full-graph degrees (standing ∪ arrival edge sets
-    // are disjoint and exhaustive); arrival-only nodes enter at d_S = 0
-    val degM = statsSt.select(col("id"), col("d"))
-      .join(dA.select(col("id"), col("d").as("da")), Seq("id"), "full")
-      .select(col("id"),
-        (coalesce(col("d"), lit(0L)) + coalesce(col("da"), lit(0L))).as("d"))
-      .localCheckpoint()
-    val eS = orientSt(degM)
-    val eA = orientBy(undA, degM)
+    val (degM, eS, eA) = mergedFrames(undA, statsSt, orientSt)
     val tDelta = triangleDelta(eS, eA)
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("td"))
@@ -300,6 +291,52 @@ object Graph {
       .join(tDelta, Seq("id"), "left")
       .select(col("id"), col("d"),
         (coalesce(col("t"), lit(0L)) + coalesce(col("td"), lit(0L))).as("t")))
+  }
+
+  /** Merged degree table + both edge frames oriented by it — shared by
+    * the per-node and global incremental forms. Merged degrees = full-
+    * graph degrees (standing ∪ arrival edge sets are disjoint and
+    * exhaustive); arrival-only nodes enter at d_standing = 0.
+    */
+  private def mergedFrames(undA: DataFrame, statsSt: DataFrame,
+      orientSt: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dA = degreesOf(undA)
+    val degM = statsSt.select(col("id"), col("d"))
+      .join(dA.select(col("id"), col("d").as("da")), Seq("id"), "full")
+      .select(col("id"),
+        (coalesce(col("d"), lit(0L)) + coalesce(col("da"), lit(0L))).as("d"))
+      .localCheckpoint()
+    (degM, orientSt(degM), orientBy(undA, degM))
+  }
+
+  /** `graph_transitivity_incremental`: the global clustering scalar
+    * maintained from the SAME standing state as the per-node form —
+    * standing triangle total recovered exactly from the persisted
+    * per-node memberships (Σt = 3·T over a closed node set), the delta
+    * counted once per arrival-touching triangle by [[triangleDelta]],
+    * wedges re-derived from the merged (= full-graph) degrees at
+    * |nodes| rows. Oracle: the cold [[graphTransitivitySql]] VERBATIM.
+    */
+  def graphTransitivityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = undirectedKnn(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
+    val undA = und.filter(col("u") % 2 === 1 || col("v") % 2 === 1)
+    transitivityIncrementalOver(undA,
+      sharedStandingTriStats(spark, sfDir, undS), orientBy(undS, _))
+  }
+
+  private[graft] def transitivityIncrementalOver(undA: DataFrame,
+      statsSt: DataFrame, orientSt: DataFrame => DataFrame): DataFrame = {
+    val (degM, eS, eA) = mergedFrames(undA, statsSt, orientSt)
+    val ntS = statsSt.agg(expr("coalesce(sum(t), 0) div 3").as("ts"))
+    val ntD = triangleDelta(eS, eA).agg(count(lit(1)).as("td"))
+    val w = degM.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    ntS.crossJoin(ntD).crossJoin(w) // three singleton rows — the stitch shape
+      .select((col("ts") + col("td")).as("n_triangles"), col("n_wedges"))
+      .withColumn("transitivity_ppm",
+        when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 1000000) div n_wedges"))
+          .otherwise(lit(0L)))
   }
 
   /** Each arrival-touching triangle once: the cold oriented enumeration

@@ -166,6 +166,25 @@ class GraphSpec extends SparkSpec {
       == rows(Graph.graphTriangles(spark, "/root/testdata/sf0.001")))
   }
 
+  test("transitivity incremental: standing Σt/3 + delta ≡ cold, on split and fixture") {
+    val undA = incArr.toSeq.toDF("u", "v")
+    val undS = incUnd.filterNot(incArr).toDF("u", "v")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    // cold over the full planted graph, via the same helpers the gated
+    // cold query composes
+    val st = Graph.nodeStats(incUnd.toDF("u", "v"))
+    val coldT = st.selectExpr("sum(t) div 3").as[Long].head
+    val coldW = st.selectExpr("sum(d * (d - 1) div 2)").as[Long].head
+    val got = row(Graph.transitivityIncrementalOver(
+      undA, Graph.nodeStats(undS), Graph.orientBy(undS, _))).head
+    assert(got._1 == coldT && got._2 == coldW)
+    assert(got._3 == (if (coldW > 0) 3 * coldT * 1000000 / coldW else 0L))
+    // and the gated form against the cold query on the fixture
+    assert(row(Graph.graphTransitivityIncremental(spark, "/root/testdata/sf0.001"))
+      == row(Graph.graphTransitivity(spark, "/root/testdata/sf0.001")))
+  }
+
   test("plan: triangle join is equi-joins over the oriented frame — no cartesian") {
     val p = Graph.graphTriangles(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
