@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Tables
@@ -264,7 +264,7 @@ object Graph {
   /** The standing half's per-node (id, d, t) — the artifact the stats
     * maintainer persists between runs, fingerprint-keyed like every fit.
     */
-  private def sharedStandingTriStats(spark: SparkSession, sfDir: String,
+  private[graft] def sharedStandingTriStats(spark: SparkSession, sfDir: String,
       undS: => DataFrame): DataFrame =
     SharedFits.memo(spark, s"tri_stats_even:$sfDir") {
       FitStore.frame(spark, "tri_stats_even",
@@ -362,6 +362,63 @@ object Graph {
     Seq(w1, w2, w3).map(_.select(col("x"), col("y"), col("z")))
       .reduce(_ unionByName _)
   }
+
+  // ── Streaming per-batch primitives (graph_tri_stream) ──────────────────
+
+  /** The edges a micro-batch OWNS under last-arriving-endpoint emission:
+    * edges of the batch-invariant full frame that touch a batch node and
+    * whose other endpoint has already been seen (standing-even, arrived
+    * in an earlier batch, or in this batch). An edge to a NOT-yet-arrived
+    * odd node is excluded here and owned by that node's own batch — so
+    * batch ownership partitions the arrival edge set however the stream
+    * happens to batch. One linear probe of the full edge frame per batch
+    * (the replay derives the delta the production insert path would emit
+    * directly), batch/arrived sides are key-joined, unhinted.
+    */
+  private[graft] def batchEdges(und: DataFrame, nb: DataFrame,
+      arrived: DataFrame): DataFrame = {
+    val f = und
+      .join(nb.select(col("id").as("u"), lit(true).as("fu")), Seq("u"), "left")
+      .join(nb.select(col("id").as("v"), lit(true).as("fv")), Seq("v"), "left")
+      .join(arrived.select(col("id").as("u"), lit(true).as("au")), Seq("u"), "left")
+      .join(arrived.select(col("id").as("v"), lit(true).as("av")), Seq("v"), "left")
+    def seen(n: Column, arr: Column, bat: Column): Column =
+      n % 2 === 0 || coalesce(arr, lit(false)) || coalesce(bat, lit(false))
+    f.filter((coalesce(col("fu"), lit(false)) || coalesce(col("fv"), lit(false))) &&
+        seen(col("u"), col("au"), col("fu")) &&
+        seen(col("v"), col("av"), col("fv")))
+      .select(col("u"), col("v"))
+  }
+
+  /** One micro-batch's emission: per-node (id, dd, td) — the batch's
+    * degree delta plus its triangle memberships, counted once each by
+    * [[triangleDelta]] over the so-far graph (seen ∪ batch edges,
+    * oriented by the so-far degrees — any per-batch-consistent strict
+    * order is valid; ownership already guarantees each triangle lands in
+    * exactly one batch). Emissions merge ADDITIVELY with the standing
+    * stats at drain, so the sink is batchId-keyed and retry-idempotent.
+    */
+  private[graft] def triStreamEmit(seenEdges: DataFrame, aB: DataFrame): DataFrame = {
+    val degB = degreesOf(seenEdges.unionByName(aB)).localCheckpoint()
+    val td = triangleDelta(orientBy(seenEdges, degB), orientBy(aB, degB))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("td"))
+    degreesOf(aB).select(col("id"), col("d").as("dd"))
+      .join(td, Seq("id"), "full")
+      .select(col("id"), coalesce(col("dd"), lit(0L)).as("dd"),
+        coalesce(col("td"), lit(0L)).as("td"))
+  }
+
+  /** Drain-side merge: standing (id, d, t) + summed per-batch (dd, td)
+    * deltas → the full stats table, shared projection with the cold form.
+    */
+  private[graft] def triStreamMerge(statsSt: DataFrame, deltas: DataFrame): DataFrame =
+    withCoeff(statsSt
+      .join(deltas.groupBy(col("id"))
+        .agg(sum(col("dd")).as("dd"), sum(col("td")).as("td")), Seq("id"), "full")
+      .select(col("id"),
+        (coalesce(col("d"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("d"),
+        (coalesce(col("t"), lit(0L)) + coalesce(col("td"), lit(0L))).as("t")))
 
   /** Shared oracle CTE chain: undirected-unique edges, degrees,
     * degree-oriented edges, and the triangle set — the same construction

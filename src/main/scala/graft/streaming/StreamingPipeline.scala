@@ -746,6 +746,53 @@ object StreamingPipeline {
     spark.read.parquet(out).drop("batch")
   }
 
+  /** The ORACLE-GATED streaming TRIANGLE-STATS twin — completing the
+    * graph family's deployment-mode coverage (batch → incremental →
+    * streaming): odd-id vectors arrive as micro-batches, each batch OWNS
+    * the edges whose last-arriving endpoint it holds
+    * ([[graft.ops.Graph.batchEdges]] — ownership partitions the arrival
+    * edge set under ANY batching), and emits its per-node (degree delta,
+    * triangle memberships) via the shared first-arrival-edge enumeration
+    * ([[graft.ops.Graph.triStreamEmit]]) against the accumulated so-far
+    * graph. A triangle is therefore counted by exactly one batch — the
+    * one holding its last edge — and the drained sink merges ADDITIVELY
+    * with the standing stats to the full cold table
+    * ([[graft.ops.Graph.triStreamMerge]]; oracle = the cold triangle SQL
+    * verbatim). Cross-batch state is the accumulated arrival edge frame
+    * (the standing index's append side, as in [[erLinkageReplay]]); the
+    * sink is the idempotent batchId-keyed overwrite.
+    */
+  def graphTriStatsReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Graph
+    val tmp = java.nio.file.Files.createTempDirectory("graph_tri_replay")
+    val out = s"$tmp/stats"
+    val und = Graph.undirectedKnn(Tables.embeddings(spark, sfDir))
+      .localCheckpoint()
+    val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
+    val statsSt = Graph.sharedStandingTriStats(spark, sfDir, undS)
+    var seenEdges = undS.localCheckpoint()
+    var arrived = und.select(col("u").as("id")).limit(0).localCheckpoint()
+    val q = Tables.embeddingsStream(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val nb = batch.toDF().localCheckpoint()
+        val aB = Graph.batchEdges(und, nb, arrived).localCheckpoint()
+        Graph.triStreamEmit(seenEdges, aB)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenEdges = seenEdges.unionByName(aB).localCheckpoint()
+        arrived = arrived.unionByName(nb).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Graph.triStreamMerge(statsSt, spark.read.parquet(out).drop("batch"))
+  }
+
   /** Streaming index-drift monitor — the online half of the batch
     * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
     * on the STANDING corpus (same fit rule as the batch report's

@@ -185,6 +185,46 @@ class GraphSpec extends SparkSpec {
       == row(Graph.graphTransitivity(spark, "/root/testdata/sf0.001")))
   }
 
+  test("tri stream: batch-owned edges partition arrivals; emissions merge to cold under any batching") {
+    // odd nodes arrive in three hand-driven batches; triangles span
+    // batches ({1,3,4}: arrival edges land with node 3 then close via
+    // node 1's pendant? no — via (3,4); {6,7,8} closes only when 7
+    // arrives; {10,11,12} all-arrival across two batches)
+    val und = Seq(
+      2L -> 4L, 2L -> 6L, 4L -> 6L,              // standing triangle
+      3L -> 2L, 3L -> 4L,                         // odd 3 closes {2,3,4}
+      7L -> 6L, 7L -> 9L, 9L -> 6L,               // {6,7,9} needs 7 AND 9
+      11L -> 13L, 11L -> 15L, 13L -> 15L)         // all-odd triangle
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("u", "v").localCheckpoint()
+    val undS = und.filter($"u" % 2 === 0 && $"v" % 2 === 0)
+    val statsSt = Graph.nodeStats(undS)
+    val batches = Seq(Seq(3L, 11L), Seq(7L, 13L), Seq(9L, 15L))
+    var seen = undS.localCheckpoint()
+    var arrived = Seq.empty[Long].toDF("id").localCheckpoint()
+    val outs = batches.map { ids =>
+      val nb = ids.toDF("id")
+      val aB = Graph.batchEdges(und, nb, arrived).localCheckpoint()
+      val e = Graph.triStreamEmit(seen, aB).localCheckpoint()
+      seen = seen.unionByName(aB).localCheckpoint()
+      arrived = arrived.unionByName(nb).localCheckpoint()
+      (aB, e)
+    }
+    // ownership partitions the arrival edge set: disjoint, exhaustive
+    val owned = outs.map(_._1.as[(Long, Long)].collect().toSet)
+    assert(owned.map(_.size).sum == owned.reduce(_ ++ _).size)
+    assert(owned.reduce(_ ++ _) ++ undS.as[(Long, Long)].collect().toSet
+      == und.as[(Long, Long)].collect().toSet)
+    // edge (11,13) waits for 13; (11,15)/(13,15) for 15; (7,9) for 9
+    assert(owned(1).contains((11L, 13L)) && owned(2).contains((7L, 9L)))
+    // merged emissions ≡ cold stats over the full graph
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val merged = Graph.triStreamMerge(statsSt,
+      outs.map(_._2).reduce(_ unionByName _))
+    assert(rows(merged) == rows(Graph.withCoeff(Graph.nodeStats(und))))
+  }
+
   test("plan: triangle join is equi-joins over the oriented frame — no cartesian") {
     val p = Graph.graphTriangles(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(
