@@ -1911,7 +1911,18 @@ object Dedup {
   }
 
   def simsearchKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    knnGraph(Tables.embeddings(spark, sfDir))
+    sharedKnnGraph(spark, sfDir)
+
+  /** The serving-degree k-NN edge frame, SESSION-SHARED: five gated
+    * queries (the knn construction itself, pagerank, and the triangle
+    * family's three modes) consume this same frame, so the session pays
+    * the construction once per corpus and every later consumer reuses
+    * the checkpointed edges — the SharedFits discipline.
+    */
+  def sharedKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"knn_edges_k$KNN_K:$sfDir") {
+      knnGraph(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    }
 
   /** The k-NN-graph oracle, parameterized by out-degree — [[KNN_K]] for
     * the gated construction query, a denser serving degree for the

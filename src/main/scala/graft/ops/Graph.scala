@@ -86,36 +86,38 @@ object Graph {
     val emb = Tables.embeddings(spark, sfDir)
     pageRank(
       emb.select(col("vec_id").as("id")),
-      Dedup.knnGraph(emb).select(col("vec_id").as("src"), col("nn_id").as("dst")))
+      Dedup.sharedKnnGraph(spark, sfDir)
+        .select(col("vec_id").as("src"), col("nn_id").as("dst")))
       .select(col("id").as("vec_id"), col("rank_ppb"), col("rank"))
   }
 
   // ── Triangle counting / clustering structure ───────────────────────────
 
-  /** The k-NN graph UNDIRECTED and degree-ORIENTED — the preprocessing
-    * that makes distributed triangle counting linear-ish instead of
-    * wedge-explosive: every edge is kept once (least/greatest collapse +
-    * distinct — mutual k-NN edges merge), then oriented from the
-    * lower-(degree, id) endpoint to the higher. Orientation is THE scale
-    * device (Schank/Wagner; the MapReduce form is Suri & Vassilvitskii's
-    * MR-NodeIterator++): every triangle is found exactly once from its
-    * lowest-ordered vertex, and a node's oriented out-degree is O(√m) on
-    * ANY graph — a celebrity hub with millions of undirected neighbors
-    * orients almost all of them INWARD, so the wedge join fans out from
-    * the small side and the hub never materializes its neighborhood².
-    * Here in-degree is the unbounded one (k-NN out-degree is capped at
-    * [[Dedup.KNN_K]], but a hub vector can be in everyone's top-k);
-    * orientation bounds exactly that. Returns (orientedEdges(a, b),
-    * degrees(id, d)); the oriented frame is localCheckpoint'ed — it is
-    * probed three times by the triangle join.
+  /** The k-NN graph as a unique undirected (u, v) edge frame (every edge
+    * kept once: least/greatest collapse + distinct — mutual k-NN edges
+    * merge) — the raw edge set both the cold queries and the incremental
+    * maintenance decompose. Session-shared per corpus: all five
+    * triangle-family consumers reuse one checkpointed frame over the
+    * shared knn edges. Degree-ORIENTATION ([[orient]]/[[orientBy]]) is
+    * THE scale device downstream (Schank/Wagner; the MapReduce form is
+    * Suri & Vassilvitskii's MR-NodeIterator++): every triangle is found
+    * exactly once from its lowest-ordered vertex, and a node's oriented
+    * out-degree is O(√m) on ANY graph — a celebrity hub with millions of
+    * undirected neighbors orients almost all of them INWARD, so the
+    * wedge join fans out from the small side and the hub never
+    * materializes its neighborhood². Here in-degree is the unbounded one
+    * (k-NN out-degree is capped at [[Dedup.KNN_K]], but a hub vector can
+    * be in everyone's top-k); orientation bounds exactly that.
     */
-  private def orientedKnn(emb: DataFrame): (DataFrame, DataFrame) =
-    orient(undirectedKnn(emb))
+  private[graft] def sharedUnd(spark: SparkSession, sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"graph_und:$sfDir") {
+      Dedup.sharedKnnGraph(spark, sfDir).select(
+        least(col("vec_id"), col("nn_id")).as("u"),
+        greatest(col("vec_id"), col("nn_id")).as("v")).distinct()
+        .localCheckpoint()
+    }
 
-  /** The k-NN graph as a unique undirected (u, v) edge frame — the raw
-    * edge set both the cold queries and the incremental maintenance
-    * decompose.
-    */
+  /** The seam the spec drives with explicit embeddings. */
   private[graft] def undirectedKnn(emb: DataFrame): DataFrame =
     Dedup.knnGraph(emb).select(
       least(col("vec_id"), col("nn_id")).as("u"),
@@ -175,7 +177,7 @@ object Graph {
     * float (`div` ≡ DuckDB `//` on the non-negative operands here).
     */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
-    withCoeff(nodeStats(undirectedKnn(Tables.embeddings(spark, sfDir))))
+    withCoeff(nodeStats(sharedUnd(spark, sfDir)))
 
   /** Per-node (id, d, t) over a unique undirected edge frame — degree and
     * triangle membership. This is BOTH the cold computation and the
@@ -212,7 +214,7 @@ object Graph {
     * embedding space" scalar that complements the per-node view.
     */
   def graphTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, deg) = orientedKnn(Tables.embeddings(spark, sfDir))
+    val (e, deg) = orient(sharedUnd(spark, sfDir))
     val nt = triangleSet(e).agg(count(lit(1)).as("n_triangles"))
     val w = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     nt.crossJoin(w) // two singleton rows — the adjudicated stitch shape
@@ -254,7 +256,7 @@ object Graph {
     * on the whole node set.
     */
   def graphTrianglesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = undirectedKnn(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val und = sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
     val undA = und.filter(col("u") % 2 === 1 || col("v") % 2 === 1)
     trianglesIncrementalOver(undA, sharedStandingTriStats(spark, sfDir, undS),
@@ -318,7 +320,7 @@ object Graph {
     * |nodes| rows. Oracle: the cold [[graphTransitivitySql]] VERBATIM.
     */
   def graphTransitivityIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = undirectedKnn(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val und = sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
     val undA = und.filter(col("u") % 2 === 1 || col("v") % 2 === 1)
     transitivityIncrementalOver(undA,

@@ -767,8 +767,7 @@ object StreamingPipeline {
     import graft.ops.Graph
     val tmp = java.nio.file.Files.createTempDirectory("graph_tri_replay")
     val out = s"$tmp/stats"
-    val und = Graph.undirectedKnn(Tables.embeddings(spark, sfDir))
-      .localCheckpoint()
+    val und = Graph.sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
     val statsSt = Graph.sharedStandingTriStats(spark, sfDir, undS)
     var seenEdges = undS.localCheckpoint()
