@@ -703,13 +703,29 @@ object Multimodal {
 
   def assemblyIncremental(docs: DataFrame, embeddings: DataFrame,
       isArrival: Column, checksumIdx: DataFrame, bandIdx: DataFrame,
-      feedStats: DataFrame): DataFrame = {
-    val arrivals = docs.filter(isArrival)
+      feedStats: DataFrame): DataFrame =
+    finishAssembly(
+      gauntletFlags(docs.filter(isArrival), embeddings, checksumIdx, bandIdx),
+      feedStats)
+
+  /** The batch-decomposition-INVARIANT half of the incremental gauntlet:
+    * structural gates, the checksum dup rank vs the supplied index plus
+    * the within-batch window, the perceptual probe vs the supplied band
+    * index plus the within-batch self-join, and the raw clip score —
+    * everything EXCEPT the feed-mean margin, which is an end-of-window
+    * statistic and is applied by [[finishAssembly]]. One row per arrival:
+    * (media_id, kind, source, gate_verdict, is_pdup, clip_score). The
+    * streaming replay emits exactly these rows per micro-batch (the
+    * supplied indexes then also carry the earlier arrivals).
+    */
+  private[graft] def gauntletFlags(arrivals: DataFrame, embeddings: DataFrame,
+      checksumIdx: DataFrame, bandIdx: DataFrame): DataFrame = {
     // structural gates + standing-aware dup rank
     val len = octet_length(col("text")).cast("long")
     val pairs = arrivals.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      col("source"),
       md5(col("text")).as("checksum"),
       (len % 640 + 1).cast("int").as("width"),
       (len % 480 + 1).cast("int").as("height"),
@@ -717,7 +733,7 @@ object Multimodal {
     val embP = embeddings.select(col("vec_id").as("media_id"), lit(1).as("has_vec"))
     val structural = standingDupRank(pairs.join(embP, Seq("media_id"), "left"),
         checksumIdx)
-      .select(col("media_id"), col("kind"),
+      .select(col("media_id"), col("kind"), col("source"),
         when(col("has_vec").isNull, "no_embedding")
           .when(least(col("width"), col("height")) < PAIR_MIN_SIDE, "tiny_image")
           .when(col("n_words") < PAIR_MIN_WORDS, "short_caption")
@@ -744,9 +760,22 @@ object Multimodal {
       .select(col("x.media_id").as("media_id"))
     val pdup = vsStanding.unionByName(vsBatch).distinct()
       .withColumn("is_pdup", lit(true))
-    // consistency: batch partial merged with standing feed stats
-    val arrScored = clipScored(arrivals, embeddings)
-    val merged = arrScored.groupBy(col("source"))
+    structural
+      .join(pdup, Seq("media_id"), "left")
+      .join(clipScored(arrivals, embeddings)
+        .select(col("media_id"), col("clip_score")), Seq("media_id"), "left")
+  }
+
+  /** The end-of-window half: merge the flags' own per-source score
+    * partials with the standing feed stats to the exact full-corpus feed
+    * mean, apply the margin gate, and compose the verdict precedence —
+    * shared verbatim by the one-shot incremental and the streaming
+    * drain, so the two cannot drift.
+    */
+  private[graft] def finishAssembly(flags: DataFrame,
+      feedStats: DataFrame): DataFrame = {
+    val merged = flags.filter(col("clip_score").isNotNull)
+      .groupBy(col("source"))
       .agg(sum(col("clip_score")).as("b_sum"),
         count(lit(1)).cast("long").as("b_cnt"))
       .join(feedStats, Seq("source"), "left")
@@ -754,19 +783,14 @@ object Multimodal {
         ((coalesce(col("st_sum"), lit(0.0)) + col("b_sum"))
           / (coalesce(col("st_cnt"), lit(0L)) + col("b_cnt")).cast("double"))
           .as("feed_avg"))
-    val cons = arrScored.join(broadcast(merged), Seq("source"))
+    flags
+      .join(broadcast(merged), Seq("source"), "left")
       .withColumn("feed_margin",
         round(col("clip_score") - col("feed_avg"), 6) + lit(0.0))
-      .select(col("media_id"),
-        when(col("feed_margin") < 0, "inconsistent").otherwise("kept")
-          .as("cons_verdict"))
-    structural
-      .join(pdup, Seq("media_id"), "left")
-      .join(cons, Seq("media_id"), "left")
       .select(col("media_id"), col("kind"),
         when(col("gate_verdict") =!= "kept", col("gate_verdict"))
           .when(col("is_pdup"), "perceptual_dup")
-          .when(col("cons_verdict") === "inconsistent", "inconsistent")
+          .when(col("feed_margin") < 0, "inconsistent")
           .otherwise("kept").as("verdict"))
   }
 
@@ -780,6 +804,18 @@ object Multimodal {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val isArr = col("doc_id") % 10 >= ARRIVAL_DECILE
+    val (ck, bi, fs) = sharedStandingState(spark, sfDir)
+    assemblyIncremental(docs, emb, isArr, ck, bi, fs)
+  }
+
+  /** The three FitStore-persisted standing frames the incremental AND
+    * streaming ingest paths probe: checksum index, perceptual band
+    * index, per-source feed (Σ, n) partials.
+    */
+  private[graft] def sharedStandingState(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
     val standing = docs.filter(!(col("doc_id") % 10 >= ARRIVAL_DECILE))
     val fp = FitStore.documentsFp(spark, sfDir)
     val ck = SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
@@ -797,7 +833,7 @@ object Multimodal {
         standingFeedStats(standing, emb)
       }.localCheckpoint()
     }
-    assemblyIncremental(docs, emb, isArr, ck, bi, fs)
+    (ck, bi, fs)
   }
 
   val multimodalAssemblyIncrementalSql: String =

@@ -792,6 +792,58 @@ object StreamingPipeline {
     Graph.triStreamMerge(statsSt, spark.read.parquet(out).drop("batch"))
   }
 
+  /** The ORACLE-GATED streaming MULTIMODAL-ASSEMBLY twin — the media
+    * ingest gauntlet as a stream, completing the multimodal family's
+    * deployment modes (batch → incremental → streaming): arrival-decile
+    * media items stream in, and each micro-batch runs the
+    * batch-decomposition-INVARIANT half of the gauntlet
+    * ([[graft.ops.Multimodal.gauntletFlags]] — structural gates, checksum
+    * dup rank, perceptual band probe, raw clip score) against the
+    * FitStore-persisted STANDING state UNIONED with the accumulated
+    * earlier-arrival indexes. Dup/perceptual min-id semantics are exact
+    * under the doc_id-ordered replay clock (the `dedup_neardup_stream`
+    * convention: a smaller-id twin never arrives later). The feed-mean
+    * margin is an END-OF-WINDOW statistic — the drain merges the emitted
+    * flags' own per-source partials with the standing feed stats and
+    * applies the margin through the SAME [[graft.ops.Multimodal
+    * .finishAssembly]] the one-shot incremental uses (the CLIP-filter
+    * batch-cadence reality: a sealed ingest window is scored once its
+    * feed stats close). Sink is the idempotent batchId-keyed overwrite;
+    * cross-batch state is the arrival checksum/band append side.
+    */
+  def multimodalAssemblyReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val tmp = java.nio.file.Files.createTempDirectory("mm_assembly_replay")
+    val out = s"$tmp/flags"
+    val emb = Tables.embeddings(spark, sfDir)
+    val (ck, bi, fs) = Multimodal.sharedStandingState(spark, sfDir)
+    var seenCk = ck.limit(0).localCheckpoint()
+    var seenBands = bi.limit(0).localCheckpoint()
+    val q = Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 >= Multimodal.ARRIVAL_DECILE)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val arr = batch.toDF().localCheckpoint()
+        val ckAll = ck.unionByName(seenCk)
+          .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id"))
+        Multimodal.gauntletFlags(arr, emb, ckAll, bi.unionByName(seenBands))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenCk = seenCk.unionByName(
+          arr.select(md5(col("text")).as("checksum"), col("doc_id").as("st_min_id"))
+            .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id")))
+          .localCheckpoint()
+        seenBands = seenBands.unionByName(
+          Multimodal.signatureBands(Multimodal.sliceFrames(arr))).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Multimodal.finishAssembly(spark.read.parquet(out).drop("batch"), fs)
+  }
+
   /** Streaming index-drift monitor — the online half of the batch
     * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
     * on the STANDING corpus (same fit rule as the batch report's

@@ -274,6 +274,65 @@ class TextMultimodalSpec extends SparkSpec {
     assert(inc(104L) == "dup_pair", "within-batch checksum twin")
   }
 
+  test("assembly stream: per-batch flags + drain finish ≡ one-shot incremental under id-ordered batching") {
+    import org.apache.spark.sql.functions._
+    // same plants as the incremental test, arrivals split into TWO
+    // id-ordered micro-batches: {100, 101, 102} then {103, 104} — so
+    // 104's dup twin (100) sits in an EARLIER batch and must be caught
+    // through the accumulated arrival checksum index, and 101's
+    // perceptual twin (3) through the standing band index
+    def sliceText(seed: String, n: Int): String =
+      (0 until n).flatMap(s => (0 until 16).map(t => s"$seed-$s-$t")).mkString(" ")
+    val base = sliceText("a", 64)
+    val nearTwin = sliceText("a", 63) + " " +
+      (0 until 16).map(t => s"z-63-$t").mkString(" ")
+    def uniq(tag: String) = (0 until 120).map(i => s"$tag$i").mkString(" ").take(300)
+    val d = docs(
+      (0L, uniq("a"), "en", "web"), (1L, uniq("b"), "en", "web"),
+      (2L, base, "en", "web"), (3L, base, "en", "web"),
+      (4L, uniq("c"), "en", "crawl"), (5L, uniq("d"), "en", "crawl"),
+      (100L, base, "en", "web"),
+      (101L, nearTwin, "en", "web"),
+      (102L, uniq("e"), "en", "crawl"),
+      (103L, uniq("f"), "en", "web"),
+      (104L, base, "en", "crawl"))
+    val rnd = new scala.util.Random(7)
+    val emb = d.select("doc_id").as[Long].collect().filter(_ != 103L).sorted
+      .map(id => (id, Array.fill(graft.ops.Dedup.EMB_DIM)(rnd.nextFloat()), 0))
+      .toSeq.toDF("vec_id", "embedding", "label")
+    val standing = d.filter(!(col("doc_id") >= 100L))
+    val ck = Multimodal.standingChecksumIdx(standing).localCheckpoint()
+    val bi = Multimodal.signatureBands(Multimodal.sliceFrames(standing))
+      .localCheckpoint()
+    val fs = Multimodal.standingFeedStats(standing, emb).localCheckpoint()
+    var seenCk = ck.limit(0).localCheckpoint()
+    var seenBands = bi.limit(0).localCheckpoint()
+    val flagFrames = Seq(Seq(100L, 101L, 102L), Seq(103L, 104L)).map { ids =>
+      val arr = d.filter(col("doc_id").isin(ids: _*)).localCheckpoint()
+      val ckAll = ck.unionByName(seenCk)
+        .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id"))
+      val flags = Multimodal.gauntletFlags(arr, emb, ckAll,
+        bi.unionByName(seenBands)).localCheckpoint()
+      seenCk = seenCk.unionByName(
+        arr.select(md5(col("text")).as("checksum"), col("doc_id").as("st_min_id"))
+          .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id")))
+        .localCheckpoint()
+      seenBands = seenBands.unionByName(
+        Multimodal.signatureBands(Multimodal.sliceFrames(arr))).localCheckpoint()
+      flags
+    }
+    val streamed = Multimodal.finishAssembly(
+        flagFrames.reduce(_ unionByName _), fs)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    val oneShot = Multimodal.assemblyIncremental(d, emb, col("doc_id") >= 100L,
+        ck, bi, fs)
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    assert(streamed == oneShot,
+      s"streamed flags + drain must equal the one-shot incremental: $streamed vs $oneShot")
+    assert(streamed(104L) == "dup_pair", "cross-BATCH checksum twin via the arrival index")
+    assert(streamed(101L) == "perceptual_dup")
+  }
+
   test("incremental rejections: planted arrivals equal the batch audit restricted") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextAnalysis => TA}
