@@ -2524,33 +2524,50 @@ object TextAnalysis {
   private[graft] def rejectionsIncremental(arrivals: DataFrame,
       benchH: DataFrame, fpIdx: DataFrame, postings: DataFrame,
       sets: DataFrame, docStats: DataFrame): DataFrame = {
-    graft.functions.ArrayFunctions.register(arrivals.sparkSession)
     val isBenchA = col("doc_id") % lit(DECONTAM_MOD) === 0
+    val aSets = caShingleSets(arrivals).localCheckpoint()
+    val abench = aSets.filter(isBenchA)
+      .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
+    rejStreamFinish(
+      rejStreamFlags(arrivals, aSets, fpIdx, postings, sets),
+      aSets.select(col("doc_id"), explode(col("shs")).as("h")),
+      abench, benchH, postings, docStats)
+  }
+
+  /** The batch-decomposition-INVARIANT half of the rejection audit:
+    * per-arrival quality, the exact-dup verdict (fp-index probe +
+    * within-batch rank) and the near-dup verdict (batch-local-order
+    * prefixes vs the supplied postings index + within-batch AllPairs) —
+    * the stages whose outcomes are final the moment the batch closes
+    * under the id-ordered clock (a smaller-id holder never arrives
+    * later; the loser of a near-pair is always the later side).
+    * Contamination, domain gating and mix rates are END-OF-WINDOW
+    * statistics (the bench suite and corpus stats seal with the window)
+    * and live in [[rejStreamFinish]]. One row per arrival:
+    * (doc_id, lang, source, n_tokens, quality_score, is_dup, is_loser).
+    * The streaming replay calls this per micro-batch with the supplied
+    * indexes carrying standing ∪ earlier arrivals.
+    */
+  private[graft] def rejStreamFlags(arrivals: DataFrame, aSets: DataFrame,
+      fpIdxAll: DataFrame, postingsAll: DataFrame,
+      setsAll: DataFrame): DataFrame = {
+    graft.functions.ArrayFunctions.register(arrivals.sparkSession)
     val aq = quality(arrivals)
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens"), col("quality_score"))
-    val aSets = caShingleSets(arrivals).localCheckpoint()
-    // contamination: standing bench hashes ∪ the batch's own bench docs
-    val abench = aSets.filter(isBenchA)
-      .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
-    val allBench = benchH.unionByName(abench).distinct()
-    val contamA = aSets.filter(!isBenchA)
-      .select(col("doc_id"), explode(col("shs")).as("h"))
-      .join(broadcast(allBench), Seq("h"))
-      .select(col("doc_id")).distinct().withColumn("is_contam", lit(true))
-    // exact dup: standing fp probe + within-batch rank
-    val exactA = standingFpProbe(arrivals, fpIdx)
-    // near dup: standing postings probe + within-batch AllPairs
+    // exact dup: index probe + within-batch rank
+    val exactA = standingFpProbe(arrivals, fpIdxAll)
+    // near dup: postings probe + within-batch AllPairs
     val jt = Dedup.JACCARD_THRESHOLD
     val candsStanding = caPrefixes(aSets)
-      .join(postings.select(col("h"), col("doc_id").as("sd")), Seq("h"))
+      .join(postingsAll.select(col("h"), col("doc_id").as("sd")), Seq("h"))
       .select(col("doc_id"), col("sd")).distinct()
     val jacc = col("c").cast("double") /
       (col("n1") + col("n2") - col("c")).cast("double")
     val lossStanding = candsStanding
       .join(aSets.select(col("doc_id"), col("shs").as("shs1"), col("n").as("n1")),
         Seq("doc_id"))
-      .join(sets.select(col("doc_id").as("sd"), col("shs").as("shs2"),
+      .join(setsAll.select(col("doc_id").as("sd"), col("shs").as("shs2"),
         col("n").as("n2")), Seq("sd"))
       .filter(col("n1") * jt <= col("n2") && col("n2") * jt <= col("n1"))
       .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
@@ -2560,18 +2577,38 @@ object TextAnalysis {
       .select(col("d2").as("doc_id"))
     val loserA = lossStanding.unionByName(lossBatch).distinct()
       .withColumn("is_loser", lit(true))
-    // gated stats: standing (corrected for arrival-bench burn) + batch
-    val burned = abench.join(postings, Seq("h"))
+    aq
+      .join(exactA, Seq("doc_id"))
+      .join(loserA, Seq("doc_id"), "left")
+  }
+
+  /** The end-of-window half: contamination against the SEALED bench
+    * suite (standing ∪ every arrival bench doc), the standing-stats burn
+    * correction (a postings-bounded probe), the merged per-(source,
+    * lang) gated stats → domain gate → mix rates, and the first-failing-
+    * stage projection. Shared verbatim by the one-shot incremental and
+    * the streaming drain, so the two cannot drift. `arrPostings` is the
+    * accumulated (doc_id, h) index of ALL arrivals — in the stream, the
+    * index the replay built batch by batch.
+    */
+  private[graft] def rejStreamFinish(flagsIn: DataFrame, arrPostings: DataFrame,
+      abenchAll: DataFrame, benchH: DataFrame, postings: DataFrame,
+      docStats: DataFrame): DataFrame = {
+    val isBenchA = col("doc_id") % lit(DECONTAM_MOD) === 0
+    val allBench = benchH.unionByName(abenchAll).distinct()
+    val contamA = arrPostings.filter(!isBenchA)
+      .join(broadcast(allBench), Seq("h"))
+      .select(col("doc_id")).distinct().withColumn("is_contam", lit(true))
+    // gated stats: standing (corrected for arrival-bench burn) + arrivals
+    val burned = abenchAll.join(postings, Seq("h"))
       .select(col("doc_id")).distinct().withColumn("burn", lit(true))
     val sStats = docStats.filter(col("gated"))
       .join(burned, Seq("doc_id"), "left").filter(col("burn").isNull)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("quality_score")).as("sq"),
         sum(col("n_tokens")).as("st"))
-    val flagsA = aq
+    val flagsA = flagsIn
       .join(contamA, Seq("doc_id"), "left")
-      .join(exactA, Seq("doc_id"))
-      .join(loserA, Seq("doc_id"), "left")
       .localCheckpoint()
     val bStats = flagsA.filter(!isBenchA && col("is_contam").isNull &&
         !col("is_dup") && col("is_loser").isNull &&
@@ -2621,8 +2658,20 @@ object TextAnalysis {
       sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val t = caThreshold(docs)
-    val standing = docs.filter(col("doc_id") < t)
     val arrivals = docs.filter(col("doc_id") >= t)
+    val (benchH, fpIdx, sets, postings, docStats) = sharedCaState(spark, sfDir)
+    rejectionsIncremental(arrivals, benchH, fpIdx, postings, sets, docStats)
+  }
+
+  /** The five FitStore-persisted standing artifacts the incremental AND
+    * streaming audits probe: bench hashes, fp set, shingle arrays, the
+    * full postings index, per-doc gated stats.
+    */
+  private[graft] def sharedCaState(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = caThreshold(docs)
+    val standing = docs.filter(col("doc_id") < t)
     def kept(name: String)(f: => DataFrame): DataFrame =
       SharedFits.memo(spark, s"$name:$sfDir") {
         FitStore.frame(spark, name, FitStore.documentsFp(spark, sfDir)) { f }
@@ -2641,7 +2690,7 @@ object TextAnalysis {
         .select(col("doc_id"), explode(col("shs")).as("h"))
     }
     val docStats = kept("ca_doc_stats_t80") { caDocStats(standing) }
-    rejectionsIncremental(arrivals, benchH, fpIdx, postings, sets, docStats)
+    (benchH, fpIdx, sets, postings, docStats)
   }
 
   lazy val textCorpusRejectionsIncrementalSql: String =

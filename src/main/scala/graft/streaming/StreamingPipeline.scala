@@ -844,6 +844,70 @@ object StreamingPipeline {
     Multimodal.finishAssembly(spark.read.parquet(out).drop("batch"), fs)
   }
 
+  /** The ORACLE-GATED streaming CORPUS-REJECTIONS twin — the assembly
+    * audit as an ingest stream, completing the text capstone's
+    * deployment modes (batch → incremental → streaming): top-fifth
+    * arrivals stream in, each micro-batch runs the batch-decomposition-
+    * INVARIANT audit half ([[graft.ops.TextAnalysis.rejStreamFlags]] —
+    * quality, exact-dup vs the standing fp set ∪ accumulated arrival
+    * fps + within-batch rank, near-dup via batch-local-order prefixes
+    * vs the standing ∪ accumulated arrival postings + within-batch
+    * AllPairs; both FINAL at batch close under the doc_id-ordered
+    * replay clock) and APPENDS its own fp/postings/shingle-set/bench
+    * slices to the accumulated arrival indexes — the stream IS the
+    * index builder, the `text_bm25_incremental` lifecycle online.
+    * Contamination, the standing burn correction, domain gating and mix
+    * rates are END-OF-WINDOW statistics (the bench suite and corpus
+    * stats seal with the window — an arriving benchmark doc burns
+    * RETROACTIVELY across batches), applied at drain through the SAME
+    * [[graft.ops.TextAnalysis.rejStreamFinish]] the one-shot
+    * incremental composes — postings-bounded probes, never an arrival
+    * rescan. Sink is the idempotent batchId-keyed overwrite.
+    */
+  def corpusRejectionsReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.{TextAnalysis => TA}
+    val tmp = java.nio.file.Files.createTempDirectory("rejections_replay")
+    val out = s"$tmp/flags"
+    val docs = Tables.documents(spark, sfDir)
+    val t = TA.caThreshold(docs)
+    val (benchH, fpIdx, sets, postings, docStats) = TA.sharedCaState(spark, sfDir)
+    val isBench = col("doc_id") % lit(graft.ops.TextAnalysis.DECONTAM_MOD) === 0
+    var seenFp = fpIdx.limit(0).localCheckpoint()
+    var seenPost = postings.limit(0).localCheckpoint()
+    var seenSets = sets.limit(0).localCheckpoint()
+    var seenBench = benchH.limit(0).localCheckpoint()
+    val q = Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") >= t)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val arr = batch.toDF().localCheckpoint()
+        val aSets = TA.caShingleSets(arr).localCheckpoint()
+        TA.rejStreamFlags(arr, aSets,
+            fpIdx.unionByName(seenFp),
+            postings.unionByName(seenPost),
+            sets.unionByName(seenSets))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenFp = seenFp.unionByName(
+          arr.select(graft.ops.Dedup.exactFp(col("text")).as("fp")).distinct())
+          .localCheckpoint()
+        seenPost = seenPost.unionByName(
+          aSets.select(col("doc_id"), explode(col("shs")).as("h")))
+          .localCheckpoint()
+        seenSets = seenSets.unionByName(aSets).localCheckpoint()
+        seenBench = seenBench.unionByName(
+          aSets.filter(isBench).select(explode(col("shs")).as("h")).distinct())
+          .localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TA.rejStreamFinish(spark.read.parquet(out).drop("batch"),
+      seenPost, seenBench.distinct(), benchH, postings, docStats)
+  }
+
   /** Streaming index-drift monitor — the online half of the batch
     * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
     * on the STANDING corpus (same fit rule as the batch report's

@@ -403,6 +403,92 @@ class TextMultimodalSpec extends SparkSpec {
     assert(full(5L) == "contaminated", "the burn plant must actually burn")
   }
 
+  test("rejections stream: batch flags + drain finish ≡ one-shot, incl. retroactive cross-batch burn") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextAnalysis => TA}
+    // the incremental fixture extended with a RETROACTIVE plant: bench
+    // arrival 485 (= 5·97) arrives in the SECOND batch and its shingles
+    // contaminate arrival 389 from the FIRST batch — the case only the
+    // end-of-window contamination can get right. Max id 485 keeps the
+    // threshold at floor(0.8·486) = 388.
+    def sent(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val burnPhrase = "alpha beta gamma delta epsilon zeta"
+    val lateBurn = "omega psi chi phi upsilon tau"
+    val benchPhrase = "one two three four five six seven"
+    val d4 = sent("legit", 12)
+    val rows = Seq(
+      (0L, benchPhrase + " " + sent("bench", 8), "en", "web"),
+      (3L, sent("twin", 14), "en", "web"),
+      (4L, d4, "en", "web"),
+      (5L, burnPhrase + " " + sent("victim", 10), "en", "crawl"),
+      (6L, sent("filler6", 15), "de", "web"),
+      (7L, sent("filler7", 15), "de", "crawl"),
+      (96L, sent("filler96", 15), "en", "web"),
+      (388L, burnPhrase + " " + sent("newbench", 8), "en", "web"),
+      (389L, lateBurn + " " + sent("early", 10), "en", "crawl"),
+      (390L, sent("twin", 14), "en", "web"),
+      (391L, d4 + " legitx", "en", "web"),
+      (392L, benchPhrase + " " + sent("leak", 10), "en", "crawl"),
+      (393L, "aa bb aa bb aa bb aa bb aa bb", "en", "web"),
+      (394L, sent("fresh", 15), "de", "crawl"),
+      (395L, sent("twin", 14), "en", "web"),
+      (484L, sent("tail", 15), "en", "web"),
+      (485L, lateBurn + " " + sent("latebench", 8), "en", "web"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val t = TA.caThreshold(d)
+    assert(t == 388L, s"threshold must land at 388, got $t")
+    val standing = d.filter($"doc_id" < t)
+    val stSets = TA.caShingleSets(standing).localCheckpoint()
+    val benchH = TA.caShingleSets(standing.filter($"doc_id" % 97L === 0L))
+      .select(explode($"shs").as("h")).distinct().localCheckpoint()
+    val fpIdx = standing.select(Dedup.exactFp($"text").as("fp")).distinct()
+      .localCheckpoint()
+    val postings = stSets.select($"doc_id", explode($"shs").as("h"))
+      .localCheckpoint()
+    val docStats = TA.caDocStats(standing).localCheckpoint()
+    // id-ordered 2-batch split: 485 (the late bench) is in batch 2,
+    // its victim 389 in batch 1; 395 (twin of 390) crosses batches too
+    val batches = Seq(Seq(388L, 389L, 390L, 391L), Seq(392L, 393L, 394L, 395L, 484L, 485L))
+    var seenFp = fpIdx.limit(0).localCheckpoint()
+    var seenPost = postings.limit(0).localCheckpoint()
+    var seenSets = stSets.limit(0).localCheckpoint()
+    var seenBench = benchH.limit(0).localCheckpoint()
+    val isBench = col("doc_id") % 97L === 0L
+    val flagFrames = batches.map { ids =>
+      val arr = d.filter($"doc_id".isin(ids: _*)).localCheckpoint()
+      val aSets = TA.caShingleSets(arr).localCheckpoint()
+      val flags = TA.rejStreamFlags(arr, aSets,
+        fpIdx.unionByName(seenFp), postings.unionByName(seenPost),
+        stSets.unionByName(seenSets)).localCheckpoint()
+      seenFp = seenFp.unionByName(
+        arr.select(Dedup.exactFp($"text").as("fp")).distinct()).localCheckpoint()
+      seenPost = seenPost.unionByName(
+        aSets.select($"doc_id", explode($"shs").as("h"))).localCheckpoint()
+      seenSets = seenSets.unionByName(aSets).localCheckpoint()
+      seenBench = seenBench.unionByName(
+        aSets.filter(isBench).select(explode($"shs").as("h")).distinct())
+        .localCheckpoint()
+      flags
+    }
+    val streamed = TA.rejStreamFinish(flagFrames.reduce(_ unionByName _),
+        seenPost, seenBench.distinct(), benchH, postings, docStats)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    val oneShot = TA.rejectionsIncremental(d.filter($"doc_id" >= t),
+        benchH, fpIdx, postings, stSets, docStats)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(streamed == oneShot,
+      s"streamed flags + drain must equal the one-shot audit: $streamed vs $oneShot")
+    // and both must equal the cold batch audit restricted to arrivals
+    val cold = TA.corpusRejections(d)
+      .select("doc_id", "reason").as[(Long, String)].collect()
+      .filter(_._1 >= t).toMap
+    assert(streamed == cold, s"streamed must equal the cold audit: $streamed vs $cold")
+    assert(streamed(389L) == "contaminated",
+      "batch-1 arrival burned by the batch-2 bench doc — the retroactive case")
+    assert(streamed(395L) == "exact_dup", "cross-batch arrival twin")
+  }
+
   test("multimodal: relational meta agrees with the Dataset decoder on real docs") {
     val sf = "/root/testdata/sf0.001"
     val viaDecoder = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
