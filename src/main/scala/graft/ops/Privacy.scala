@@ -225,23 +225,23 @@ object Privacy {
     * grain key. Both include every column the downstream statistic
     * needs, so partials merge without loss.
     */
-  private def qiK: Seq[Column] = Seq(
+  private[graft] def qiK: Seq[Column] = Seq(
     concat_ws("|", col("c_nationkey"), col("c_mktsegment"), balBucket(1000))
       .as("qi"))
   private def qiSeg: Seq[Column] = Seq(
     concat_ws("|", col("c_nationkey"), balBucket(1000)).as("qi"),
     col("c_mktsegment").as("seg"))
 
-  private def classCounts(keys: Seq[Column], c: DataFrame): DataFrame =
+  private[graft] def classCounts(keys: Seq[Column], c: DataFrame): DataFrame =
     c.groupBy(keys: _*).agg(count(lit(1)).as("k"))
 
-  private def mergeCounts(standing: DataFrame, deltas: DataFrame): DataFrame = {
+  private[graft] def mergeCounts(standing: DataFrame, deltas: DataFrame): DataFrame = {
     val keyCols = standing.columns.filterNot(_ == "k").map(col).toSeq
     standing.unionByName(deltas)
       .groupBy(keyCols: _*).agg(sum(col("k")).as("k"))
   }
 
-  private def kHistogram(classes: DataFrame): DataFrame =
+  private[graft] def kHistogram(classes: DataFrame): DataFrame =
     classes.groupBy(col("k")).agg(count(lit(1)).as("n_classes"))
       .select(col("k"), col("n_classes"),
         (col("k") * col("n_classes")).as("n_rows"),
@@ -250,7 +250,7 @@ object Privacy {
   /** The FitStore-persisted standing class-count table (fingerprinted on
     * the even-custkey half it is fitted from).
     */
-  private def sharedClassCounts(spark: SparkSession, sfDir: String,
+  private[graft] def sharedClassCounts(spark: SparkSession, sfDir: String,
       name: String, keys: Seq[Column], standing: DataFrame): DataFrame =
     SharedFits.memo(spark, s"$name:$sfDir") {
       FitStore.frame(spark, name,

@@ -156,6 +156,14 @@ object Tables {
     spark.readStream.schema(schema).parquet(s"$sfDir/{embeddings.parquet}")
   }
 
+  /** The customer dim as a FILE STREAM — the replay shape for the
+    * privacy streaming audit; same brace-glob trick, no vintage hazard.
+    */
+  private[graft] def customerStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = read(spark, sfDir, "customer").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/{customer.parquet}")
+  }
+
   /** The complement slice: events with `ts <= wm` — the HISTORY side of an
     * incremental rollup (the rows a materialized view has already
     * absorbed). Same raw-space pushdown as [[eventsSince]]:

@@ -908,6 +908,46 @@ object StreamingPipeline {
       seenPost, seenBench.distinct(), benchH, postings, docStats)
   }
 
+  /** The ORACLE-GATED streaming PRIVACY-AUDIT twin — k-anonymity
+    * maintained on a customer ingest stream, completing the privacy
+    * family's deployment modes: odd-custkey arrivals stream in, a
+    * streaming aggregation keeps the per-QI-class running counts
+    * (UPDATE mode, state = one row per occupied class — the DQ-ledger
+    * bound applied to the privacy grain) materialized through the keyed
+    * MERGE sink (running totals, last write wins), and the drain merges
+    * the drained class counts with the FitStore-persisted standing
+    * table and rolls up the SAME k-histogram as the batch audit.
+    * Oracle = the cold [[graft.ops.Privacy.kAnonymitySql]] VERBATIM
+    * (k-anonymity is a corpus-level property — no arrival restriction).
+    */
+  def privacyKAnonReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Privacy
+    val tmp = java.nio.file.Files.createTempDirectory("privacy_kanon_replay")
+    val out = s"$tmp/classes"
+    withStatePartitions(spark, 8) {
+      val q = Tables.customerStream(spark, sfDir)
+        .filter(col("c_custkey") % 2 === 1)
+        .groupBy(Privacy.qiK: _*)
+        .agg(count(lit(1)).as("k"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("qi"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val standing = Privacy.sharedClassCounts(spark, sfDir,
+      "privacy_qik_st", Privacy.qiK,
+      Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
+    Privacy.kHistogram(
+      Privacy.mergeCounts(standing, spark.read.parquet(out))
+        .select(col("qi"), col("k")))
+  }
+
   /** Streaming index-drift monitor — the online half of the batch
     * [[graft.ops.Similarity.indexDrift]]: the drift quantizer fits once
     * on the STANDING corpus (same fit rule as the batch report's

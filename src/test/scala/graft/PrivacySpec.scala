@@ -80,6 +80,14 @@ class PrivacySpec extends SparkSpec {
     assert(histMass == n, "k histogram must account for every record")
   }
 
+  test("streaming k-anonymity: drained class counts + standing merge ≡ the cold audit") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(rows(graft.streaming.StreamingPipeline.privacyKAnonReplay(spark, sf))
+      == rows(Privacy.kAnonymity(spark, sf)))
+  }
+
   test("plan: audits are scan-shaped — ladder reads customer once, nation broadcast") {
     val ladder = Privacy.generalizationLadder(spark, sf)
     val scans = ladder.queryExecution.optimizedPlan
