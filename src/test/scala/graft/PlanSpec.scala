@@ -538,6 +538,43 @@ class PlanSpec extends SparkSpec {
       "delta enumeration must stay hash/merge equi-joins")
   }
 
+  test("streaming gauntlet probes: equi-joins only, no static hint on the index side") {
+    // the replays hide their plans behind foreachBatch; guard the
+    // factored per-batch methods' own plans (the winnow-lesson pattern).
+    // The supplied indexes are standing ∪ accumulated arrivals — both
+    // corpus-proportional — so no static broadcast may survive and no
+    // wedge/probe may degrade to a nested loop.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def audit(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+      assert(hinted.isEmpty, s"$what: index probe joins must stay AQE-sized")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$what: probes must stay hash/merge equi-joins")
+    }
+    val docs = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val standing = docs.filter(col("doc_id") % 10 < 8)
+    val arrivals = docs.filter(col("doc_id") % 10 >= 8)
+    audit(ops.Multimodal.gauntletFlags(arrivals, emb,
+      ops.Multimodal.standingChecksumIdx(standing),
+      ops.Multimodal.signatureBands(ops.Multimodal.sliceFrames(standing))),
+      "multimodal gauntletFlags")
+    val aSets = ops.TextAnalysis.caShingleSets(arrivals)
+    val stSets = ops.TextAnalysis.caShingleSets(standing)
+    audit(ops.TextAnalysis.rejStreamFlags(arrivals, aSets,
+      standing.select(ops.Dedup.exactFp(col("text")).as("fp")).distinct(),
+      stSets.select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(col("shs")).as("h")),
+      stSets),
+      "rejections rejStreamFlags")
+  }
+
   test("er stream probe: blocked equi-join only — no cartesian, no rank window") {
     // the gated replay's plan is hidden behind the foreachBatch sink;
     // guard the probe method's own plan (the winnow-lesson pattern)
