@@ -819,6 +819,210 @@ object Dedup {
       when(expr(s"vec_dot(embedding, $arr)") > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Diagnostic (graft.tools.GraphProbe): per-table bucket-occupancy
+    * accounting for the occupancy-pinned hyperplane geometry. The
+    * candidate mass of the knn bucket self-join is Σ occ² per table —
+    * the AVERAGE-occupancy pin bounds the mean, but clustered vectors
+    * share sign patterns, so the L2 norm of the occupancy distribution
+    * is what actually prices the join. Returns (t, n_buckets, max_occ,
+    * cand_rows = Σ occ²).
+    */
+  /** The knn candidate stage as a BUCKET-GROUPED KERNEL — the rung-2
+    * cogroup lesson applied to the hyperplane tables: instead of the
+    * bucket self-JOIN (occ² UnsafeRow join outputs, each copying two
+    * 64-float arrays through the row machinery before the dot — measured
+    * 155 s of the 191 s construction at the 300× rehearsal), each
+    * (table, bucket) group computes its all-pairs cosines over primitive
+    * float arrays in one task and emits compact (vec_id, nn_id, cosine)
+    * triples. BIT-IDENTICAL to the join form: the dot is the same
+    * ascending left-fold in double as [[graft.functions.FloatVecDot]]
+    * (per-element products commute exactly in IEEE, so one dot serves
+    * both pair orientations), the norm product commutes, and the rounding
+    * is Spark's own Round rule (BigDecimal HALF_UP at scale 6) — the
+    * spec asserts frame equality against the join form and the gated
+    * oracles stay exact-hash green. Ladder-(d) is justified here the
+    * same way as [[mihPairsRung2]]: a measured multiple on the dominant
+    * stage at rehearsal scale, with output equality spec-asserted.
+    */
+  /** The (group, vec_id, embedding, nm) frame the grouped kernel consumes
+    * — factored so the probe can price the bucket-assignment scan apart
+    * from the kernel.
+    */
+  private[graft] def knnBucketFrame(base: DataFrame, bits: Int,
+      dim: Int): DataFrame =
+    base.select(
+      col("vec_id"), col("embedding"), col("nm"),
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), bucketColBits(t, dim, bits).as("bucket"))): _*)).as("tb"))
+      .select((col("tb.t").cast("long") * lit(1L << 32) +
+        col("tb.bucket").cast("long")).as("g"),
+        col("vec_id"), col("embedding"), col("nm"))
+
+  /** [[knnBucketFrame]] computed in TYPED primitive loops instead of the
+    * per-bit `vec_dot` expression chain — the 300× rehearsal measured the
+    * expression form's bucket assignment at 76.7 s of the 190 s
+    * construction (the explode generator evaluates its 3·bits vec_dot
+    * calls INTERPRETED, outside whole-stage codegen; the same dots as
+    * primitive loops cost ~2 s). Bit-identical: the hyperplanes are the
+    * same [[hypSign]] ±1 floats, the fold is the same ascending
+    * double-accumulate as [[graft.functions.FloatVecDot]], and a product
+    * with ±1.0f is exact.
+    */
+  private[graft] def knnBucketFrameTyped(base: DataFrame, bits: Int,
+      dim: Int): org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Double)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val planes: Array[Array[Array[Float]]] =
+      Array.tabulate(HYP_TABLES, bits, dim)((t, i, j) => hypSign(t, i, j, bits).toFloat)
+    base.select(col("vec_id"), col("embedding"), col("nm"))
+      .as[(Long, Array[Float], Double)]
+      .flatMap { case (id, emb, nm) =>
+        (0 until HYP_TABLES).iterator.map { t =>
+          var bucket = 0L
+          var i = 0
+          while (i < bits) {
+            val p = planes(t)(i)
+            var acc = 0.0
+            var d = 0
+            val n = math.min(emb.length, p.length)
+            while (d < n) { acc += emb(d).toDouble * p(d).toDouble; d += 1 }
+            if (acc > 0) bucket |= (1L << i)
+            i += 1
+          }
+          (t.toLong * (1L << 32) + bucket, id, emb, nm)
+        }
+      }
+  }
+
+  private[graft] def knnCandGrouped(base: DataFrame, bits: Int,
+      dim: Int, kCut: Int = 0): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    knnBucketFrameTyped(base, bits, dim)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val m = rows.length
+        // one dot per unordered pair — per-element products commute
+        // exactly in IEEE, so it serves both orientations bit-identically
+        @inline def cosOf(i: Int, j: Int): Double = {
+          val ea = rows(i)._3; val eb = rows(j)._3
+          val na = rows(i)._4; val nb = rows(j)._4
+          var acc = 0.0
+          var d = 0
+          val n = math.min(ea.length, eb.length)
+          while (d < n) { acc += ea(d).toDouble * eb(d).toDouble; d += 1 }
+          java.math.BigDecimal.valueOf(acc / (na * nb))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+        if (kCut <= 0) {
+          // full emission — the probe's equality form
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](m * (m - 1))
+          var i = 0
+          while (i < m - 1) {
+            var j = i + 1
+            while (j < m) {
+              val c = cosOf(i, j)
+              out += ((rows(i)._2, rows(j)._2, c))
+              out += ((rows(j)._2, rows(i)._2, c))
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        } else {
+          // per-bucket top-k cut under the global strict order
+          // (cosine desc, nn_id asc): any pair in a vector's GLOBAL
+          // top-k ranks ≤ k inside every bucket containing it (a
+          // bucket's candidate set is a subset of the union), so the
+          // union of per-bucket cuts is a complete superset — emission
+          // drops from occ² to occ·k rows
+          val k = kCut
+          val topCos = Array.ofDim[Double](m, k)
+          val topNn = Array.ofDim[Long](m, k)
+          val topLen = new Array[Int](m)
+          @inline def offer(r: Int, c: Double, nn: Long): Unit = {
+            val len = topLen(r)
+            var pos = len
+            val tc = topCos(r); val tn = topNn(r)
+            while (pos > 0 && (tc(pos - 1) < c ||
+                (tc(pos - 1) == c && tn(pos - 1) > nn))) pos -= 1
+            if (pos < k) {
+              var q = math.min(len, k - 1)
+              while (q > pos) { tc(q) = tc(q - 1); tn(q) = tn(q - 1); q -= 1 }
+              tc(pos) = c; tn(pos) = nn
+              if (len < k) topLen(r) = len + 1
+            }
+          }
+          var i = 0
+          while (i < m - 1) {
+            var j = i + 1
+            while (j < m) {
+              val c = cosOf(i, j)
+              offer(i, c, rows(j)._2)
+              offer(j, c, rows(i)._2)
+              j += 1
+            }
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](m * k)
+          var r = 0
+          while (r < m) {
+            var x = 0
+            while (x < topLen(r)) {
+              out += ((rows(r)._2, topNn(r)(x), topCos(r)(x)))
+              x += 1
+            }
+            r += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("vec_id", "nn_id", "cosine")
+  }
+
+  /** Diagnostic (graft.tools.GraphProbe): the knn construction's candidate
+    * stage alone — bucket self-join + per-candidate cosine + the
+    * (vec_id, nn_id) min-dedup — WITHOUT the per-node top-k window, so
+    * the probe can attribute wall time between the join/agg mass and the
+    * ranking stage.
+    */
+  private[graft] def knnCandStage(emb: DataFrame, dedup: Boolean): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = Similarity.withNorm(emb).localCheckpoint()
+    val bits = hypBitsFor(base.count())
+    val buckets = base.select(
+      col("vec_id"), col("embedding"), col("nm"),
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), bucketColBits(t, EMB_DIM, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val a = buckets.select(col("t"), col("bucket"), col("vec_id"),
+      col("embedding").as("ea"), col("nm").as("na"))
+    val b = buckets.select(col("t"), col("bucket"), col("vec_id").as("nn_id"),
+      col("embedding").as("eb"), col("nm").as("nb"))
+    val cand = a.join(b, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        round(Similarity.dotExpr("ea", "eb") / (col("na") * col("nb")), 6).as("cosine"))
+    if (dedup) cand.groupBy(col("vec_id"), col("nn_id")).agg(min(col("cosine")).as("cosine"))
+    else cand
+  }
+
+  private[graft] def knnOccupancy(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = Similarity.withNorm(emb).localCheckpoint()
+    val bits = hypBitsFor(base.count())
+    val buckets = base.select(
+      explode(array((0 until HYP_TABLES).map(t =>
+        struct(lit(t).as("t"), bucketColBits(t, EMB_DIM, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    buckets.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occ"),
+        sum(col("occ") * col("occ")).as("cand_rows"))
+  }
+
   /** Rung-2 MIH pair search — hamming-≤maxH pairs at the 2-block
     * geometry (bandBits = bits/2, probe radius ⌊maxH/2⌋) WITHOUT
     * materializing the Σᵢ≤ᵣ C(bandBits, i) probe explode that makes the
@@ -1888,6 +2092,32 @@ object Dedup {
     // driver scalar, same cost class as pageRank's node count) sizes the
     // bucket space so the candidate pair space stays N·occ, not N²/2^bits
     // — identical to the 6-bit oracle geometry at every gated corpus
+    val bits = hypBitsFor(base.count())
+    // candidate stage as the bucket-grouped kernel with the per-bucket
+    // top-k cut ([[knnCandGrouped]]): primitive-array dots, occ·k rows
+    // emitted instead of occ² — the 300× rehearsal priced the former
+    // join form's UnsafeRow candidate mass at 155 of 191 s. Bit-identical
+    // output (spec-asserted against [[knnGraphJoin]]; exceptAll-checked
+    // at rehearsal scale via graft.tools.GraphProbe).
+    val cand = knnCandGrouped(base, bits, dim, kCut = k)
+      .groupBy(col("vec_id"), col("nn_id")).agg(min(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("nn_id"), col("cosine"), col("rn"))
+  }
+
+  /** The candidate stage as the declarative bucket self-JOIN — the form
+    * the DuckDB oracle states and the equality twin the spec holds
+    * [[knnGraph]]'s kernel against. Kept as the reference semantics; the
+    * serving construction uses the grouped kernel (same output, measured
+    * ~2× on the raw emission and ~16× less row traffic with the top-k
+    * cut at the 300× rehearsal).
+    */
+  private[graft] def knnGraphJoin(emb: DataFrame, k: Int = KNN_K,
+      dim: Int = EMB_DIM): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val base = Similarity.withNorm(emb).localCheckpoint()
     val bits = hypBitsFor(base.count())
     val buckets = base.select(
       col("vec_id"), col("embedding"), col("nm"),

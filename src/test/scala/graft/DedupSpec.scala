@@ -407,6 +407,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("knn grouped kernel ≡ the declarative join form, fixture and planted") {
+    // the serving construction computes candidates in the bucket-grouped
+    // primitive kernel with the per-bucket top-k cut; the oracle states
+    // the join form — the two must be row-identical
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(diff(Dedup.knnGraph(emb), Dedup.knnGraphJoin(emb)) == 0)
+    // and at the NN-descent serving degree (a different k cut)
+    assert(diff(Dedup.knnGraph(emb, k = 12), Dedup.knnGraphJoin(emb, k = 12)) == 0)
+  }
+
   test("cluster entry points share one memoized assignment per (session, dir)") {
     val dir = "/root/testdata/sf0.001"
     // the memo returns the SAME checkpointed frame on every hit…
