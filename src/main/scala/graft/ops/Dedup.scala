@@ -496,34 +496,80 @@ object Dedup {
     * is one row/doc (locally checkpointed; storage is operator-owned and
     * freed by the context cleaner, no harness clearCache needed).
     */
+  /** Dispatch pin for the AllPairs verify stage (the [[SIMHASH_RUNG2_N]]
+    * discipline: pinned at the survivability boundary, not a wall-time
+    * sweet spot). Below it the codegen candidate-join is ~2.5× faster —
+    * the per-candidate double-array payload still fits execution memory
+    * plus page cache (10 GB at 150k docs: 8.7 vs 22.0 s measured). Above
+    * it that payload outruns the box and the join goes super-linear
+    * (20 GB at 300k docs: 155.9 vs 24.1 s; 34 GB at 500k: 301.2 vs
+    * 88.3 s) while the grouped kernel — one array per prefix row, no
+    * materialized candidate rows — stays linear. Per-EXECUTOR payload is
+    * what a cluster rations too, so the boundary transfers. Both branches
+    * face the DuckDB oracle: this dispatch at the gated corpora picks the
+    * join, and `dedup_jaccard_grouped` forces the kernel against the same
+    * oracle SQL.
+    */
+  val JACCARD_GROUPED_N = 200000L
+
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sets = jaccardSets(docs)
+    val pfx = jaccardPrefix(sets)
+    if (sets.count() < JACCARD_GROUPED_N) jaccardVerifyJoin(sets, pfx)
+    else jaccardVerifyGrouped(sets, pfx)
+  }
+
+  /** The candidate+verify stage as the declarative prefix self-JOIN — the
+    * form the DuckDB oracle states and the equality twin the spec holds
+    * [[ngramJaccardPairs]]'s grouped kernel against. Kept as the reference
+    * semantics; the serving construction uses [[jaccardVerifyGrouped]]
+    * (same output, and at rehearsal scale it removes the per-candidate
+    * double-array shuffle this form pays — the instrumented 84 GB box
+    * ceiling of the cold 100× rejections chase, SCALING.md).
+    */
+  private[graft] def ngramJaccardPairsJoin(docs: DataFrame): DataFrame = {
+    val sets = jaccardSets(docs)
+    jaccardVerifyJoin(sets, jaccardPrefix(sets))
+  }
+
+  /** (doc_id, shs, n): the per-document sorted shingle-hash set table the
+    * AllPairs join is built from — one row/doc, locally checkpointed
+    * (storage is operator-owned and freed by the context cleaner).
+    *
+    * Shingles are 64-bit-hashed once at the source: every downstream
+    * stage (index, prefix rank, verification) works on sorted bigint
+    * arrays instead of strings. Collision odds over D distinct shingles
+    * are ~D²/2⁶⁵ (≈1e-11 here; at trillions of shingles swap in a 128-bit
+    * hash behind the same shape). The set is built by the single-pass
+    * shingle_hashes kernel — the old explode → distinct → collect_set
+    * route shuffled the whole shingle stream twice just to land back on
+    * doc_id.
+    * measured: spreading the input before this kernel is a net LOSS at
+    * fixture scale (the single-pass hash kernel is cheaper than the
+    * exchange it would take to parallelize it) — unlike the DSIR fit,
+    * whose token explode is the expensive half of its pass.
+    */
+  private[graft] def jaccardSets(docs: DataFrame): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
     graft.functions.TextFunctions.register(docs.sparkSession)
-    // Shingles are 64-bit-hashed once at the source: every downstream
-    // stage (index, prefix rank, verification) works on sorted bigint
-    // arrays instead of strings. Collision odds over D distinct shingles
-    // are ~D²/2⁶⁵ (≈1e-11 here; at trillions of shingles swap in a 128-bit
-    // hash behind the same shape). The set is built by the single-pass
-    // shingle_hashes kernel — the old explode → distinct → collect_set
-    // route shuffled the whole shingle stream twice just to land back on
-    // doc_id.
-    // measured: spreading the input before this kernel is a net LOSS at
-    // fixture scale (the single-pass hash kernel is cheaper than the
-    // exchange it would take to parallelize it) — unlike the DSIR fit,
-    // whose token explode is the expensive half of its pass
-    val sets = docs
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr("shingle_hashes(toks)").as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .localCheckpoint()
+  }
+
+  /** (doc_id, h): each document's rarest-first PREFIX of length
+    * n − ⌈t·n⌉ + 1, ranked by the global (document-frequency, shingle)
+    * order. Array-side sort+slice after one hash agg — cheaper than a
+    * per-doc rank window (which shuffle-sorts every shingle row) and the
+    * slice drops common shingles before the explode.
+    */
+  private[graft] def jaccardPrefix(sets: DataFrame): DataFrame = {
     val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // rarest-first prefix of length n − ⌈t·n⌉ + 1 per doc, ranked by the
-    // global (df, h) order. Array-side sort+slice after one hash agg —
-    // cheaper than a per-doc rank window (which shuffle-sorts every
-    // shingle row) and the slice drops common shingles before the explode.
-    val prefix = sh.join(dfreq, Seq("h"))
+    sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ranked"))
       .select(col("doc_id"), explode(expr(
@@ -531,6 +577,18 @@ object Dedup {
            |  CAST(size(ranked) - ceil($JACCARD_THRESHOLD * size(ranked)) + 1 AS INT))"""
           .stripMargin)).as("r"))
       .select(col("doc_id"), col("r.h").as("h"))
+  }
+
+  /** Candidate generation + verification as the declarative join chain:
+    * distinct prefix-co-membership pairs, then both full shingle arrays
+    * attached per candidate for the merge-intersect verify. This is the
+    * oracle's shape — and the shape whose per-candidate DOUBLE-array
+    * shuffle the 100× rejections chase instrumented as the box ceiling
+    * (42 GB verification payload, 84 GB shuffle write+read; SCALING.md
+    * round-13). Kept for the spec and as the semantics statement.
+    */
+  private[graft] def jaccardVerifyJoin(sets: DataFrame,
+      prefix: DataFrame): DataFrame = {
     // candidate pairs from prefix co-membership — plain equi-join (codegen)
     val p1 = prefix.select(col("h"), col("doc_id").as("d1"))
     val p2 = prefix.select(col("h"), col("doc_id").as("d2"))
@@ -551,6 +609,88 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jacc, 6).as("jaccard"))
   }
 
+  /** Candidate generation + verification as a PREFIX-GROUPED KERNEL — the
+    * bucket-grouped lesson from [[knnCandGrouped]] and [[mihPairsRung2]]
+    * applied to the AllPairs verify, which the 100× rejections chase
+    * instrumented as the text families' box ceiling: the join form ships
+    * BOTH full shingle arrays per candidate pair (42 GB of verification
+    * payload / 84 GB of shuffle at 100×, super-linear wall once it
+    * outruns the page cache), while each document's array crosses the
+    * shuffle here once per PREFIX ROW — a ~t/(1+…) fraction of the
+    * candidate payload (measured 13.4 M prefix rows vs 40.9 M candidates
+    * at 100×, and each candidate carried TWO arrays: ≈6× fewer array
+    * bytes) — and candidate pair rows never materialize at all.
+    *
+    * Each (prefix-shingle) group enumerates its member pairs in one task:
+    * length filter, two-pointer merge intersect (the same walk as the
+    * codegen `sorted_intersect_count`, on the same sorted distinct
+    * arrays), Spark's own Round rule (BigDecimal HALF_UP at scale 6) —
+    * bit-identical per pair to the join form. A pair sharing several
+    * prefix shingles is verified once per shared group and collapsed by
+    * the final distinct on the 3-column output — the join form pays the
+    * same multiplicity at candidate GENERATION (its distinct runs on the
+    * same co-membership multiset, pre-verify), so the kernel trades
+    * duplicate in-memory intersects (cheap, integer) for shuffled array
+    * bytes (the measured wall). Exactness is the join form's own
+    * argument; equality is spec-asserted and the gated oracle unchanged.
+    * Boundary, stated: a group materializes its members' arrays in one
+    * task (occupancy × array size) — the same per-bucket residency
+    * [[knnCandGrouped]] carries, bounded here by prefix discriminativeness
+    * plus the upstream exact-dup representative cut.
+    */
+  private[graft] def jaccardVerifyGrouped(sets: DataFrame,
+      prefix: DataFrame): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val t = JACCARD_THRESHOLD
+    // (measured and REJECTED: pre-filtering to multi-member buckets via a
+    // (h, occ) agg+join saved nothing — 34.2 s → 37.3 s at 30× — because
+    // candidate-bearing buckets hold most of the prefix mass here; the
+    // extra exchange costs what the dropped singletons save)
+    val entries = prefix.join(sets, Seq("doc_id"))
+      .select(col("h"), col("doc_id"), col("shs"), col("n"))
+      .as[(Long, Long, Array[Long], Long)]
+    entries.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val m = rows.length
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < m - 1) {
+          var j = i + 1
+          while (j < m) {
+            // orient by doc_id: the join form's d1 < d2
+            val (a, b) = if (rows(i)._2 < rows(j)._2) (rows(i), rows(j))
+                         else (rows(j), rows(i))
+            val n1 = a._4; val n2 = b._4
+            // same IEEE comparison as the join form's length filter
+            // (long widened to double, multiply by the double literal)
+            if (n1 * t <= n2 && n2 * t <= n1) {
+              val sa = a._3; val sb = b._3
+              var x = 0; var y = 0; var c = 0L
+              while (x < sa.length && y < sb.length) {
+                val xv = sa(x); val yv = sb(y)
+                if (xv < yv) x += 1
+                else if (xv > yv) y += 1
+                else { c += 1L; x += 1; y += 1 }
+              }
+              val jd = c.toDouble / (n1 + n2 - c).toDouble
+              if (jd >= t) {
+                val r = java.math.BigDecimal.valueOf(jd)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                out += ((a._2, b._2, r))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("d1", "d2", "jaccard")
+      .distinct()
+  }
+
   /** The verified n-gram Jaccard pair frame for a session's `documents`
     * table, computed once and shared by every consumer — BOTH dedup-family
     * chains ([[duplicateClusters]] via [[sharedClusters]], the
@@ -569,6 +709,19 @@ object Dedup {
 
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     sharedJaccardPairs(spark, sfDir)
+
+  /** `dedup_jaccard_grouped`: the prefix-grouped verify kernel FORCED at
+    * gate scale, against the same oracle SQL as `dedup_ngram_jaccard` —
+    * so the branch [[ngramJaccardPairs]]'s size dispatch serves above
+    * [[JACCARD_GROUPED_N]] is itself oracle-checked, not only
+    * spec-equal to the join form (the degree-schedule lesson from round
+    * 12: never ship a dispatch whose operative regime no oracle ever
+    * faces).
+    */
+  def dedupJaccardGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = jaccardSets(Tables.documents(spark, sfDir))
+    jaccardVerifyGrouped(sets, jaccardPrefix(sets))
+  }
 
   val dedupNgramJaccardSql: String =
     s"""WITH ${Tables.TOK_CTE},

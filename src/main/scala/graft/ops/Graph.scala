@@ -500,4 +500,87 @@ object Graph {
        |       round(CAST(r AS DOUBLE) / $PR_SCALE, 6) AS rank
        |FROM r$PR_ITERS""".stripMargin
   }
+
+  /** Link-prediction center cap: wedge centers with undirected degree
+    * above this are excluded from scoring (and auditable as shed mass) —
+    * the capped-blocking discipline from entity resolution. With the cap,
+    * the wedge space is Σ_{d(w)≤cap} d(w)² ≤ cap · Σ d(w) = 2·cap·|E| —
+    * LINEAR in edges, where the uncapped form is quadratic at any hub.
+    * The information cost is small by design: a hub's per-neighbor-pair
+    * evidence weight is 1/d(w), so the shed centers are exactly the ones
+    * contributing the weakest evidence. At the gated corpora the k-NN
+    * graph's max undirected degree sits far below the cap, so the gate
+    * exercises the uncapped semantics and the cap is the (stated,
+    * oracle-shared) scale policy.
+    */
+  val LINK_CENTER_CAP = 64L
+
+  /** Top-k cut for the link-prediction report. */
+  val LINK_TOPK = 100
+
+  /** Resource-Allocation scale: scores are Σ (10⁶ div d(w)) over common
+    * neighbors w — exact integer arithmetic (the [[graphTriangles]]
+    * coeff_ppm discipline), so the top-k cut never rides a cross-engine
+    * float knife edge the way a Σ 1/ln(d) Adamic–Adar would.
+    */
+  val RA_SCALE = 1000000L
+
+  /** `graph_link_predict`: missing-link scores over the k-NN similarity
+    * graph — for every NON-adjacent pair (a, b) with at least one common
+    * neighbor, the common-neighbor count and the Resource-Allocation
+    * index Σ_w∈N(a)∩N(b) 1/d(w) (Zhou–Lü–Zhang 2009; the RA index is the
+    * AA-family predictor whose per-term weight is RATIONAL, kept here as
+    * exact integer ppm). On a document-similarity graph this is the
+    * "these two documents should be near-duplicates / same cluster but
+    * no edge was built" signal — the edge-repair complement to the
+    * triangle family's density report.
+    *
+    * Shape: wedge enumeration at each center (one self-join of the
+    * adjacency on the center column, a < b cutting each unordered pair
+    * once), hash-agg to (a, b) scores, LEFT ANTI against the edge set to
+    * keep non-edges, TakeOrdered on the exact integer key
+    * (ra_ppm desc, a, b). No cartesian, no window; wedge space bounded
+    * linear-in-edges by [[LINK_CENTER_CAP]].
+    */
+  def linkPredictFrom(und: DataFrame): DataFrame = {
+    val deg = degreesOf(und)
+    val adj = und.select(col("u").as("w"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("nb")))
+    val centers = adj.join(
+      deg.filter(col("d") <= LINK_CENTER_CAP).select(col("id").as("w"), col("d")),
+      Seq("w"))
+    val wedges = centers.select(col("w"), col("d"), col("nb").as("a"))
+      .join(centers.select(col("w"), col("nb").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("cn"),
+        sum(expr(s"$RA_SCALE div d")).cast("long").as("ra_ppm"))
+    scored
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("a"), col("b"))
+      .limit(LINK_TOPK)
+      .select(col("a"), col("b"), col("cn"), col("ra_ppm"))
+  }
+
+  def graphLinkPredict(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredictFrom(sharedUnd(spark, sfDir))
+
+  /** Oracle: the same wedge/score/anti-join chain over the shared k-NN
+    * edge CTEs — integer `//` throughout, ORDER BY the exact integer key.
+    */
+  val graphLinkPredictSql: String =
+    s"""WITH $TRI_CTES,
+       |adj AS (SELECT u AS w, v AS nb FROM und UNION ALL
+       |        SELECT v AS w, u AS nb FROM und),
+       |ctr AS (SELECT adj.w, adj.nb, deg.d FROM adj
+       |        JOIN deg ON adj.w = deg.id AND deg.d <= $LINK_CENTER_CAP),
+       |wedge AS (SELECT x.nb AS a, y.nb AS b, x.d
+       |          FROM ctr x JOIN ctr y ON x.w = y.w AND x.nb < y.nb),
+       |scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+       |                  CAST(sum($RA_SCALE // d) AS BIGINT) AS ra_ppm
+       |           FROM wedge GROUP BY 1, 2)
+       |SELECT s.a, s.b, s.cn, s.ra_ppm
+       |FROM scored s ANTI JOIN und ON s.a = und.u AND s.b = und.v
+       |ORDER BY s.ra_ppm DESC, s.a, s.b
+       |LIMIT $LINK_TOPK""".stripMargin
 }

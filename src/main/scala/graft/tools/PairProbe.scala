@@ -67,6 +67,21 @@ object PairProbe {
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"prefix_rows":$nPrefixRows,""" +
       s""""candidates":$nCands,"verify_bytes":$verifyBytes,""" +
       s""""length_band_survivors":$nBanded,"banded_bytes":$bandedBytes}""")
+    // A/B of the verify stage: the candidate-join form (both arrays per
+    // candidate through the shuffle) vs the prefix-grouped kernel (one
+    // array per prefix row) — plus the output-identity check
+    if (sys.env.contains("SPARK_GRAFT_PROBE_VERIFY")) {
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $tag=$r wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      time("verify_join")(graft.ops.Dedup.jaccardVerifyJoin(sets, prefix).count())
+      time("verify_grouped")(graft.ops.Dedup.jaccardVerifyGrouped(sets, prefix).count())
+      val a = graft.ops.Dedup.jaccardVerifyJoin(sets, prefix)
+      val b = graft.ops.Dedup.jaccardVerifyGrouped(sets, prefix)
+      time("verify_diff")(a.exceptAll(b).count() + b.exceptAll(a).count())
+    }
     spark.stop()
   }
 }

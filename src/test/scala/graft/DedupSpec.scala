@@ -155,6 +155,28 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 15.0 / 21.0) < 1e-4)
   }
 
+  test("jaccard grouped kernel ≡ the declarative join form, fixture and planted") {
+    // the serving construction verifies candidates inside prefix-shingle
+    // groups (duplicate co-memberships collapsed by the output distinct);
+    // the oracle states the join form — the two must be row-identical
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val fixture = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(diff(Dedup.ngramJaccardPairs(fixture),
+      Dedup.ngramJaccardPairsJoin(fixture)) == 0)
+    // planted: a near-dup pair whose prefixes share SEVERAL shingles (the
+    // multi-group emission the distinct must collapse), plus a length-
+    // filtered pair and an unrelated doc
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> base, // 1-2 near, 1-3 exact
+      4L -> "dup big small fast slow the a customer data order sort key line",
+      5L -> (base + " " + base)) // double-length: length filter territory
+    assert(diff(Dedup.ngramJaccardPairs(d), Dedup.ngramJaccardPairsJoin(d)) == 0)
+    // and the grouped output has no duplicate (d1, d2) rows
+    val g = Dedup.ngramJaccardPairs(d)
+    assert(g.count() == g.select("d1", "d2").distinct().count())
+  }
+
   test("substring spans: docs sharing a 10-word run pair up; shorter overlap does not") {
     val run = "one two three four five six seven eight nine ten"
     val d = docs(

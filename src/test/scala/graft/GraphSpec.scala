@@ -87,6 +87,49 @@ class GraphSpec extends SparkSpec {
     assert(refTri(1L) == 3 && refTri(5L) == 0 && refTri(10L) == 0)
   }
 
+  test("link prediction: planted wedges score exactly; adjacent and capped pairs drop") {
+    // path 20–21–22: the only wedge center is 21 (degree 2) -> predict
+    // (20, 22) with cn=1, ra_ppm = 10^6 div 2
+    // 4-cycle 30–31–32–33: each diagonal has TWO degree-2 common
+    // neighbors -> cn=2, ra_ppm = 2 · (10^6 div 2)
+    // K4 from plantedUnd: every pair adjacent -> nothing predicted
+    // star hub 40 with 65 leaves: center degree 65 > LINK_CENTER_CAP=64
+    // -> every leaf pair sheds with the center
+    require(Graph.LINK_CENTER_CAP == 64L)
+    val star = (41L to 105L).map(l => 40L -> l)
+    val und = (plantedUnd ++ Seq(20L -> 21L, 21L -> 22L,
+      30L -> 31L, 31L -> 32L, 32L -> 33L, 30L -> 33L) ++ star).toDF("u", "v")
+    val got = Graph.linkPredictFrom(und)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val half = Graph.RA_SCALE / 2
+    assert(got.contains((20L, 22L, 1L, half)))
+    assert(got.contains((30L, 32L, 2L, 2 * half)))
+    assert(got.contains((31L, 33L, 2L, 2 * half)))
+    // no prediction touches the capped star's leaves or center
+    assert(!got.exists(p => p._1 >= 40L && p._1 <= 105L))
+    // no predicted pair is an existing edge
+    val edges = (plantedUnd ++ star).toSet
+    assert(got.forall(p => !edges.contains((p._1, p._2))))
+    // pendant 5 shares center 1 with each of 2, 3, 4 (deg(1) = 4: the K4
+    // plus the pendant edge): ra = 10^6 div 4, and nothing else predicted
+    Seq(2L, 3L, 4L).foreach { x =>
+      assert(got.contains((x, 5L, 1L, Graph.RA_SCALE / 4)))
+    }
+    // plantedUnd's own star (hub 10, SIX leaves — under the cap) predicts
+    // all C(6,2)=15 leaf pairs at ra = 10^6 div 6: 6 + 15 rows total
+    assert(got.contains((11L, 12L, 1L, Graph.RA_SCALE / 6)))
+    assert(got.size == 21, s"exactly the 21 planted predictions; got $got")
+    // order: exact integer key, descending
+    val ordered = Graph.linkPredictFrom(und)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ordered.sliding(2).forall {
+      case Array(x, y) =>
+        x._4 > y._4 || (x._4 == y._4 &&
+          (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)))
+      case _ => true
+    })
+  }
+
   test("graph_triangles / graph_transitivity: fixture self-consistency") {
     val per = Graph.graphTriangles(spark, "/root/testdata/sf0.001").collect()
     assert(per.nonEmpty)
