@@ -542,7 +542,16 @@ object Graph {
     * (ra_ppm desc, a, b). No cartesian, no window; wedge space bounded
     * linear-in-edges by [[LINK_CENTER_CAP]].
     */
-  def linkPredictFrom(und: DataFrame): DataFrame = {
+  def linkPredictFrom(und: DataFrame): DataFrame =
+    linkFinish(linkScores(und), und)
+
+  /** The maintainable grain: (a, b, cn, ra_ppm) for EVERY wedge pair at
+    * centers within the cap — BEFORE the non-adjacency filter and the
+    * top-k cut (both order-free final consumers, applied by
+    * [[linkFinish]]). This is the per-pair table the incremental
+    * maintainer persists and merges into additively.
+    */
+  private[graft] def linkScores(und: DataFrame): DataFrame = {
     val deg = degreesOf(und)
     val adj = und.select(col("u").as("w"), col("v").as("nb"))
       .unionByName(und.select(col("v").as("w"), col("u").as("nb")))
@@ -552,18 +561,143 @@ object Graph {
     val wedges = centers.select(col("w"), col("d"), col("nb").as("a"))
       .join(centers.select(col("w"), col("nb").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
-    val scored = wedges.groupBy(col("a"), col("b"))
+    wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("cn"),
         sum(expr(s"$RA_SCALE div d")).cast("long").as("ra_ppm"))
+  }
+
+  /** Non-adjacency filter + deterministic top-k on the exact integer key. */
+  private[graft] def linkFinish(scored: DataFrame, und: DataFrame): DataFrame =
     scored
       .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
       .orderBy(col("ra_ppm").desc, col("a"), col("b"))
       .limit(LINK_TOPK)
       .select(col("a"), col("b"), col("cn"), col("ra_ppm"))
-  }
 
   def graphLinkPredict(spark: SparkSession, sfDir: String): DataFrame =
     linkPredictFrom(sharedUnd(spark, sfDir))
+
+  /** `graph_link_predict_incremental`: the per-pair link scores MAINTAINED
+    * as the graph grows — the incremental completion of
+    * [[graphLinkPredict]], riding the same standing/arrival edge split as
+    * the triangle maintainer. The complication the triangle family does
+    * not have: a center's per-pair weight 10⁶ div d(w) DEPENDS on its
+    * final degree, so arrival edges at w change the value of wedges that
+    * existed before. The delta algebra handles that exactly, in three
+    * disjoint classes over centers:
+    *
+    *  - NEW wedges (≥1 arrival leg) at centers with merged degree ≤ cap:
+    *    A×S and A×A neighbor pairs at w, weight 10⁶ div d_merged, cn +1 —
+    *    each merged wedge with an arrival leg lands in exactly one class;
+    *  - RE-WEIGHT: standing S×S pairs at TOUCHED centers (arrival-
+    *    incident, 1 ≤ d_standing ≤ cap): ra += (w_merged − w_standing)
+    *    where w_merged = 0 past the cap, and cn −1 exactly when the
+    *    center crossed the cap (the standing wedge retracts entirely);
+    *  - UNTOUCHED centers: d unchanged, no delta (their standing rows
+    *    pass through the merge).
+    *
+    * Per-pair state then merges additively (standing ⊕ Σdeltas, rows at
+    * cn = 0 drop), and [[linkFinish]] applies the merged-graph
+    * non-adjacency filter — which also kills predictions that BECAME
+    * edges. The touched-center S×S probe is bounded by cap² per touched
+    * center; standing edges are never wedge-joined to themselves beyond
+    * it; all standing-side probes unhinted. Oracle: the cold
+    * [[graphLinkPredictSql]] VERBATIM — incremental ≡ cold on the whole
+    * graph.
+    */
+  def graphLinkPredictIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = sharedUnd(spark, sfDir)
+    val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
+    val undA = und.filter(col("u") % 2 === 1 || col("v") % 2 === 1)
+    linkIncrementalOver(undA, undS, sharedStandingLinkScores(spark, sfDir, undS))
+  }
+
+  /** The standing per-pair score table — the artifact the link maintainer
+    * persists between runs, fingerprint-keyed like every fit.
+    */
+  private[graft] def sharedStandingLinkScores(spark: SparkSession, sfDir: String,
+      undS: => DataFrame): DataFrame =
+    SharedFits.memo(spark, s"link_scores_even:$sfDir") {
+      FitStore.frame(spark, "link_scores_even",
+        FitStore.embeddingsFp(spark, sfDir)) {
+        linkScores(undS)
+      }.localCheckpoint()
+    }
+
+  /** The split-agnostic core (the seam the spec drives with planted
+    * graphs): arrival edges + standing edges + the persisted standing
+    * score table. Standing edges feed only node-sized degree counts and
+    * the touched-center adjacency probe.
+    */
+  private[graft] def linkIncrementalOver(undA: DataFrame, undS: DataFrame,
+      scoredS: DataFrame): DataFrame = {
+    val merged = linkMerge(scoredS, linkDeltas(undA, undS))
+    linkFinish(merged, undS.unionByName(undA))
+  }
+
+  /** Merge per-pair state with (summed) deltas; rows at cn = 0 drop. */
+  private[graft] def linkMerge(scoredS: DataFrame, deltas: DataFrame): DataFrame =
+    scoredS
+      .join(deltas.groupBy(col("a"), col("b"))
+        .agg(sum(col("dcn")).as("dcn"), sum(col("dra")).as("dra")), Seq("a", "b"), "full")
+      .select(col("a"), col("b"),
+        (coalesce(col("cn"), lit(0L)) + coalesce(col("dcn"), lit(0L))).as("cn"),
+        (coalesce(col("ra_ppm"), lit(0L)) + coalesce(col("dra"), lit(0L))).as("ra_ppm"))
+      .filter(col("cn") > 0L)
+
+  /** The per-pair delta rows (a, b, dcn, dra) an arrival edge set induces
+    * against a standing graph — the unit both the one-shot incremental
+    * and the streaming replay emit. Weight deltas TELESCOPE: composing
+    * batches b₁…bₙ (each batch's "standing" = everything earlier) walks
+    * every pair's weight to its final-degree value and every cap crossing
+    * retracts exactly once, so Σ emissions ≡ the one-shot delta however
+    * the arrivals are batched.
+    */
+  private[graft] def linkDeltas(undA: DataFrame, undS: DataFrame): DataFrame = {
+    val cap = LINK_CENTER_CAP
+    val dS = degreesOf(undS)
+    val dA = degreesOf(undA)
+    // merged = full-graph degrees (the split is disjoint and exhaustive)
+    val degM = dS.select(col("id"), col("d").as("ds0"))
+      .join(dA.select(col("id"), col("d").as("da0")), Seq("id"), "full")
+      .select(col("id"),
+        coalesce(col("ds0"), lit(0L)).as("ds"),
+        (coalesce(col("ds0"), lit(0L)) + coalesce(col("da0"), lit(0L))).as("dm"))
+    // per-center weights at both degrees; 0 past the cap (or absent)
+    val cw = degM.select(col("id").as("w"), col("ds"), col("dm"),
+        when(col("dm") <= cap, expr(s"$RA_SCALE div dm")).otherwise(lit(0L)).as("wm"),
+        when(col("ds") >= 1L && col("ds") <= cap, expr(s"$RA_SCALE div ds"))
+          .otherwise(lit(0L)).as("ws"))
+      .localCheckpoint()
+    val adjS = undS.select(col("u").as("w"), col("v").as("nb"))
+      .unionByName(undS.select(col("v").as("w"), col("u").as("nb")))
+    val adjA = undA.select(col("u").as("w"), col("v").as("nb"))
+      .unionByName(undA.select(col("v").as("w"), col("u").as("nb")))
+    // NEW wedges: arrival legs at centers still under the cap
+    val aLeg = adjA.join(cw.filter(col("dm") <= cap).select(col("w"), col("wm")), Seq("w"))
+    val axs = aLeg.select(col("w"), col("nb").as("x"), col("wm"))
+      .join(adjS.select(col("w"), col("nb").as("y")), Seq("w"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"),
+        lit(1L).as("dcn"), col("wm").as("dra"))
+    val axa = aLeg.select(col("w"), col("nb").as("x"), col("wm"))
+      .join(aLeg.select(col("w"), col("nb").as("y")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        lit(1L).as("dcn"), col("wm").as("dra"))
+    // RE-WEIGHT / RETRACT: standing pairs at touched standing centers
+    val touchedCw = cw
+      .join(dA.select(col("id").as("w")), Seq("w"), "left_semi")
+      .filter(col("ds") >= 1L && col("ds") <= cap)
+    val sTouched = adjS.join(touchedCw, Seq("w"))
+    val sxs = sTouched.select(col("w"), col("nb").as("x"), col("ws"), col("wm"), col("dm"))
+      .join(sTouched.select(col("w"), col("nb").as("y")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        when(col("dm") <= cap, lit(0L)).otherwise(lit(-1L)).as("dcn"),
+        (col("wm") - col("ws")).as("dra"))
+    axs.unionByName(axa).unionByName(sxs)
+  }
 
   /** Oracle: the same wedge/score/anti-join chain over the shared k-NN
     * edge CTEs — integer `//` throughout, ORDER BY the exact integer key.

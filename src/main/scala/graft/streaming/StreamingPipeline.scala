@@ -792,6 +792,53 @@ object StreamingPipeline {
     Graph.triStreamMerge(statsSt, spark.read.parquet(out).drop("batch"))
   }
 
+  /** The ORACLE-GATED streaming LINK-PREDICTION twin — missing-link
+    * scores maintained as the similarity graph streams in, completing
+    * the operator's three deployment modes (batch → incremental →
+    * streaming). Each micro-batch owns the arrival edges whose
+    * last-arriving endpoint it holds ([[graft.ops.Graph.batchEdges]] —
+    * ownership partitions the edge set under ANY batching) and emits the
+    * per-pair (dcn, dra) delta rows of [[graft.ops.Graph.linkDeltas]]
+    * against the so-far graph. Weight deltas TELESCOPE — each batch
+    * re-weights so-far wedges at its touched centers from pre- to
+    * post-batch degree, and a cap crossing retracts exactly once — so
+    * the summed emissions equal the one-shot delta however the stream
+    * batches, and the drain's merge + finish equals the cold query
+    * EXACTLY. Sink is the idempotent batchId-keyed overwrite; cross-batch
+    * state is the so-far edge frame the graph index owns anyway. Oracle:
+    * the cold `graphLinkPredictSql` verbatim.
+    */
+  def graphLinkReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Graph
+    val tmp = java.nio.file.Files.createTempDirectory("graph_link_replay")
+    val out = s"$tmp/deltas"
+    val und = Graph.sharedUnd(spark, sfDir)
+    val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
+    val scoredS = Graph.sharedStandingLinkScores(spark, sfDir, undS)
+    var seenEdges = undS.localCheckpoint()
+    var arrived = und.select(col("u").as("id")).limit(0).localCheckpoint()
+    val q = Tables.embeddingsStream(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"))
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val nb = batch.toDF().localCheckpoint()
+        val aB = Graph.batchEdges(und, nb, arrived).localCheckpoint()
+        Graph.linkDeltas(aB, seenEdges)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenEdges = seenEdges.unionByName(aB).localCheckpoint()
+        arrived = arrived.unionByName(nb).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Graph.linkFinish(
+      Graph.linkMerge(scoredS, spark.read.parquet(out).drop("batch")), und)
+  }
+
   /** The ORACLE-GATED streaming MULTIMODAL-ASSEMBLY twin — the media
     * ingest gauntlet as a stream, completing the multimodal family's
     * deployment modes (batch → incremental → streaming): arrival-decile

@@ -130,6 +130,65 @@ class GraphSpec extends SparkSpec {
     })
   }
 
+  test("incremental link prediction ≡ cold on planted splits, incl. cap crossing") {
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    def run(undS: Seq[(Long, Long)], undA: Seq[(Long, Long)]) = {
+      val s = undS.toDF("u", "v"); val a = undA.toDF("u", "v")
+      val inc = Graph.linkIncrementalOver(a, s, Graph.linkScores(s))
+      val cold = Graph.linkPredictFrom((undS ++ undA).toDF("u", "v"))
+      assert(diff(inc, cold) == 0, s"standing=$undS arrival=$undA")
+    }
+    // new wedges only (arrival pendant on the K4)
+    run(plantedUnd, Seq(4L -> 20L))
+    // re-weight: arrival at an existing center changes the weight of the
+    // STANDING wedge pairs there (deg(1): 4 -> 5)
+    run(plantedUnd, Seq(1L -> 21L))
+    // a predicted pair becomes an edge (20-22 closes the 20-21-22 path)
+    run(plantedUnd ++ Seq(20L -> 21L, 21L -> 22L), Seq(20L -> 22L))
+    // cap crossing: standing star at EXACTLY the cap sheds all its
+    // standing pairs when one arrival leaf pushes it past
+    val bigStar = (1L to Graph.LINK_CENTER_CAP).map(l => 200L -> (200L + l))
+    run(bigStar, Seq(200L -> 999L))
+    // arrival-only component + mixed A-S wedges at a fresh center
+    run(plantedUnd, Seq(30L -> 31L, 31L -> 32L, 1L -> 31L))
+    // and the fixture: parity split, state built from the standing half
+    val und = graft.ops.Graph.undirectedKnn(
+      graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val undS = und.filter($"u" % 2 === 0 && $"v" % 2 === 0)
+    val undA = und.filter($"u" % 2 === 1 || $"v" % 2 === 1)
+    assert(diff(Graph.linkIncrementalOver(undA, undS, Graph.linkScores(undS)),
+      Graph.linkPredictFrom(und)) == 0)
+  }
+
+  test("link deltas telescope: 3-way hand batching merges to the one-shot result") {
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    def df(s: Seq[(Long, Long)]) = s.toDF("u", "v")
+    // standing: the planted graph plus a star at cap−1 leaves
+    val star = (1L until Graph.LINK_CENTER_CAP).map(l => 300L -> (300L + l))
+    val standing = plantedUnd ++ star
+    // b1 re-weights K4 center 1 AND takes the star exactly TO the cap;
+    // b2 builds a path and pushes the star PAST the cap (retraction in a
+    // LATER batch than the re-weight); b3 closes the path (prediction
+    // killed only by the drain's non-adjacency filter)
+    val b1 = Seq(1L -> 21L, 300L -> 998L)
+    val b2 = Seq(20L -> 21L, 21L -> 22L, 300L -> 999L)
+    val b3 = Seq(20L -> 22L)
+    val d1 = Graph.linkDeltas(df(b1), df(standing))
+    val d2 = Graph.linkDeltas(df(b2), df(standing ++ b1))
+    val d3 = Graph.linkDeltas(df(b3), df(standing ++ b1 ++ b2))
+    val merged = Graph.linkMerge(Graph.linkScores(df(standing)),
+      d1.unionByName(d2).unionByName(d3))
+    val got = Graph.linkFinish(merged, df(standing ++ b1 ++ b2 ++ b3))
+    val cold = Graph.linkPredictFrom(df(standing ++ b1 ++ b2 ++ b3))
+    assert(diff(got, cold) == 0)
+    // and in ONE batch — same answer (batching invariance, both ways)
+    val one = Graph.linkIncrementalOver(df(b1 ++ b2 ++ b3), df(standing),
+      Graph.linkScores(df(standing)))
+    assert(diff(one, cold) == 0)
+  }
+
   test("graph_triangles / graph_transitivity: fixture self-consistency") {
     val per = Graph.graphTriangles(spark, "/root/testdata/sf0.001").collect()
     assert(per.nonEmpty)
