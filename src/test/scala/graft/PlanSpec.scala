@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("top_customers").contains("TakeOrderedAndProject"))
   }
 
+  test("graph_link_predict: wedge equi-joins + TakeOrdered — no cartesian, no global sort") {
+    Seq("graph_link_predict", "graph_link_predict_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan must stay equi-join-bounded")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-k must be TakeOrdered, not a global sort")
+    }
+  }
+
   test("q1_agg: partial (map-side) aggregation present") {
     assert(plan("q1_agg").contains("partial_"))
   }
