@@ -9,8 +9,14 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.entry(spark).count() // warm (also sets the nanos conf)
+    // A/B knob: clear the session-shared fit memos before every run, so
+    // each run pays its query's full fit+probe cost (the Bench suite's
+    // per-iteration discipline) instead of benching warm-memo serving.
+    val clearFits = sys.env.get("SPARK_GRAFT_CLEAR_FITS").contains("1")
     args.foreach { name =>
       (1 to 3).foreach { i =>
+        if (clearFits) graft.ops.SharedFits.clear(spark)
+        System.gc()
         val t0 = System.nanoTime()
         // noop sink = full output materialization, same method as Bench
         SparkEntry.queries(name)(spark, sfDir)

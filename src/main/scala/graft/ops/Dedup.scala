@@ -342,8 +342,10 @@ object Dedup {
     // WholeStageCodegen; the collect_list+pair-explode alternative runs
     // the pair lambda interpreted, which measures ~3× slower.
     val sigs = simhashSignatures(exactReps(docs)).localCheckpoint()
+    val spark = docs.sparkSession
     val (blocks, radius) = mihGeometry(sigs.count(),
-      SIMHASH_BANDS, SIMHASH_MAX_HAMMING, SIMHASH_RUNG1_N, SIMHASH_RUNG2_N)
+      SIMHASH_BANDS, SIMHASH_MAX_HAMMING,
+      simhashRung1N(spark), simhashRung2N(spark))
     if (radius > 1)
       mihPairsRung2(sigs, "doc_id", "simhash",
         SIMHASH_BITS, SIMHASH_MAX_HAMMING, ("d1", "d2"))
@@ -383,25 +385,42 @@ object Dedup {
       (blocks, maxH / blocks)
     } else (2, maxH / 2)
 
-  /** Corpus size where SimHash banding takes the wider rung-1 geometry
-    * (see [[mihGeometry]]); every gated fixture sits far below.
+  /** Corpus size where SimHash banding takes the wider rung-1 geometry —
+    * DERIVED (round 14): the corpus at which rung 0's in-bucket
+    * candidate mass (8·N²/2⁷ rows) crosses the configured PAYLOAD
+    * budget ([[Resources.payloadBudget]] — execution memory + page
+    * cache, the resource whose exhaustion makes the in-memory join go
+    * super-linear). Default budget instantiates to ≈77k on this box —
+    * the measured r12 pin (65536) within 18%, now portable: a fleet
+    * with bigger executors raises the budget and keeps the cheaper
+    * rung-0 plan longer. Every gated fixture sits far below.
     */
-  val SIMHASH_RUNG1_N = 65536L
+  def simhashRung1N(spark: SparkSession): Long =
+    Resources.bandedRungCeiling(Resources.payloadBudget(spark),
+      SIMHASH_BANDS, SIMHASH_BITS / SIMHASH_BANDS, 0)
 
   /** Corpus size where SimHash pairing switches to the rung-2 cogroup
-    * operator ([[mihPairsRung2]]). MEASURED, not extrapolated
-    * (SCALING.md round 13, 32 g heap): rung 1 wins decisively at 500k
-    * docs (7.6 s vs rung 2's 80.7 — its N²/2¹⁴ candidate mass is still
-    * cheap) and DIES at 1.5 M: the ≈4.3 B candidate rows spill the
-    * shuffle until the box's 78 GB scratch disk fills ("No space left
-    * on device"), while rung 2 completes in 233 s with an O(N) working
-    * set and measured-flat per-doc cost (80.7 → 232.9 s for 3× docs).
-    * The pin sits at the survivability boundary, not the wall-time
-    * crossover: past it the explode-join's candidate mass is what
-    * fails first — and it fails on DISK, the resource a cluster also
-    * rations per executor.
+    * operator ([[mihPairsRung2]]) — DERIVED (round 14) from the
+    * measured r13 crack: rung 1 wins decisively at 500k docs (7.6 s vs
+    * rung 2's 80.7 — its candidate mass is still cheap) and DIES at
+    * 1.5 M, where ≈8.2 B candidate rows spill ≈300 GB until the box's
+    * 78 GB scratch disk fills ("No space left on device"), while rung 2
+    * completes with an O(N) working set and measured-flat per-doc cost
+    * (80.7 → 232.9 s for 3× docs). That run calibrates
+    * [[Resources.CAND_ROW_BYTES]] (≈36 B/spilled row), and the pin is
+    * where rung 1's estimated candidate volume
+    * (4·15·N²/2¹⁴ · 36 B) crosses the configured SCRATCH budget
+    * ([[Resources.scratchBudget]]): ≈769k at this box's 78 GB — INSIDE
+    * the measured (500k, 1.5M) bracket, and safer than r13's absolute
+    * 1M pin, which the extrapolation places slightly past the 78-GB
+    * crossing. Survivability boundary, not wall-time crossover: the
+    * explode-join fails on DISK, the resource a cluster rations per
+    * executor — a small-scratch fleet lowers the budget and flips to
+    * the survivable kernel earlier.
     */
-  val SIMHASH_RUNG2_N = 1000000L
+  def simhashRung2N(spark: SparkSession): Long =
+    Resources.bandedRungCeiling(Resources.scratchBudget(spark),
+      SIMHASH_BANDS / 2, SIMHASH_BITS / (SIMHASH_BANDS / 2), 1)
 
   /** Hamming-≤maxH pairs of a signature frame via rung-geometry banded
     * LSH (see [[mihGeometry]]): index side emits exact (band_no,
@@ -496,7 +515,14 @@ object Dedup {
     * is one row/doc (locally checkpointed; storage is operator-owned and
     * freed by the context cleaner, no harness clearCache needed).
     */
-  /** Dispatch pin for the AllPairs verify stage (the [[SIMHASH_RUNG2_N]]
+  /** Measured in-flight verification payload per document of the
+    * AllPairs candidate join on the fixture's shingle-set distribution:
+    * 10 GB at 150k docs / 20 GB at 300k / 34 GB at 500k → ≈67 KB/doc
+    * (candidate fan-out × two full arrays per candidate row).
+    */
+  val JACCARD_VERIFY_BYTES_PER_DOC = 67_000L
+
+  /** Dispatch pin for the AllPairs verify stage (the [[simhashRung2N]]
     * discipline: pinned at the survivability boundary, not a wall-time
     * sweet spot). Below it the codegen candidate-join is ~2.5× faster —
     * the per-candidate double-array payload still fits execution memory
@@ -504,18 +530,33 @@ object Dedup {
     * it that payload outruns the box and the join goes super-linear
     * (20 GB at 300k docs: 155.9 vs 24.1 s; 34 GB at 500k: 301.2 vs
     * 88.3 s) while the grouped kernel — one array per prefix row, no
-    * materialized candidate rows — stays linear. Per-EXECUTOR payload is
-    * what a cluster rations too, so the boundary transfers. Both branches
-    * face the DuckDB oracle: this dispatch at the gated corpora picks the
-    * join, and `dedup_jaccard_grouped` forces the kernel against the same
-    * oracle SQL.
+    * materialized candidate rows — stays linear. DERIVED (round 14):
+    * [[Resources.payloadBudget]] / [[JACCARD_VERIFY_BYTES_PER_DOC]] —
+    * exactly the r13 200k-doc pin at this box's default budget, and on
+    * a cluster the configured per-fleet budget moves the boundary with
+    * the executors (per-executor payload is what a cluster rations
+    * too). Both branches face the DuckDB oracle: this dispatch at the
+    * gated corpora picks the join, and `dedup_jaccard_grouped` forces
+    * the kernel against the same oracle SQL.
     */
-  val JACCARD_GROUPED_N = 200000L
+  def jaccardGroupedN(spark: SparkSession): Long =
+    Resources.payloadBudget(spark) / JACCARD_VERIFY_BYTES_PER_DOC
 
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = jaccardSets(docs)
+  def ngramJaccardPairs(docs: DataFrame): DataFrame =
+    ngramJaccardPairsFromSets(jaccardSets(docs))
+
+  /** The dispatch seam over an already-built set table. `nDocsHint ≥ 0`
+    * skips the size probe (one count job — cheap on the checkpointed set
+    * table, but round-14 advice: a per-micro-batch caller should not pay
+    * an extra Spark job per invocation just to re-learn that its batches
+    * are small). Callers who know their frame is batch-bounded pass the
+    * bound; corpus entry points let the default self-count once.
+    */
+  private[graft] def ngramJaccardPairsFromSets(sets: DataFrame,
+      nDocsHint: Long = -1L): DataFrame = {
+    val n = if (nDocsHint >= 0L) nDocsHint else sets.count()
     val pfx = jaccardPrefix(sets)
-    if (sets.count() < JACCARD_GROUPED_N) jaccardVerifyJoin(sets, pfx)
+    if (n < jaccardGroupedN(sets.sparkSession)) jaccardVerifyJoin(sets, pfx)
     else jaccardVerifyGrouped(sets, pfx)
   }
 
@@ -576,7 +617,13 @@ object Dedup {
         s"""slice(ranked, 1,
            |  CAST(size(ranked) - ceil($JACCARD_THRESHOLD * size(ranked)) + 1 AS INT))"""
           .stripMargin)).as("r"))
-      .select(col("doc_id"), col("r.h").as("h"))
+      // df rides along for free (already computed for the rank): the
+      // grouped verify kernel uses it as a ZERO-COST occupancy bound to
+      // block-split degenerate prefix groups — df ≥ prefix occupancy
+      // always, so no oversized group escapes the split undetected. (A
+      // true per-h occupancy agg+join was measured a net loss — see the
+      // rejected note in jaccardVerifyGrouped.)
+      .select(col("doc_id"), col("r.h").as("h"), col("r.df").as("df"))
   }
 
   /** Candidate generation + verification as the declarative join chain:
@@ -638,54 +685,110 @@ object Dedup {
     * [[knnCandGrouped]] carries, bounded here by prefix discriminativeness
     * plus the upstream exact-dup representative cut.
     */
+  /** Residency bound for one grouped-verify task, in group MEMBERS: a
+    * prefix group larger than this is block-split (see below) so a
+    * degenerate non-discriminative prefix shingle cannot concentrate the
+    * whole group's arrays — plus every surviving pair — in a single
+    * task's heap (round-14 advice). At 4096 members × ~200-shingle
+    * bigint arrays a task holds ≲ 7 MB of payload; the split bound is a
+    * residency cap, not a tuning knob.
+    */
+  val JACCARD_GROUP_SPLIT = 4096
+
+  /** Cap on how many blocks a split group fans into — bounds the shuffle
+    * replication of a hot group's entries (each member is shipped once
+    * per block-pair row it participates in, ≤ this many).
+    */
+  val JACCARD_SPLIT_MAX_BLOCKS = 64
+
   private[graft] def jaccardVerifyGrouped(sets: DataFrame,
-      prefix: DataFrame): DataFrame = {
+      prefix: DataFrame,
+      split: Int = JACCARD_GROUP_SPLIT): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     val t = JACCARD_THRESHOLD
     // (measured and REJECTED: pre-filtering to multi-member buckets via a
     // (h, occ) agg+join saved nothing — 34.2 s → 37.3 s at 30× — because
     // candidate-bearing buckets hold most of the prefix mass here; the
-    // extra exchange costs what the dropped singletons save)
+    // extra exchange costs what the dropped singletons save. The block
+    // split below reuses jaccardPrefix's df for the same reason: a free
+    // upper bound on occupancy beats a paid exact one.)
     val entries = prefix.join(sets, Seq("doc_id"))
-      .select(col("h"), col("doc_id"), col("shs"), col("n"))
-      .as[(Long, Long, Array[Long], Long)]
-    entries.groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val m = rows.length
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var i = 0
-        while (i < m - 1) {
-          var j = i + 1
-          while (j < m) {
-            // orient by doc_id: the join form's d1 < d2
-            val (a, b) = if (rows(i)._2 < rows(j)._2) (rows(i), rows(j))
-                         else (rows(j), rows(i))
-            val n1 = a._4; val n2 = b._4
-            // same IEEE comparison as the join form's length filter
-            // (long widened to double, multiply by the double literal)
-            if (n1 * t <= n2 && n2 * t <= n1) {
-              val sa = a._3; val sb = b._3
-              var x = 0; var y = 0; var c = 0L
-              while (x < sa.length && y < sb.length) {
-                val xv = sa(x); val yv = sb(y)
-                if (xv < yv) x += 1
-                else if (xv > yv) y += 1
-                else { c += 1L; x += 1; y += 1 }
-              }
-              val jd = c.toDouble / (n1 + n2 - c).toDouble
-              if (jd >= t) {
-                val r = java.math.BigDecimal.valueOf(jd)
-                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-                out += ((a._2, b._2, r))
-              }
-            }
-            j += 1
-          }
-          i += 1
+      .select(col("h"), col("df"), col("doc_id"), col("shs"), col("n"))
+      .as[(Long, Long, Long, Array[Long], Long)]
+    // Block split: a group whose df bound exceeds `split` is cut into
+    // k = ⌈df/split⌉ (capped) doc-hash blocks and enumerated as block
+    // PAIRS — group (h, lo, hi) holds only blocks lo and hi, so one
+    // task's residency is ≤ ~2·max(split, df/cap) arrays instead of the
+    // whole group. A member of block b lands in every (h, min(o,b),
+    // max(o,b)) for o ∈ [0,k): pair (bi, bj) meets in exactly one group,
+    // the within-block pair in (b, b) — the classic triangle scheme for
+    // distributed all-pairs. Multi-group duplicates (several shared
+    // prefix shingles, unchanged from before) collapse in the final
+    // distinct.
+    val keyed = entries.flatMap { case (h, df, id, shs, n) =>
+      if (df <= split) Iterator(((h, 0, 0), (id, shs, n, 0)))
+      else {
+        val k = math.min(((df + split - 1) / split).toInt,
+          JACCARD_SPLIT_MAX_BLOCKS)
+        val b = (java.lang.Long.hashCode(id * -0x61c8864680b583ebL) &
+          Int.MaxValue) % k
+        (0 until k).iterator.map { o =>
+          ((h, math.min(o, b), math.max(o, b)), (id, shs, n, b))
         }
-        out.iterator
+      }
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val cross = key._2 != key._3 // block-pair group: only cross pairs
+        val rows = it.map(_._2).toArray
+        val m = rows.length
+        // Lazy pair emission (round-14 advice): survivors stream straight
+        // to the consumer instead of accumulating in a task-local buffer,
+        // so a group's heap holds its member arrays and ONE candidate at
+        // a time — never the O(m²) survivor set.
+        new scala.collection.AbstractIterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long, Double) = _
+          private var done = m < 2
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && !done) {
+              val ri = rows(i); val rj = rows(j)
+              if (!cross || ri._4 != rj._4) {
+                // orient by doc_id: the join form's d1 < d2
+                val (a, b) = if (ri._1 < rj._1) (ri, rj) else (rj, ri)
+                val n1 = a._3; val n2 = b._3
+                // same IEEE comparison as the join form's length filter
+                // (long widened to double, multiply by the double literal)
+                if (n1 * t <= n2 && n2 * t <= n1) {
+                  val sa = a._2; val sb = b._2
+                  var x = 0; var y = 0; var c = 0L
+                  while (x < sa.length && y < sb.length) {
+                    val xv = sa(x); val yv = sb(y)
+                    if (xv < yv) x += 1
+                    else if (xv > yv) y += 1
+                    else { c += 1L; x += 1; y += 1 }
+                  }
+                  val jd = c.toDouble / (n1 + n2 - c).toDouble
+                  if (jd >= t) {
+                    val r = java.math.BigDecimal.valueOf(jd)
+                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                    nextPair = (a._1, b._1, r)
+                  }
+                }
+              }
+              j += 1
+              if (j >= m) { i += 1; j = i + 1; if (i >= m - 1) done = true }
+            }
+          }
+          advance()
+          def hasNext: Boolean = nextPair != null
+          def next(): (Long, Long, Double) = {
+            val r = nextPair; advance(); r
+          }
+        }
       }
       .toDF("d1", "d2", "jaccard")
       .distinct()
@@ -713,7 +816,7 @@ object Dedup {
   /** `dedup_jaccard_grouped`: the prefix-grouped verify kernel FORCED at
     * gate scale, against the same oracle SQL as `dedup_ngram_jaccard` —
     * so the branch [[ngramJaccardPairs]]'s size dispatch serves above
-    * [[JACCARD_GROUPED_N]] is itself oracle-checked, not only
+    * [[jaccardGroupedN]] is itself oracle-checked, not only
     * spec-equal to the join form (the degree-schedule lesson from round
     * 12: never ship a dispatch whose operative regime no oracle ever
     * faces).

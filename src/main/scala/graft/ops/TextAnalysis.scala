@@ -2573,7 +2573,12 @@ object TextAnalysis {
       .withColumn("c", expr("sorted_intersect_count(shs1, shs2)"))
       .filter(jacc >= jt)
       .select(col("doc_id"))
-    val lossBatch = Dedup.ngramJaccardPairs(arrivals)
+    // within-batch AllPairs over the ALREADY-built (and checkpointed)
+    // arrival set table — no re-shingling, and the dispatch hint keeps
+    // the seam lazy (no per-micro-batch count job, round-14 advice). A
+    // micro-batch is bounded by its trigger, far below the grouped
+    // kernel's dispatch pin, so the join form is pinned by construction.
+    val lossBatch = Dedup.ngramJaccardPairsFromSets(aSets, nDocsHint = 0L)
       .select(col("d2").as("doc_id"))
     val loserA = lossStanding.unionByName(lossBatch).distinct()
       .withColumn("is_loser", lit(true))

@@ -762,6 +762,21 @@ object StreamingPipeline {
     * (the standing index's append side, as in [[erLinkageReplay]]); the
     * sink is the idempotent batchId-keyed overwrite.
     */
+  /** Drain-read guard (round-14 advice): a replay whose stream source
+    * matches ZERO rows fires no micro-batch, so the batchId-keyed sink
+    * dir holds no part files and `spark.read.parquet` dies on schema
+    * inference. Returns the drained delta frame, or the caller-supplied
+    * empty frame (the delta schema at zero rows — a lazy plan, never
+    * executed unless needed) when nothing fired.
+    */
+  private def drainDeltas(spark: org.apache.spark.sql.SparkSession,
+      out: String)(empty: => DataFrame): DataFrame = {
+    val d = new java.io.File(out)
+    val fired = d.exists &&
+      Option(d.listFiles).exists(_.exists(_.getName.startsWith("batch=")))
+    if (fired) spark.read.parquet(out).drop("batch") else empty
+  }
+
   def graphTriStatsReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import graft.ops.Graph
@@ -789,7 +804,9 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Graph.triStreamMerge(statsSt, spark.read.parquet(out).drop("batch"))
+    Graph.triStreamMerge(statsSt, drainDeltas(spark, out) {
+      Graph.triStreamEmit(undS.limit(0), undS.limit(0))
+    })
   }
 
   /** The ORACLE-GATED streaming LINK-PREDICTION twin — missing-link
@@ -836,7 +853,9 @@ object StreamingPipeline {
       .start()
     q.awaitTermination()
     Graph.linkFinish(
-      Graph.linkMerge(scoredS, spark.read.parquet(out).drop("batch")), und)
+      Graph.linkMerge(scoredS, drainDeltas(spark, out) {
+        Graph.linkDeltas(undS.limit(0), undS.limit(0))
+      }), und)
   }
 
   /** The ORACLE-GATED streaming MULTIMODAL-ASSEMBLY twin — the media
@@ -993,6 +1012,83 @@ object StreamingPipeline {
     Privacy.kHistogram(
       Privacy.mergeCounts(standing, spark.read.parquet(out))
         .select(col("qi"), col("k")))
+  }
+
+  /** The ORACLE-GATED streaming L-DIVERSITY twin — the homogeneity
+    * audit on the same customer ingest stream as [[privacyKAnonReplay]],
+    * at the audit's MERGEABLE grain: `count_distinct(segment)` does not
+    * merge from per-class counts, so the streaming aggregation (and the
+    * MERGE sink) runs one level finer, on (qi, segment) running counts
+    * (UPDATE mode, state = one row per occupied (class, segment) cell —
+    * still class-bounded, never per-record). The drain merges the
+    * drained cell counts with the FitStore-persisted standing table and
+    * derives k/l through the SAME [[graft.ops.Privacy.lHistogram]]
+    * rollup the incremental uses. Oracle = the cold
+    * [[graft.ops.Privacy.lDiversitySql]] VERBATIM.
+    */
+  def privacyLDivReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Privacy
+    val tmp = java.nio.file.Files.createTempDirectory("privacy_ldiv_replay")
+    val out = s"$tmp/cells"
+    withStatePartitions(spark, 8) {
+      val q = Tables.customerStream(spark, sfDir)
+        .filter(col("c_custkey") % 2 === 1)
+        .groupBy(Privacy.qiSeg: _*)
+        .agg(count(lit(1)).as("k"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("qi", "seg"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val standing = Privacy.sharedClassCounts(spark, sfDir,
+      "privacy_qiseg_st", Privacy.qiSeg,
+      Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
+    Privacy.lHistogram(
+      Privacy.mergeCounts(standing, spark.read.parquet(out)))
+  }
+
+  /** The ORACLE-GATED streaming GENERALIZATION-LADDER twin — k-anonymity
+    * at every ladder level maintained on the customer ingest stream. The
+    * melt is per-record and level-local (a stateless projection after
+    * the broadcast stream-static nation join), so the streaming
+    * aggregation keys (level, qi) running counts — UPDATE mode, state ≤
+    * |levels| rows per occupied class — through the keyed MERGE sink.
+    * The drain unions the drained counts with the FitStore-persisted
+    * standing ladder table and rolls up through the SAME
+    * [[graft.ops.Privacy.ladderRollup]] the cold and incremental forms
+    * use. Oracle = [[graft.ops.Privacy.generalizationLadderSql]]
+    * VERBATIM.
+    */
+  def privacyLadderReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Privacy
+    val tmp = java.nio.file.Files.createTempDirectory("privacy_ladder_replay")
+    val out = s"$tmp/classes"
+    withStatePartitions(spark, 8) {
+      val q = Privacy.ladderCounts(
+          Tables.customerStream(spark, sfDir)
+            .filter(col("c_custkey") % 2 === 1),
+          Tables.nation(spark, sfDir))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Update.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          mergeByKey(batch, out, Seq("level", "qi"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Privacy.ladderRollup(
+      Privacy.sharedLadderCounts(spark, sfDir)
+        .unionByName(spark.read.parquet(out))
+        .groupBy(col("level"), col("qi")).agg(sum(col("k")).as("k")))
   }
 
   /** Streaming index-drift monitor — the online half of the batch

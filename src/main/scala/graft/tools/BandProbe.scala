@@ -20,6 +20,11 @@ object BandProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, family, blocksS, radiusS) = args.take(4)
     val (blocks, radius) = (blocksS.toInt, radiusS.toInt)
+    // optional 5th arg "cogroup": force the mihPairsRung2 kernel at THIS
+    // family's 2-block geometry even where the explode-join also exists
+    // (the pfp rung-2 A/B — its radius is 1, so the blocks==2 && radius>1
+    // auto-route below never fires for it)
+    val forceCogroup = args.length > 4 && args(4) == "cogroup"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -46,12 +51,12 @@ object BandProbe {
     // that geometry).
     val t0 = System.nanoTime()
     val pairs =
-      (if (blocks == 2 && radius > 1)
+      (if (forceCogroup || (blocks == 2 && radius > 1))
         Dedup.mihPairsRung2(sigs, id, sig, bits, maxH, ("d1", "d2"))
       else Dedup.bandedHammingPairs(sigs, id, sig, bits, maxH,
         blocks, radius, ("d1", "d2"))).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    val cands = if (blocks == 2 && radius > 1) -1L else {
+    val cands = if (forceCogroup || (blocks == 2 && radius > 1)) -1L else {
       val bandBits = bits / blocks
       val mask = (1L << bandBits) - 1
       val bands = sigs.select(col(id), col(sig),

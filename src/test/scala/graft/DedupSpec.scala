@@ -177,6 +177,28 @@ class DedupSpec extends SparkSpec {
     assert(g.count() == g.select("d1", "d2").distinct().count())
   }
 
+  test("jaccard grouped kernel: forced block split ≡ join form (residency cap path)") {
+    // split = 1 forces EVERY multi-member prefix group through the
+    // block-pair decomposition (the degenerate-prefix residency cap,
+    // round-14) at maximum fan-out — the pair set must be bit-identical
+    // to the declarative join form, duplicates collapsed
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    def grouped(d: org.apache.spark.sql.DataFrame, split: Int) = {
+      val sets = Dedup.jaccardSets(d)
+      Dedup.jaccardVerifyGrouped(sets, Dedup.jaccardPrefix(sets), split)
+    }
+    val fixture = graft.pipeline.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(diff(grouped(fixture, 1), Dedup.ngramJaccardPairsJoin(fixture)) == 0)
+    val nearDup = base.replaceFirst("window", "vector")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> base,
+      4L -> "dup big small fast slow the a customer data order sort key line",
+      5L -> (base + " " + base))
+    assert(diff(grouped(d, 1), Dedup.ngramJaccardPairsJoin(d)) == 0)
+    val g = grouped(d, 1)
+    assert(g.count() == g.select("d1", "d2").distinct().count())
+  }
+
   test("substring spans: docs sharing a 10-word run pair up; shorter overlap does not") {
     val run = "one two three four five six seven eight nine ten"
     val d = docs(

@@ -88,6 +88,22 @@ class PrivacySpec extends SparkSpec {
       == rows(Privacy.kAnonymity(spark, sf)))
   }
 
+  test("streaming l-diversity: drained (qi, seg) cells + standing merge ≡ the cold audit") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(rows(graft.streaming.StreamingPipeline.privacyLDivReplay(spark, sf))
+      == rows(Privacy.lDiversity(spark, sf)))
+  }
+
+  test("streaming ladder: drained level classes + standing merge ≡ the cold ladder") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(rows(graft.streaming.StreamingPipeline.privacyLadderReplay(spark, sf))
+      == rows(Privacy.generalizationLadder(spark, sf)))
+  }
+
   test("plan: audits are scan-shaped — ladder reads customer once, nation broadcast") {
     val ladder = Privacy.generalizationLadder(spark, sf)
     val scans = ladder.queryExecution.optimizedPlan

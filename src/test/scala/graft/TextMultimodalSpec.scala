@@ -1523,5 +1523,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rung1 == rung0,
       s"rung-1 must be candidate-complete: missing=${(rung0 -- rung1).take(5)} " +
         s"extra=${(rung1 -- rung0).take(5)}")
+    // rung 2 (round 14): the partition-grouped cogroup kernel at the same
+    // 2x28 radius-1 geometry — bit-identical pair set, like every rung
+    val rung2 = graft.ops.Dedup.mihPairsRung2(sigs, "media_id", "pfp",
+        Multimodal.PFP_BITS, Multimodal.PFP_MAX_HAMMING, ("m1", "m2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rung2 == rung0,
+      s"rung-2 must be candidate-complete: missing=${(rung0 -- rung2).take(5)} " +
+        s"extra=${(rung2 -- rung0).take(5)}")
+  }
+
+  test("resource-derived dispatch pins instantiate to the measured box brackets") {
+    import graft.ops.{Dedup, Resources}
+    // defaults (this box's budgets) must land each pin inside the bracket
+    // its round-12/13 measurement established
+    assert(Dedup.jaccardGroupedN(spark) == 200000L,
+      "payload budget / measured bytes-per-doc must reproduce the r13 pin exactly")
+    val s1 = Dedup.simhashRung1N(spark)
+    assert(s1 >= 32768L && s1 <= 131072L, s"simhash rung-1 pin $s1 out of bracket")
+    val s2 = Dedup.simhashRung2N(spark)
+    assert(s2 > 500000L && s2 < 1500000L,
+      s"simhash rung-2 pin $s2 must sit inside the measured (500k, 1.5M) crack bracket")
+    val p1 = Multimodal.pfpRung1N(spark)
+    assert(p1 >= 500000L && p1 <= 3000000L, s"pfp rung-1 pin $p1 out of bracket")
+    // (no pfp rung-2 pin: past pfpRung1N the cogroup kernel is measured
+    // dominant at every scale — see perceptualNearDup's ladder note)
+    // the pins MOVE with the configured fleet: a small-executor deployment
+    // flips to the survivable kernels earlier
+    try {
+      spark.conf.set("spark.graft.payloadBudgetBytes", "1340000000") // /10
+      spark.conf.set("spark.graft.scratchBudgetBytes", "7800000000")
+      assert(Dedup.jaccardGroupedN(spark) == 20000L)
+      assert(Dedup.simhashRung2N(spark) < s2 / 3 + 1,
+        "scratch/10 must pull the rung-2 pin in by ~sqrt(10)")
+      assert(Multimodal.pfpRung1N(spark) < p1 / 3 + 1)
+    } finally {
+      spark.conf.unset("spark.graft.payloadBudgetBytes")
+      spark.conf.unset("spark.graft.scratchBudgetBytes")
+    }
   }
 }
