@@ -433,7 +433,7 @@ object EntityResolution {
     * written in exactly that partial-merge form so the persisted shape
     * drops in.
     */
-  private def sharedStandingAssignment(spark: SparkSession,
+  private[graft] def sharedStandingAssignment(spark: SparkSession,
       sfDir: String): DataFrame =
     SharedFits.memo(spark, s"er_assign_st:$sfDir") {
       FitStore.frame(spark, "er_assign_st",
@@ -502,11 +502,24 @@ object EntityResolution {
   }
 
   private[graft] def erGoldenIncrementalOver(standing: DataFrame,
-      arrivals: DataFrame, assignSt: DataFrame): DataFrame = {
+      arrivals: DataFrame, assignSt: DataFrame): DataFrame =
+    erGoldenFinish(standing, arrivals, assignSt,
+      erPairsIncrementalOver(standing, arrivals)
+        .select(col("a_id"), col("b_id")).localCheckpoint())
+
+  /** The golden-record MERGE from an arrival-touching pair frame —
+    * contracted-CC fixpoint + algebraic survivorship against the
+    * standing assignment. Shared verbatim by the one-shot incremental
+    * (grow-history pairs) and the streaming drain (frozen-cap pairs from
+    * the replay sink) — the pair-admission POLICY is the only thing the
+    * two modes disagree on, so it is the parameter (round 14,
+    * `er_golden_stream`).
+    */
+  private[graft] def erGoldenFinish(standing: DataFrame,
+      arrivals: DataFrame, assignSt: DataFrame,
+      newPairs: DataFrame): DataFrame = {
     val rs = records(standing)
     val ra = records(arrivals).localCheckpoint()
-    val newPairs = erPairsIncrementalOver(standing, arrivals)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
     // contract standing endpoints to their entity label (left join: an
     // arrival endpoint has no standing assignment and keeps its own id).
     // Unhinted: assignSt is corpus-proportional; AQE broadcasts the
@@ -627,6 +640,64 @@ object EntityResolution {
        |JOIN mode_src ms ON st.entity_id = ms.entity_id
        |JOIN rep_name rn ON st.entity_id = rn.entity_id""".stripMargin
   }
+
+  /** Oracle for the STREAMING golden twin: the cold golden records over
+    * the FROZEN-CAP pair set (the `er_pairs_stream` admission policy —
+    * cap decisions pinned at standing-index-build time, so the kept
+    * view is "records whose standing block size is ≤ cap"; a frozen
+    * standing–standing pair is then exactly a standing-linkage pair,
+    * which is why the drain can contract onto the SAME standing
+    * assignment the incremental uses), restricted to entities containing
+    * ≥ 1 arrival (odd doc_id).
+    */
+  val erGoldenStreamSql: String =
+    s"""WITH RECURSIVE r AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, $NAME_TOKENS), ' ') AS name,
+       |         string_split_regex(text, '\\s+')[1] AS t1
+       |  FROM documents),
+       |bsz_st AS (SELECT lang, t1, count(*) AS bs FROM r WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |k AS (SELECT r.* FROM r LEFT JOIN bsz_st b ON r.lang = b.lang AND r.t1 = b.t1
+       |      WHERE COALESCE(b.bs, 0) <= $ER_BLOCK_CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CASE WHEN levenshtein(a.name, b.name) <= $ER_NAME_MAXDIST THEN 1 ELSE 0 END AS agree_name,
+       |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_source,
+       |         CASE WHEN abs(a.n_chars - b.n_chars) <= $ER_LEN_MAXDIFF THEN 1 ELSE 0 END AS agree_len
+       |  FROM k a JOIN k b ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id),
+       |matched AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |           (CASE WHEN agree_name = 1 THEN $W_NAME_AGREE ELSE $W_NAME_DIS END
+       |            + CASE WHEN agree_source = 1 THEN $W_SRC_AGREE ELSE $W_SRC_DIS END
+       |            + CASE WHEN agree_len = 1 THEN $W_LEN_AGREE ELSE $W_LEN_DIS END) AS score
+       |    FROM cand)
+       |  WHERE score >= $ER_SCORE_TAU),
+       |edges AS (SELECT a_id AS d1, b_id AS d2 FROM matched
+       |          UNION ALL SELECT b_id AS d1, a_id AS d2 FROM matched),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS rl FROM r
+       |  UNION
+       |  SELECT e.d1 AS doc_id, rc.rl FROM edges e JOIN reach rc ON e.d2 = rc.doc_id),
+       |assign AS (SELECT doc_id, min(rl) AS entity_id FROM reach GROUP BY 1),
+       |members AS (SELECT r.*, a.entity_id FROM r JOIN assign a ON r.doc_id = a.doc_id),
+       |touched AS (SELECT DISTINCT entity_id FROM members WHERE doc_id % 2 = 1),
+       |src_cnt AS (SELECT entity_id, source, count(*) AS cnt FROM members GROUP BY 1, 2),
+       |max_cnt AS (SELECT entity_id, max(cnt) AS mx FROM src_cnt GROUP BY 1),
+       |mode_src AS (
+       |  SELECT s.entity_id, min(s.source) AS source
+       |  FROM src_cnt s JOIN max_cnt m ON s.entity_id = m.entity_id AND s.cnt = m.mx
+       |  GROUP BY 1),
+       |stats AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars, min(lang) AS lang
+       |  FROM members GROUP BY 1),
+       |rep_name AS (SELECT entity_id, name FROM members WHERE doc_id = entity_id)
+       |SELECT st.entity_id, st.n_members, rn.name, ms.source, st.total_chars, st.lang
+       |FROM stats st
+       |JOIN touched t ON st.entity_id = t.entity_id
+       |JOIN mode_src ms ON st.entity_id = ms.entity_id
+       |JOIN rep_name rn ON st.entity_id = rn.entity_id""".stripMargin
 
   /** `er_blocking_audit`: the block-size histogram with the load-shed mass
     * made visible — for each block size: how many blocks, how many

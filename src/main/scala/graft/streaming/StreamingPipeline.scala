@@ -746,6 +746,57 @@ object StreamingPipeline {
     spark.read.parquet(out).drop("batch")
   }
 
+  /** The ORACLE-GATED streaming GOLDEN-RECORD twin — survivorship
+    * maintained as mentions stream in, the audit-cadence completion of
+    * the ER family (round-13 "What's missing" #2). The per-batch work IS
+    * [[erLinkageReplay]]'s frozen-cap probe (cap decisions pinned at
+    * standing-index-build time; emission batch-decomposition-invariant,
+    * so the drained pair set equals the one-shot frozen set under ANY
+    * batching), and the drain runs the SAME contracted-CC + algebraic
+    * survivorship finish as the one-shot incremental
+    * ([[graft.ops.EntityResolution.erGoldenFinish]]) — legal because a
+    * frozen standing–standing pair is exactly a standing-linkage pair,
+    * so the FitStore standing assignment is the frozen policy's own
+    * cluster state. Oracle: [[graft.ops.EntityResolution
+    * .erGoldenStreamSql]] — the cold golden records over the frozen pair
+    * set, restricted to arrival-touching entities.
+    */
+  def erGoldenReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.EntityResolution
+    val tmp = java.nio.file.Files.createTempDirectory("er_golden_replay")
+    val out = s"$tmp/pairs"
+    val docs = Tables.documents(spark, sfDir)
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+    val rejected = EntityResolution.frozenRejectedBlocks(standing)
+      .localCheckpoint()
+    val rsKept = EntityResolution.keptFrozen(standing, rejected)
+      .localCheckpoint()
+    var seenKept = EntityResolution.keptFrozen(standing.limit(0), rejected)
+      .localCheckpoint()
+    val q = Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append.toString)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rb = EntityResolution.keptFrozen(batch.toDF(), rejected)
+          .localCheckpoint()
+        EntityResolution.erStreamProbe(rb, rsKept.unionByName(seenKept))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        seenKept = seenKept.unionByName(rb).localCheckpoint()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = drainDeltas(spark, out) {
+      EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0))
+    }.select(col("a_id"), col("b_id")).localCheckpoint()
+    EntityResolution.erGoldenFinish(standing, arrivals,
+      EntityResolution.sharedStandingAssignment(spark, sfDir), drained)
+  }
+
   /** The ORACLE-GATED streaming TRIANGLE-STATS twin — completing the
     * graph family's deployment-mode coverage (batch → incremental →
     * streaming): odd-id vectors arrive as micro-batches, each batch OWNS

@@ -175,6 +175,28 @@ class ERSpec extends SparkSpec {
     assert(oneShot.nonEmpty)
   }
 
+  test("er golden stream: replayed drain ≡ one-shot frozen golden finish") {
+    import org.apache.spark.sql.functions.col
+    // the DuckDB oracle gates stream ≡ cold-frozen-golden; here assert the
+    // replay plumbing (micro-batch probe emissions → drain → contracted-CC
+    // finish) equals the ONE-SHOT composition over the same frozen pair set
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+    val rejected = EntityResolution.frozenRejectedBlocks(standing)
+    val oneShot = EntityResolution.erGoldenFinish(standing, arrivals,
+      EntityResolution.sharedStandingAssignment(spark, sf),
+      EntityResolution.erStreamProbe(
+          EntityResolution.keptFrozen(arrivals, rejected),
+          EntityResolution.keptFrozen(standing, rejected))
+        .select(col("a_id"), col("b_id")))
+    val streamed = graft.streaming.StreamingPipeline.erGoldenReplay(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(streamed) == rows(oneShot))
+    assert(streamed.count() > 0)
+  }
+
   test("privacy incrementals: merged partials equal the cold audits exactly") {
     val kInc = graft.ops.Privacy.kAnonymityIncremental(spark, sf)
     val kCold = graft.ops.Privacy.kAnonymity(spark, sf)
