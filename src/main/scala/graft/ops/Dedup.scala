@@ -464,6 +464,28 @@ object Dedup {
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(Tables.documents(spark, sfDir))
 
+  /** Forced-rung oracle twins (round 14): the SimHash dispatch's
+    * non-gate regimes — rung 1 (4×14 radius-1 explode-join, operative
+    * past [[simhashRung1N]]) and rung 2 (2×28 [[mihPairsRung2]] cogroup,
+    * past [[simhashRung2N]]) — FORCED at gate scale against the same
+    * all-pairs oracle SQL as `dedup_simhash_pairs`. The round-12
+    * degree-schedule lesson, applied to the last size-dispatched kernel
+    * whose operative regimes only spec-equality covered: never ship a
+    * dispatch whose operative regime no oracle ever faces.
+    */
+  def dedupSimhashRung1(spark: SparkSession, sfDir: String): DataFrame =
+    bandedHammingPairs(
+      simhashSignatures(exactReps(Tables.documents(spark, sfDir)))
+        .localCheckpoint(),
+      "doc_id", "simhash", SIMHASH_BITS, SIMHASH_MAX_HAMMING,
+      SIMHASH_BANDS / 2, 1, ("d1", "d2"))
+
+  def dedupSimhashRung2(spark: SparkSession, sfDir: String): DataFrame =
+    mihPairsRung2(
+      simhashSignatures(exactReps(Tables.documents(spark, sfDir)))
+        .localCheckpoint(),
+      "doc_id", "simhash", SIMHASH_BITS, SIMHASH_MAX_HAMMING, ("d1", "d2"))
+
   // The oracle states the SEMANTICS (all pairs under the hamming threshold,
   // naive all-pairs — fine at oracle scale); the banded plan above is the
   // scale path and provably returns the same set. lazy: reuses
