@@ -104,8 +104,21 @@ object ScaleUp {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
 
+    // customer: new custkeys per replica (ID_OFFSET is even, so the
+    // odd/even standing-arrival split convention is parity-preserved),
+    // QI fields unchanged — classes keep their identity and k scales ×n,
+    // the realistic growth direction for the privacy audits (round 14:
+    // lets the privacy streaming twins run the decade harness).
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until n).map { r =>
+      if (r == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(r * ID_OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/customer.parquet")
+
     // remaining tables unchanged
-    val others = Seq("region", "nation", "customer", "supplier", "part",
+    val others = Seq("region", "nation", "supplier", "part",
       "orders", "lineitem")
     others.foreach { t =>
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
