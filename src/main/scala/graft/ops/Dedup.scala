@@ -1915,7 +1915,7 @@ object Dedup {
   /** The recursive-CTE fixpoint chain ending in `rep(doc_id, rep_id)` —
     * the oracle core shared by every cluster-consuming query.
     */
-  private val CLUSTER_REP_CTES: String =
+  private[ops] val CLUSTER_REP_CTES: String =
     s"""${Tables.TOK_CTE},
        |${Tables.SHINGLE_CTE},
        |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -3328,6 +3328,96 @@ object TextAnalysis {
   def textSplit(spark: SparkSession, sfDir: String): DataFrame =
     splitAssignment(Tables.documents(spark, sfDir))
 
+  /** The split verdict for one id column — the rule [[splitAssignment]]
+    * aggregates, exposed at the per-document grain so the leakage
+    * operators below can apply it to doc ids AND cluster reps.
+    */
+  private def splitOf(id: Column): Column = {
+    val bucket = md5Bucket(id) % 100
+    when(bucket < TRAIN_PCT, "train")
+      .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+      .otherwise("test")
+  }
+
+  /** `split_leakage_audit`: the contamination channel a per-document
+    * hash split leaves OPEN, counted — verified near-duplicate pairs
+    * whose endpoints land in different splits (a test document with a
+    * train-side near-twin is leaked supervision; decontam only guards
+    * against the BENCH suite, not against the corpus's own split).
+    * One row per (split_1, split_2) cell of the pair matrix with the
+    * cross-split cells flagged. Plan: the session-shared verified pair
+    * frame ([[Dedup.sharedJaccardPairs]] — banded/prefix-bounded, never
+    * quadratic) joined to two stateless split projections; output ≤ 9
+    * rows.
+    */
+  def splitLeakageAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    Dedup.dedupNgramJaccard(spark, sfDir)
+      .join(split.select(col("doc_id").as("d1"), col("split").as("split_1")),
+        Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"), col("split").as("split_2")),
+        Seq("d2"))
+      .groupBy(col("split_1"), col("split_2"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .select(col("split_1"), col("split_2"), col("n_pairs"),
+        (col("split_1") =!= col("split_2")).cast("int").as("leaked"))
+  }
+
+  val splitLeakageAuditSql: String =
+    s"""WITH p AS (SELECT * FROM (${Dedup.dedupNgramJaccardSql})),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $TRAIN_PCT THEN 'train'
+       |              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${TRAIN_PCT + VAL_PCT} THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT s1.split AS split_1, s2.split AS split_2,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END AS leaked
+       |FROM p JOIN s s1 ON p.d1 = s1.doc_id JOIN s s2 ON p.d2 = s2.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** `split_cluster_safe`: the LEAKAGE-SAFE split — the hash rule
+    * applied at the near-dup CLUSTER grain instead of the document
+    * grain: every document splits by its cluster representative's
+    * bucket (singletons are their own rep, so un-duplicated documents
+    * split exactly as [[textSplit]] does), and no near-dup pair can
+    * straddle a boundary BY CONSTRUCTION — a cluster is atomic.
+    * Same output shape as `text_split` so the two are comparable
+    * side-by-side; the spec asserts the zero-leak guarantee by re-running
+    * the audit against this assignment. Plan: the session-shared cluster
+    * table ([[Dedup.dedupClusters]]'s memo — Jaccard+CC paid once per
+    * corpus) equi-joined to the document scan; no window, no new pair
+    * space.
+    */
+  def splitClusterSafe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(Dedup.dedupClusters(spark, sfDir).select(col("doc_id"), col("rep_id")),
+        Seq("doc_id"))
+      .withColumn("split", splitOf(col("rep_id")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("split_tokens"))
+
+  val splitClusterSafeSql: String =
+    s"""WITH RECURSIVE ${Dedup.CLUSTER_REP_CTES},
+       |s AS (
+       |  SELECT d.source,
+       |         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tokens,
+       |         CAST(('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+       |           AS bucket
+       |  FROM documents d JOIN rep r ON d.doc_id = r.doc_id)
+       |SELECT source,
+       |       CASE WHEN bucket < $TRAIN_PCT THEN 'train'
+       |            WHEN bucket < ${TRAIN_PCT + VAL_PCT} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |FROM s GROUP BY 1, 2""".stripMargin
+
   val textSplitSql: String =
     s"""WITH s AS (
        |  SELECT source,

@@ -978,6 +978,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.toSet == again.toSet)
   }
 
+  test("split leakage: the doc-level split leaks planted near-dup pairs; the cluster split cannot") {
+    val sf = "/root/testdata/sf0.001"
+    // the fixture's own near-dup pairs vs the doc-level hash split: the
+    // audit must account for every verified pair, and any cross-split
+    // cell it reports is exactly the leakage the cluster-safe split closes
+    val audit = TextAnalysis.splitLeakageAudit(spark, sf)
+      .as[(String, String, Long, Int)].collect()
+    val totalPairs = graft.ops.Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(audit.map(_._3).sum == totalPairs, "audit must account for every pair")
+    assert(audit.forall(r => (r._1 != r._2) == (r._4 == 1)))
+    // zero-leak guarantee: re-run the SAME audit against the cluster-rep
+    // split rule — no verified pair may straddle, by construction
+    import org.apache.spark.sql.functions.{col => c}
+    val clusterSplit = spark.read.parquet(s"$sf/documents.parquet")
+      .select(c("doc_id"))
+      .join(graft.ops.Dedup.dedupClusters(spark, sf).select(c("doc_id"), c("rep_id")),
+        Seq("doc_id"))
+      .select(c("doc_id"), (TextAnalysis.md5Bucket(c("rep_id")) % 100).as("b"))
+    val leakedUnderCluster = graft.ops.Dedup.dedupNgramJaccard(spark, sf)
+      .join(clusterSplit.select(c("doc_id").as("d1"), c("b").as("b1")), Seq("d1"))
+      .join(clusterSplit.select(c("doc_id").as("d2"), c("b").as("b2")), Seq("d2"))
+      .filter(c("b1") =!= c("b2")).count()
+    assert(leakedUnderCluster == 0L,
+      "a near-dup pair straddled the cluster-safe split — cluster atomicity broken")
+    // and the cluster-safe manifest still partitions the corpus exactly
+    val m = TextAnalysis.splitClusterSafe(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(m.map(_._3).sum == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("media shards: dedup first, then contiguous byte-budget assignment") {
     // two 3000-byte files (one a checksum twin that must dedup away)
     // and two 1500-byte files; budget 4096 -> offsets 0/3000/4500,
