@@ -244,6 +244,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "split counts must combine map-side")
   }
 
+  test("split leakage family: keyed joins over the shared pair/cluster frames, no window, no pair space") {
+    val a = plan("split_leakage_audit")
+    assert(!a.contains("CartesianProduct") && !a.contains("BroadcastNestedLoopJoin"),
+      "the audit joins the VERIFIED pair frame by doc key — never a new pair space")
+    assert(!a.contains("Window"))
+    val c = plan("split_cluster_safe")
+    assert(!c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoopJoin")
+      && !c.contains("Window"),
+      "cluster-grain split = one equi-join to the memoized cluster table + hash agg")
+    assert(c.contains("partial_"), "split counts must combine map-side")
+  }
+
   test("text_shuffle: per-bucket rank only — no window in global hash order") {
     val p = plan("text_shuffle")
     // the per-document rank runs inside (bucket) partitions
