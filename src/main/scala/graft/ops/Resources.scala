@@ -64,7 +64,7 @@ object Resources {
   /** Hamming-ball size Σ_{i≤r} C(bits, i) — the probe fan-out of a
     * banded rung at radius r.
     */
-  private[ops] def ballSize(bits: Int, radius: Int): Long =
+  private[graft] def ballSize(bits: Int, radius: Int): Long =
     (0 to radius).map { r =>
       (0 until r).foldLeft(1L)((acc, i) => acc * (bits - i) / (i + 1))
     }.sum

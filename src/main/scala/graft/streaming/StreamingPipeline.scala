@@ -828,6 +828,15 @@ object StreamingPipeline {
     if (fired) spark.read.parquet(out).drop("batch") else empty
   }
 
+  /** [[drainDeltas]]' sibling for keyed-MERGE sinks ([[mergeByKey]]
+    * writes a plain parquet dir, not batchId subdirs): a stream whose
+    * source matched zero rows never calls mergeByKey, so the dir does
+    * not exist and schema inference would fail at drain.
+    */
+  private def drainMerged(spark: org.apache.spark.sql.SparkSession,
+      out: String)(empty: => DataFrame): DataFrame =
+    if (new java.io.File(out).exists) spark.read.parquet(out) else empty
+
   def graphTriStatsReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import graft.ops.Graph
@@ -1061,7 +1070,7 @@ object StreamingPipeline {
       "privacy_qik_st", Privacy.qiK,
       Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
     Privacy.kHistogram(
-      Privacy.mergeCounts(standing, spark.read.parquet(out))
+      Privacy.mergeCounts(standing, drainMerged(spark, out)(standing.limit(0)))
         .select(col("qi"), col("k")))
   }
 
@@ -1101,7 +1110,7 @@ object StreamingPipeline {
       "privacy_qiseg_st", Privacy.qiSeg,
       Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
     Privacy.lHistogram(
-      Privacy.mergeCounts(standing, spark.read.parquet(out)))
+      Privacy.mergeCounts(standing, drainMerged(spark, out)(standing.limit(0))))
   }
 
   /** The ORACLE-GATED streaming GENERALIZATION-LADDER twin — k-anonymity
@@ -1136,9 +1145,10 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
+    val standing = Privacy.sharedLadderCounts(spark, sfDir)
     Privacy.ladderRollup(
-      Privacy.sharedLadderCounts(spark, sfDir)
-        .unionByName(spark.read.parquet(out))
+      standing
+        .unionByName(drainMerged(spark, out)(standing.limit(0)))
         .groupBy(col("level"), col("qi")).agg(sum(col("k")).as("k")))
   }
 

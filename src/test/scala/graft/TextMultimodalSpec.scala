@@ -1569,6 +1569,10 @@ class TextMultimodalSpec extends SparkSpec {
     // its round-12/13 measurement established
     assert(Dedup.jaccardGroupedN(spark) == 200000L,
       "payload budget / measured bytes-per-doc must reproduce the r13 pin exactly")
+    assert(graft.ops.Resources.ballSize(6, 3) == 42L,  // the MIH probe fan-out
+      "hamming-ball size: 1 + C(6,1) + C(6,2) + C(6,3)")
+    assert(graft.ops.Resources.ballSize(14, 1) == 15L)
+    assert(graft.ops.Resources.ballSize(28, 0) == 1L)
     val s1 = Dedup.simhashRung1N(spark)
     assert(s1 >= 32768L && s1 <= 131072L, s"simhash rung-1 pin $s1 out of bracket")
     val s2 = Dedup.simhashRung2N(spark)
