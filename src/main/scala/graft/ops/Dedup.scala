@@ -394,10 +394,26 @@ object Dedup {
     * the measured r12 pin (65536) within 18%, now portable: a fleet
     * with bigger executors raises the budget and keeps the cheaper
     * rung-0 plan longer. Every gated fixture sits far below.
+    *
+    * The pin is the MIN over BOTH budgets at rung 0's OWN geometry
+    * (round-14 self-review): a big-memory/small-disk fleet would
+    * otherwise keep the rung-0 explode-join past the point its
+    * candidate mass spills the scratch disk — the most scratch-hungry
+    * plan routed to exactly the fleet that can least absorb it. With
+    * equal scratch budgets the rung-0 scratch ceiling sits √(16/273) ≈
+    * 0.24× of rung 1's, so rung1N ≤ rung2N holds by construction and
+    * the ladder's ordering can never invert (spec-asserted under an
+    * adversarial budget config).
     */
-  def simhashRung1N(spark: SparkSession): Long =
-    Resources.bandedRungCeiling(Resources.payloadBudget(spark),
-      SIMHASH_BANDS, SIMHASH_BITS / SIMHASH_BANDS, 0)
+  def simhashRung1N(spark: SparkSession): Long = {
+    val blocks = SIMHASH_BANDS
+    val bandBits = SIMHASH_BITS / SIMHASH_BANDS
+    math.min(
+      Resources.bandedRungCeiling(Resources.payloadBudget(spark),
+        blocks, bandBits, 0),
+      Resources.bandedRungCeiling(Resources.scratchBudget(spark),
+        blocks, bandBits, 0))
+  }
 
   /** Corpus size where SimHash pairing switches to the rung-2 cogroup
     * operator ([[mihPairsRung2]]) — DERIVED (round 14) from the

@@ -376,9 +376,17 @@ object Multimodal {
     * within 23%, now moving with the fleet's executors.
     */
   def pfpRung1N(spark: SparkSession): Long =
-    graft.ops.Resources.bandedRungCeiling(
-      graft.ops.Resources.payloadBudget(spark),
-      PFP_BANDS, PFP_BAND_BITS, 0)
+    // min over BOTH budgets at rung 0's own geometry (the simhashRung1N
+    // discipline): a small-scratch fleet leaves the exact-band join for
+    // the O(N)-working-set cogroup before the band-bucket candidate
+    // mass can spill its disk
+    math.min(
+      graft.ops.Resources.bandedRungCeiling(
+        graft.ops.Resources.payloadBudget(spark),
+        PFP_BANDS, PFP_BAND_BITS, 0),
+      graft.ops.Resources.bandedRungCeiling(
+        graft.ops.Resources.scratchBudget(spark),
+        PFP_BANDS, PFP_BAND_BITS, 0))
 
   /** The perceptual rung ladder past [[pfpRung1N]] goes STRAIGHT to the
     * partition-grouped cogroup kernel ([[Dedup.mihPairsRung2]]) at the

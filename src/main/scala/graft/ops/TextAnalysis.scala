@@ -2550,7 +2550,7 @@ object TextAnalysis {
     */
   private[graft] def rejStreamFlags(arrivals: DataFrame, aSets: DataFrame,
       fpIdxAll: DataFrame, postingsAll: DataFrame,
-      setsAll: DataFrame): DataFrame = {
+      setsAll: DataFrame, batchBounded: Boolean = false): DataFrame = {
     graft.functions.ArrayFunctions.register(arrivals.sparkSession)
     val aq = quality(arrivals)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -2574,11 +2574,17 @@ object TextAnalysis {
       .filter(jacc >= jt)
       .select(col("doc_id"))
     // within-batch AllPairs over the ALREADY-built (and checkpointed)
-    // arrival set table — no re-shingling, and the dispatch hint keeps
-    // the seam lazy (no per-micro-batch count job, round-14 advice). A
-    // micro-batch is bounded by its trigger, far below the grouped
-    // kernel's dispatch pin, so the join form is pinned by construction.
-    val lossBatch = Dedup.ngramJaccardPairsFromSets(aSets, nDocsHint = 0L)
+    // arrival set table — no re-shingling (round-14 advice). The
+    // dispatch hint is the CALLER's claim, not this seam's: a streaming
+    // micro-batch is bounded by its trigger far below the grouped
+    // kernel's pin (batchBounded = true skips the count job and pins
+    // the join form), while the ONE-SHOT incremental's "arrivals" slice
+    // is corpus-proportional (20% of docs) and must self-count so the
+    // size dispatch can take the survivable grouped kernel past the pin
+    // (round-14 self-review: hard-coding 0 here forced the join form at
+    // exactly the scale it dies at).
+    val lossBatch = Dedup.ngramJaccardPairsFromSets(aSets,
+        nDocsHint = if (batchBounded) 0L else -1L)
       .select(col("d2").as("doc_id"))
     val loserA = lossStanding.unionByName(lossBatch).distinct()
       .withColumn("is_loser", lit(true))

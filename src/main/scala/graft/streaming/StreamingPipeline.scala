@@ -151,7 +151,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark,
+        "day" -> org.apache.spark.sql.types.StringType, "chain" -> org.apache.spark.sql.types.LongType,
+        "n_tx" -> org.apache.spark.sql.types.LongType, "total_stake" -> org.apache.spark.sql.types.DoubleType))
       .select(col("day"), col("chain").cast("long").as("chain"), col("n_tx"),
         round(col("total_stake"), 4).as("total_stake"))
   }
@@ -419,7 +421,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out).select(col("fp"), col("keep_id"), col("dup_count"))
+    drainOr(spark, out, emptyFrame(spark, "fp" -> org.apache.spark.sql.types.StringType,
+        "keep_id" -> org.apache.spark.sql.types.LongType, "dup_count" -> org.apache.spark.sql.types.LongType))
+      .select(col("fp"), col("keep_id"), col("dup_count"))
   }
 
   case class BandRow(doc_id: Long, ts: Timestamp, band_no: Int, bucket: String)
@@ -526,7 +530,8 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "d1" -> org.apache.spark.sql.types.LongType,
+        "d2" -> org.apache.spark.sql.types.LongType, "band_no" -> org.apache.spark.sql.types.IntegerType))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_bands"))
   }
@@ -641,7 +646,9 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    drainOr(spark, out,
+      ivfAssignStreamWith(Tables.embeddings(spark, sfDir).limit(0), assign)
+        .select(col("vec_id"), col("cell")))
   }
 
   /** The ORACLE-GATED streaming GRAPH-INSERT twin — the vector-index
@@ -691,7 +698,9 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out).drop("batch")
+    drainOr(spark, out, emptyFrame(spark, "new_id" -> org.apache.spark.sql.types.LongType,
+      "n_id" -> org.apache.spark.sql.types.LongType, "cosine" -> org.apache.spark.sql.types.DoubleType,
+      "rnk" -> org.apache.spark.sql.types.IntegerType)).drop("batch")
   }
 
   /** The ORACLE-GATED streaming ENTITY-LINKAGE twin — record linkage as
@@ -743,7 +752,9 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out).drop("batch")
+    drainOr(spark, out,
+      EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0)))
+      .drop("batch")
   }
 
   /** The ORACLE-GATED streaming GOLDEN-RECORD twin — survivorship
@@ -836,6 +847,45 @@ object StreamingPipeline {
   private def drainMerged(spark: org.apache.spark.sql.SparkSession,
       out: String)(empty: => DataFrame): DataFrame =
     if (new java.io.File(out).exists) spark.read.parquet(out) else empty
+
+  /** The generic zero-micro-batch drain guard (round-14 self-review:
+    * applied to EVERY replay's sink read, not just the newest twins).
+    * A stream that matched zero rows commits no batch, so the sink dir
+    * holds no part files (file sinks create no `_spark_metadata`,
+    * foreachBatch sinks never write) and `spark.read.parquet` dies on
+    * schema inference. `schemaOf` is the frame WRITTEN to the sink —
+    * its schema is static even on a streaming frame, so the fallback is
+    * an empty batch frame of exactly the drained shape.
+    */
+  private def drainOr(spark: org.apache.spark.sql.SparkSession,
+      out: String, schemaOf: DataFrame): DataFrame = {
+    val d = new java.io.File(out)
+    // data = an actual part file ANYWHERE under the sink (flat sinks,
+    // batchId subdirs, AND Hive-partitioned MERGE sinks like chain=…/ —
+    // a top-level-only scan misses the last kind); a bare
+    // `_spark_metadata` dir with zero committed files still fails
+    // schema inference, so metadata alone does NOT count
+    val hasData = d.exists && {
+      val st = java.nio.file.Files.walk(d.toPath)
+      try st.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    if (hasData) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
+  }
+
+  /** Column-typed empty frame for [[drainOr]] fallbacks where the sink
+    * schema is stated inline rather than derivable from an in-scope
+    * transformation.
+    */
+  private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+      cols: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t)
+      }))
 
   def graphTriStatsReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
@@ -967,7 +1017,10 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Multimodal.finishAssembly(spark.read.parquet(out).drop("batch"), fs)
+    Multimodal.finishAssembly(
+      drainOr(spark, out,
+        Multimodal.gauntletFlags(Tables.documents(spark, sfDir).limit(0),
+          emb, ck, bi)).drop("batch"), fs)
   }
 
   /** The ORACLE-GATED streaming CORPUS-REJECTIONS twin — the assembly
@@ -1014,7 +1067,7 @@ object StreamingPipeline {
         TA.rejStreamFlags(arr, aSets,
             fpIdx.unionByName(seenFp),
             postings.unionByName(seenPost),
-            sets.unionByName(seenSets))
+            sets.unionByName(seenSets), batchBounded = true)
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
         seenFp = seenFp.unionByName(
           arr.select(graft.ops.Dedup.exactFp(col("text")).as("fp")).distinct())
@@ -1030,7 +1083,10 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    TA.rejStreamFinish(spark.read.parquet(out).drop("batch"),
+    TA.rejStreamFinish(
+      drainOr(spark, out,
+        TA.rejStreamFlags(docs.limit(0), TA.caShingleSets(docs.limit(0)),
+          fpIdx, postings, sets, batchBounded = true)).drop("batch"),
       seenPost, seenBench.distinct(), benchH, postings, docStats)
   }
 
@@ -1213,7 +1269,8 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "cell" -> org.apache.spark.sql.types.IntegerType,
+        "n_new" -> org.apache.spark.sql.types.LongType, "avg_cos_new" -> org.apache.spark.sql.types.DoubleType))
       .select(col("cell"), col("n_new"), col("avg_cos_new"))
   }
 
@@ -1254,7 +1311,8 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    drainOr(spark, out, graft.ops.TextAnalysis
+      .dsirScored(Tables.documents(spark, sfDir).limit(0), model))
   }
 
   /** Streaming mixture gate — the sampling half of the batch
@@ -1334,7 +1392,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "event_type" -> org.apache.spark.sql.types.StringType,
+        "day" -> org.apache.spark.sql.types.StringType, "n_events" -> org.apache.spark.sql.types.LongType,
+        "z_score" -> org.apache.spark.sql.types.DoubleType, "is_anomaly" -> org.apache.spark.sql.types.BooleanType))
       .select(col("event_type"), col("day"), col("n_events"),
         col("z_score"), col("is_anomaly"))
   }
@@ -1430,7 +1490,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "user_id" -> org.apache.spark.sql.types.LongType,
+        "event_id" -> org.apache.spark.sql.types.LongType, "us" -> org.apache.spark.sql.types.LongType,
+        "session_start_us" -> org.apache.spark.sql.types.LongType))
       .groupBy(col("user_id"), col("session_start_us"))
       .agg(max(col("us")).as("session_last_us"),
         count(lit(1)).as("session_events"))
@@ -1616,7 +1678,8 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "user_id" -> org.apache.spark.sql.types.LongType,
+        "touch_type" -> org.apache.spark.sql.types.StringType, "cents" -> org.apache.spark.sql.types.LongType))
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("cents")).as("revenue_cents"))
@@ -1688,7 +1751,9 @@ object StreamingPipeline {
       q.awaitTermination()
     }
     graft.ops.Relational.transitionMatrix(
-      spark.read.parquet(out).select(col("prev_type"), col("cur_type")))
+      drainOr(spark, out, emptyFrame(spark, "prev_type" -> org.apache.spark.sql.types.StringType,
+          "cur_type" -> org.apache.spark.sql.types.StringType))
+        .select(col("prev_type"), col("cur_type")))
   }
 
   /** The ORACLE-GATED replay of [[firstSeen]]: the events table arrives
@@ -1718,7 +1783,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "chain" -> org.apache.spark.sql.types.LongType,
+        "stashId" -> org.apache.spark.sql.types.LongType, "_id" -> org.apache.spark.sql.types.LongType,
+        "firstSeenAt" -> org.apache.spark.sql.types.TimestampType, "firstStake" -> org.apache.spark.sql.types.DoubleType))
       .select(col("chain"), col("stashId"), col("_id"),
         col("firstSeenAt"), col("firstStake"))
   }
@@ -1772,7 +1839,8 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+    drainOr(spark, out, graft.ops.TextAnalysis.decontamScrubAgainstShingles(
+      Tables.documents(spark, sfDir).limit(0), benchShingles))
   }
 
   /** `seq` is the event-order tiebreaker within a day (event_id /
@@ -1937,7 +2005,8 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "rule" -> org.apache.spark.sql.types.StringType,
+        "checked" -> org.apache.spark.sql.types.LongType, "violations" -> org.apache.spark.sql.types.LongType))
       .select(col("rule"), lit("events").as("tbl"), col("checked"),
         col("violations"), (col("violations") === 0).cast("int").as("pass"))
   }
@@ -1963,7 +2032,9 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out)
+    drainOr(spark, out, emptyFrame(spark, "user_id" -> org.apache.spark.sql.types.LongType,
+        "state" -> org.apache.spark.sql.types.StringType, "valid_from" -> org.apache.spark.sql.types.StringType,
+        "valid_to" -> org.apache.spark.sql.types.StringType, "n_days" -> org.apache.spark.sql.types.LongType))
       .select(col("user_id"), col("state"), col("valid_from"),
         col("valid_to"), col("n_days"))
   }

@@ -1591,6 +1591,15 @@ class TextMultimodalSpec extends SparkSpec {
       assert(Dedup.simhashRung2N(spark) < s2 / 3 + 1,
         "scratch/10 must pull the rung-2 pin in by ~sqrt(10)")
       assert(Multimodal.pfpRung1N(spark) < p1 / 3 + 1)
+      // adversarial big-memory/small-disk fleet: the ladder ordering must
+      // NOT invert (rung 0 is the most scratch-hungry plan — its own
+      // scratch ceiling, not the payload knee, must bound it)
+      spark.conf.set("spark.graft.payloadBudgetBytes", "2000000000000")
+      spark.conf.set("spark.graft.scratchBudgetBytes", "100000000000")
+      assert(Dedup.simhashRung1N(spark) <= Dedup.simhashRung2N(spark),
+        s"rung ladder inverted: ${Dedup.simhashRung1N(spark)} > ${Dedup.simhashRung2N(spark)}")
+      assert(Dedup.simhashRung1N(spark) < 300000L,
+        "rung 0 must leave before its candidate mass spills a 100 GB scratch")
     } finally {
       spark.conf.unset("spark.graft.payloadBudgetBytes")
       spark.conf.unset("spark.graft.scratchBudgetBytes")
