@@ -401,18 +401,26 @@ object Dedup {
     * candidate mass spills the scratch disk — the most scratch-hungry
     * plan routed to exactly the fleet that can least absorb it. With
     * equal scratch budgets the rung-0 scratch ceiling sits √(16/273) ≈
-    * 0.24× of rung 1's, so rung1N ≤ rung2N holds by construction and
-    * the ladder's ordering can never invert (spec-asserted under an
-    * adversarial budget config).
+    * 0.24× of rung 1's, so rung1N ≤ rung2N holds WHILE both ceilings
+    * are quadratic-bound — but below ≈35 MB of scratch the rung-1
+    * ceiling's LINEAR term (the probe-explode row volume itself) binds
+    * first and the raw formulas can invert (round-15 advice). The
+    * accessor therefore CLAMPS to [[simhashRung2N]]: under any budget
+    * config, however degenerate, the ladder hands off in rung order —
+    * the scratch-hungriest rung-0 plan can never outlive the rung-2
+    * boundary (spec-asserted under both the adversarial and the
+    * degenerate config).
     */
   def simhashRung1N(spark: SparkSession): Long = {
     val blocks = SIMHASH_BANDS
     val bandBits = SIMHASH_BITS / SIMHASH_BANDS
     math.min(
-      Resources.bandedRungCeiling(Resources.payloadBudget(spark),
-        blocks, bandBits, 0),
-      Resources.bandedRungCeiling(Resources.scratchBudget(spark),
-        blocks, bandBits, 0))
+      math.min(
+        Resources.bandedRungCeiling(Resources.payloadBudget(spark),
+          blocks, bandBits, 0),
+        Resources.bandedRungCeiling(Resources.scratchBudget(spark),
+          blocks, bandBits, 0)),
+      simhashRung2N(spark))
   }
 
   /** Corpus size where SimHash pairing switches to the rung-2 cogroup

@@ -1565,10 +1565,19 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("resource-derived dispatch pins instantiate to the measured box brackets") {
     import graft.ops.{Dedup, Resources}
-    // defaults (this box's budgets) must land each pin inside the bracket
-    // its round-12/13 measurement established
-    assert(Dedup.jaccardGroupedN(spark) == 200000L,
-      "payload budget / measured bytes-per-doc must reproduce the r13 pin exactly")
+    // round 15: the default budgets DERIVE from the live runtime (heap +
+    // cache headroom; scratch-dir usable space) instead of box constants
+    // — on this box the derivation must land within a few percent of the
+    // measured constants (8g heap + 5 GB cache ≈ 13.6 vs the measured
+    // 13.4 GB bracket center), so every pin stays inside the bracket its
+    // round-12/13 measurement established, while a bigger JVM or a
+    // fuller disk now MOVES the budget instead of being ignored
+    assert(Resources.derivedPayloadDefault > 11_000_000_000L &&
+      Resources.derivedPayloadDefault < 16_000_000_000L,
+      s"derived payload ${Resources.derivedPayloadDefault} off this box's measured ceiling")
+    val g = Dedup.jaccardGroupedN(spark)
+    assert(g >= 150000L && g <= 300000L,
+      s"grouped-verify pin $g outside the measured (150k, 300k) crack bracket")
     assert(graft.ops.Resources.ballSize(6, 3) == 42L,  // the MIH probe fan-out
       "hamming-ball size: 1 + C(6,1) + C(6,2) + C(6,3)")
     assert(graft.ops.Resources.ballSize(14, 1) == 15L)
@@ -1600,6 +1609,15 @@ class TextMultimodalSpec extends SparkSpec {
         s"rung ladder inverted: ${Dedup.simhashRung1N(spark)} > ${Dedup.simhashRung2N(spark)}")
       assert(Dedup.simhashRung1N(spark) < 300000L,
         "rung 0 must leave before its candidate mass spills a 100 GB scratch")
+      // degenerate config (round-15 advice): below ~35 MB of scratch the
+      // rung-1 ceiling's LINEAR term binds and the raw formulas would
+      // invert — the accessor's clamp must keep the ladder ordered even
+      // here (rung 0 hands off at the rung-2 boundary, never after it)
+      spark.conf.set("spark.graft.payloadBudgetBytes", "2000000000000")
+      spark.conf.set("spark.graft.scratchBudgetBytes", "10000000") // 10 MB
+      assert(Dedup.simhashRung1N(spark) <= Dedup.simhashRung2N(spark),
+        s"degenerate-scratch ladder inverted: ${Dedup.simhashRung1N(spark)} > " +
+          s"${Dedup.simhashRung2N(spark)}")
     } finally {
       spark.conf.unset("spark.graft.payloadBudgetBytes")
       spark.conf.unset("spark.graft.scratchBudgetBytes")
