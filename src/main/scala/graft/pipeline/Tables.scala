@@ -99,6 +99,24 @@ object Tables {
     else if (tsIsNtz(df)) df.withColumn("ts", col("ts").cast("timestamp"))
     else df
 
+  /** File-source reader for the *Stream table views, with the replay
+    * batching knob: `SPARK_GRAFT_MAX_FILES_PER_TRIGGER` caps the files
+    * per micro-batch, so a multi-part rehearsal corpus replays as MANY
+    * micro-batches instead of one `AvailableNow` gulp — the shape the
+    * accumulated-index write-amplification A/B needs (SCALING.md r15),
+    * and the shape production has anyway (a trigger cadence bounds each
+    * batch). Unset (the gate), the source's default single-batch drain
+    * stands — batch-decomposition-invariant emission makes the knob
+    * result-neutral BY CONTRACT, and the rehearsal A/B re-proves it.
+    */
+  private def streamRead(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, path: String): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
+      .fold(r)(v => r.option("maxFilesPerTrigger", v))
+      .parquet(path)
+  }
+
   /** The events table as a FILE STREAM (the replay shape: same parquet,
     * arriving through Structured Streaming's file source) with the same
     * three-vintage ts normalization as [[events]]. The batch read probes
@@ -111,7 +129,7 @@ object Tables {
     // the file source rejects a non-directory basePath — a glob keeps the
     // parent dir as base and matches file and directory layouts alike
     normalizeEventsTs(
-      spark.readStream.schema(schema).parquet(s"$sfDir/{events.parquet}"))
+      streamRead(spark, schema, s"$sfDir/{events.parquet}"))
   }
 
   /** Events with `ts > wm`, with the watermark predicate applied in RAW
@@ -143,7 +161,7 @@ object Tables {
     */
   private[graft] def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = read(spark, sfDir, "documents").schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/{documents.parquet}")
+    streamRead(spark, schema, s"$sfDir/{documents.parquet}")
   }
 
   /** The embeddings table as a FILE STREAM — the replay shape for the
@@ -153,7 +171,7 @@ object Tables {
     */
   private[graft] def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = read(spark, sfDir, "embeddings").schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/{embeddings.parquet}")
+    streamRead(spark, schema, s"$sfDir/{embeddings.parquet}")
   }
 
   /** The customer dim as a FILE STREAM — the replay shape for the
@@ -161,7 +179,7 @@ object Tables {
     */
   private[graft] def customerStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = read(spark, sfDir, "customer").schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/{customer.parquet}")
+    streamRead(spark, schema, s"$sfDir/{customer.parquet}")
   }
 
   /** The complement slice: events with `ts <= wm` — the HISTORY side of an

@@ -724,10 +724,22 @@ object StreamingPipeline {
     * (standing_b + seen_b) — the batch probes indexes, never history
     * rescans.
     */
-  def erLinkageReplay(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): DataFrame = {
+  /** Shared frozen-cap ER replay body (round 15, verdict ask #5 — the
+    * ~25 lines [[erLinkageReplay]]/[[erGoldenReplay]] duplicated,
+    * factored): odd-id documents replay through the file stream, each
+    * micro-batch's kept records probe the STANDING record view ∪ the
+    * accumulated earlier arrivals under the FROZEN-cap admission policy,
+    * and the batch-decomposition-invariant pair emissions land in the
+    * idempotent batchId-keyed sink. Cross-batch state is the arrival
+    * record index, advanced per-batch-DELTA (see [[DeltaIndex]] — the
+    * probe reads the whole index, the checkpoint writes only the batch).
+    * The two twins differ only in the drain finish; this returns what
+    * both need: (sink dir, standing docs, kept standing records).
+    */
+  private def erFrozenReplayBody(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tag: String): (String, DataFrame, DataFrame) = {
     import graft.ops.EntityResolution
-    val tmp = java.nio.file.Files.createTempDirectory("er_linkage_replay")
+    val tmp = java.nio.file.Files.createTempDirectory(tag)
     val out = s"$tmp/pairs"
     val standing = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 2 === 0)
@@ -735,8 +747,9 @@ object StreamingPipeline {
       .localCheckpoint()
     val rsKept = EntityResolution.keptFrozen(standing, rejected)
       .localCheckpoint()
-    var seenKept = EntityResolution.keptFrozen(standing.limit(0), rejected)
-      .localCheckpoint()
+    val seenKept = new DeltaIndex(
+      EntityResolution.keptFrozen(standing.limit(0), rejected)
+        .localCheckpoint())
     val q = Tables.documentsStream(spark, sfDir)
       .filter(col("doc_id") % 2 === 1)
       .writeStream
@@ -745,13 +758,20 @@ object StreamingPipeline {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val rb = EntityResolution.keptFrozen(batch.toDF(), rejected)
           .localCheckpoint()
-        EntityResolution.erStreamProbe(rb, rsKept.unionByName(seenKept))
+        EntityResolution.erStreamProbe(rb, rsKept.unionByName(seenKept.view))
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenKept = seenKept.unionByName(rb).localCheckpoint()
+        seenKept += rb
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    (out, standing, rsKept)
+  }
+
+  def erLinkageReplay(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.EntityResolution
+    val (out, _, rsKept) = erFrozenReplayBody(spark, sfDir, "er_linkage_replay")
     drainOr(spark, out,
       EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0)))
       .drop("batch")
@@ -775,32 +795,10 @@ object StreamingPipeline {
   def erGoldenReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import graft.ops.EntityResolution
-    val tmp = java.nio.file.Files.createTempDirectory("er_golden_replay")
-    val out = s"$tmp/pairs"
-    val docs = Tables.documents(spark, sfDir)
-    val standing = docs.filter(col("doc_id") % 2 === 0)
-    val arrivals = docs.filter(col("doc_id") % 2 === 1)
-    val rejected = EntityResolution.frozenRejectedBlocks(standing)
-      .localCheckpoint()
-    val rsKept = EntityResolution.keptFrozen(standing, rejected)
-      .localCheckpoint()
-    var seenKept = EntityResolution.keptFrozen(standing.limit(0), rejected)
-      .localCheckpoint()
-    val q = Tables.documentsStream(spark, sfDir)
+    val (out, standing, rsKept) =
+      erFrozenReplayBody(spark, sfDir, "er_golden_replay")
+    val arrivals = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 2 === 1)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append.toString)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val rb = EntityResolution.keptFrozen(batch.toDF(), rejected)
-          .localCheckpoint()
-        EntityResolution.erStreamProbe(rb, rsKept.unionByName(seenKept))
-          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenKept = seenKept.unionByName(rb).localCheckpoint()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     val drained = drainDeltas(spark, out) {
       EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0))
     }.select(col("a_id"), col("b_id")).localCheckpoint()
@@ -839,6 +837,34 @@ object StreamingPipeline {
     if (fired) spark.read.parquet(out).drop("batch") else empty
   }
 
+  /** Accumulated-arrival index with DELTA checkpointing (round 15).
+    * The r14 replays advanced cross-batch state as
+    * `seen = seen.unionByName(delta).localCheckpoint()` — each batch
+    * re-materializing EVERY accumulated row, so a window of B batches
+    * writes ≈ B/2 × the window's index bytes (a day at a 5-minute
+    * trigger: ~144× write amplification), exactly the cost the
+    * "the stream IS the index builder" production claim shouldn't pay.
+    * Here a batch checkpoints only its OWN delta (usually already
+    * materialized for the probe) and the index is the lazy union of
+    * the checkpointed deltas: per-batch write cost is the delta alone,
+    * the probe still reads the whole index (inherent — it probes it),
+    * and Catalyst's CombineUnions flattens the view into one n-ary
+    * Union over checkpointed scans, so plan depth stays constant in
+    * batch count. Mutated only from `foreachBatch`, whose micro-batches
+    * run sequentially on the driver.
+    */
+  private final class DeltaIndex(zero: DataFrame) {
+    private val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](zero)
+    /** The index view — lazy union of every appended delta. */
+    def view: DataFrame = deltas.reduce(_.unionByName(_))
+    /** Append a batch's delta — a checkpointed frame, or one derived
+      * NARROWLY from a checkpointed frame (re-running a map/explode off
+      * a checkpointed RDD per probe is cheap; re-materializing the
+      * whole index per batch was the bug).
+      */
+    def +=(delta: DataFrame): Unit = deltas += delta
+  }
+
   /** [[drainDeltas]]' sibling for keyed-MERGE sinks ([[mergeByKey]]
     * writes a plain parquet dir, not batchId subdirs): a stream whose
     * source matched zero rows never calls mergeByKey, so the dir does
@@ -855,10 +881,15 @@ object StreamingPipeline {
     * foreachBatch sinks never write) and `spark.read.parquet` dies on
     * schema inference. `schemaOf` is the frame WRITTEN to the sink —
     * its schema is static even on a streaming frame, so the fallback is
-    * an empty batch frame of exactly the drained shape.
+    * an empty batch frame of exactly the drained shape. By-name
+    * (round-15 advice, matching [[drainDeltas]]' contract): the
+    * fallback plan — for the rejections/assembly twins a nontrivial
+    * construction — is never even BUILT unless the sink is empty, and
+    * a future fallback containing an eager action can't silently run
+    * on every drain.
     */
   private def drainOr(spark: org.apache.spark.sql.SparkSession,
-      out: String, schemaOf: DataFrame): DataFrame = {
+      out: String, schemaOf: => DataFrame): DataFrame = {
     val d = new java.io.File(out)
     // data = an actual part file ANYWHERE under the sink (flat sinks,
     // batchId subdirs, AND Hive-partitioned MERGE sinks like chain=…/ —
@@ -895,8 +926,9 @@ object StreamingPipeline {
     val und = Graph.sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
     val statsSt = Graph.sharedStandingTriStats(spark, sfDir, undS)
-    var seenEdges = undS.localCheckpoint()
-    var arrived = und.select(col("u").as("id")).limit(0).localCheckpoint()
+    val seenEdges = new DeltaIndex(undS.localCheckpoint())
+    val arrived = new DeltaIndex(
+      und.select(col("u").as("id")).limit(0).localCheckpoint())
     val q = Tables.embeddingsStream(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("id"))
@@ -905,11 +937,11 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append.toString)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val nb = batch.toDF().localCheckpoint()
-        val aB = Graph.batchEdges(und, nb, arrived).localCheckpoint()
-        Graph.triStreamEmit(seenEdges, aB)
+        val aB = Graph.batchEdges(und, nb, arrived.view).localCheckpoint()
+        Graph.triStreamEmit(seenEdges.view, aB)
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenEdges = seenEdges.unionByName(aB).localCheckpoint()
-        arrived = arrived.unionByName(nb).localCheckpoint()
+        seenEdges += aB
+        arrived += nb
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -943,8 +975,9 @@ object StreamingPipeline {
     val und = Graph.sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
     val scoredS = Graph.sharedStandingLinkScores(spark, sfDir, undS)
-    var seenEdges = undS.localCheckpoint()
-    var arrived = und.select(col("u").as("id")).limit(0).localCheckpoint()
+    val seenEdges = new DeltaIndex(undS.localCheckpoint())
+    val arrived = new DeltaIndex(
+      und.select(col("u").as("id")).limit(0).localCheckpoint())
     val q = Tables.embeddingsStream(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("id"))
@@ -953,11 +986,11 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append.toString)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val nb = batch.toDF().localCheckpoint()
-        val aB = Graph.batchEdges(und, nb, arrived).localCheckpoint()
-        Graph.linkDeltas(aB, seenEdges)
+        val aB = Graph.batchEdges(und, nb, arrived.view).localCheckpoint()
+        Graph.linkDeltas(aB, seenEdges.view)
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenEdges = seenEdges.unionByName(aB).localCheckpoint()
-        arrived = arrived.unionByName(nb).localCheckpoint()
+        seenEdges += aB
+        arrived += nb
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -994,8 +1027,8 @@ object StreamingPipeline {
     val out = s"$tmp/flags"
     val emb = Tables.embeddings(spark, sfDir)
     val (ck, bi, fs) = Multimodal.sharedStandingState(spark, sfDir)
-    var seenCk = ck.limit(0).localCheckpoint()
-    var seenBands = bi.limit(0).localCheckpoint()
+    val seenCk = new DeltaIndex(ck.limit(0).localCheckpoint())
+    val seenBands = new DeltaIndex(bi.limit(0).localCheckpoint())
     val q = Tables.documentsStream(spark, sfDir)
       .filter(col("doc_id") % 10 >= Multimodal.ARRIVAL_DECILE)
       .writeStream
@@ -1003,16 +1036,19 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append.toString)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val arr = batch.toDF().localCheckpoint()
-        val ckAll = ck.unionByName(seenCk)
+        // min-id re-group over the delta UNION is the probe's job (the
+        // view holds one grouped row per (batch, checksum) — ckAll
+        // collapses them); each batch checkpoints only its own slice
+        val ckAll = ck.unionByName(seenCk.view)
           .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id"))
-        Multimodal.gauntletFlags(arr, emb, ckAll, bi.unionByName(seenBands))
+        Multimodal.gauntletFlags(arr, emb, ckAll, bi.unionByName(seenBands.view))
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenCk = seenCk.unionByName(
+        seenCk +=
           arr.select(md5(col("text")).as("checksum"), col("doc_id").as("st_min_id"))
-            .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id")))
-          .localCheckpoint()
-        seenBands = seenBands.unionByName(
-          Multimodal.signatureBands(Multimodal.sliceFrames(arr))).localCheckpoint()
+            .groupBy(col("checksum")).agg(min(col("st_min_id")).as("st_min_id"))
+            .localCheckpoint()
+        seenBands +=
+          Multimodal.signatureBands(Multimodal.sliceFrames(arr)).localCheckpoint()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1052,10 +1088,10 @@ object StreamingPipeline {
     val t = TA.caThreshold(docs)
     val (benchH, fpIdx, sets, postings, docStats) = TA.sharedCaState(spark, sfDir)
     val isBench = col("doc_id") % lit(graft.ops.TextAnalysis.DECONTAM_MOD) === 0
-    var seenFp = fpIdx.limit(0).localCheckpoint()
-    var seenPost = postings.limit(0).localCheckpoint()
-    var seenSets = sets.limit(0).localCheckpoint()
-    var seenBench = benchH.limit(0).localCheckpoint()
+    val seenFp = new DeltaIndex(fpIdx.limit(0).localCheckpoint())
+    val seenPost = new DeltaIndex(postings.limit(0).localCheckpoint())
+    val seenSets = new DeltaIndex(sets.limit(0).localCheckpoint())
+    val seenBench = new DeltaIndex(benchH.limit(0).localCheckpoint())
     val q = Tables.documentsStream(spark, sfDir)
       .filter(col("doc_id") >= t)
       .writeStream
@@ -1065,20 +1101,21 @@ object StreamingPipeline {
         val arr = batch.toDF().localCheckpoint()
         val aSets = TA.caShingleSets(arr).localCheckpoint()
         TA.rejStreamFlags(arr, aSets,
-            fpIdx.unionByName(seenFp),
-            postings.unionByName(seenPost),
-            sets.unionByName(seenSets), batchBounded = true)
+            fpIdx.unionByName(seenFp.view),
+            postings.unionByName(seenPost.view),
+            sets.unionByName(seenSets.view), batchBounded = true)
           .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-        seenFp = seenFp.unionByName(
-          arr.select(graft.ops.Dedup.exactFp(col("text")).as("fp")).distinct())
-          .localCheckpoint()
-        seenPost = seenPost.unionByName(
-          aSets.select(col("doc_id"), explode(col("shs")).as("h")))
-          .localCheckpoint()
-        seenSets = seenSets.unionByName(aSets).localCheckpoint()
-        seenBench = seenBench.unionByName(
-          aSets.filter(isBench).select(explode(col("shs")).as("h")).distinct())
-          .localCheckpoint()
+        seenFp +=
+          arr.select(graft.ops.Dedup.exactFp(col("text")).as("fp")).distinct()
+            .localCheckpoint()
+        // postings/bench deltas stay LAZY off the checkpointed aSets —
+        // a narrow re-explode per probe, vs. storing the posting index
+        // twice; the set delta IS the checkpointed frame itself
+        seenPost += aSets.select(col("doc_id"), explode(col("shs")).as("h"))
+        seenSets += aSets
+        // per-batch distinct dropped: the drain's own distinct() is the
+        // single shuffle that collapses cross-batch repeats anyway
+        seenBench += aSets.filter(isBench).select(explode(col("shs")).as("h"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1087,7 +1124,7 @@ object StreamingPipeline {
       drainOr(spark, out,
         TA.rejStreamFlags(docs.limit(0), TA.caShingleSets(docs.limit(0)),
           fpIdx, postings, sets, batchBounded = true)).drop("batch"),
-      seenPost, seenBench.distinct(), benchH, postings, docStats)
+      seenPost.view, seenBench.view.distinct(), benchH, postings, docStats)
   }
 
   /** The ORACLE-GATED streaming PRIVACY-AUDIT twin — k-anonymity
