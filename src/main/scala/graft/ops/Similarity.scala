@@ -2465,13 +2465,18 @@ object Similarity {
       math.ceil(2.0 * math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
 
   /** The degree sweep the schedule is gated through: the shipped serving
-    * degree, one rung up, and 24 — the first rung inside
+    * degree, one rung up, 24 — the first rung inside
     * [[graphDegreeFor]]'s OPERATIVE regime (the schedule says 22–32 for
     * every corpus from 2k up, so a deployment acting on it runs a
     * construction of this class; gating only 12/16 would leave the
-    * regime that actually ships oracle-unchecked — the round-12 gap).
+    * regime that actually ships oracle-unchecked — the round-12 gap) —
+    * and 32, the schedule's TOP rung (round 15, closing the carried
+    * r13 ask: [[graphDegreeFor]] emits 32 from ≈65k docs up, and a
+    * rung the schedule can emit must face the oracle like every other
+    * dispatch regime; the 60k-corpus recall rehearsal for the same rung
+    * is SCALING.md's r15 degree-32 row).
     */
-  val GRAPH_DEGREES: Seq[Int] = Seq(GRAPH_DEGREE, 16, 24)
+  val GRAPH_DEGREES: Seq[Int] = Seq(GRAPH_DEGREE, 16, 24, 32)
 
   /** The [[graphDegreeFor]] schedule's DIAL, gated: the graph-local
     * recall ceiling (truth ∩ the query's own adjacency row — SCALING.md
