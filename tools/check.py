@@ -15,7 +15,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver fixtures ship <table>.parquet as a single FILE; ScaleUp
+    # rehearsal corpora write it as a DIRECTORY of part files — glob those
+    path = f"{sfdir}/{t}.parquet"
+    import os
+    pat = path if os.path.isfile(path) else f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
