@@ -8,6 +8,22 @@ object BenchOne {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SCALING.md instrumentation: with SPARK_GRAFT_BATCH_TIMES=1, print
+    // each streaming micro-batch's id + duration — the direct evidence
+    // for "per-batch cost is flat in accumulated batch count" (the
+    // delta-checkpoint A/B; a wall-clock total can't separate a flat
+    // per-batch cost from a growing one amortized over fewer batches).
+    if (sys.env.get("SPARK_GRAFT_BATCH_TIMES").contains("1"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            println(s"[batch] id=${e.progress.batchId}" +
+              s" rows=${e.progress.numInputRows}" +
+              s" ms=${e.progress.durationMs.getOrDefault("triggerExecution", -1L)}")
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        })
     SparkEntry.entry(spark).count() // warm (also sets the nanos conf)
     // A/B knob: clear the session-shared fit memos before every run, so
     // each run pays its query's full fit+probe cost (the Bench suite's

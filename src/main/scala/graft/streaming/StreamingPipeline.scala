@@ -837,32 +837,56 @@ object StreamingPipeline {
     if (fired) spark.read.parquet(out).drop("batch") else empty
   }
 
-  /** Accumulated-arrival index with DELTA checkpointing (round 15).
-    * The r14 replays advanced cross-batch state as
-    * `seen = seen.unionByName(delta).localCheckpoint()` — each batch
-    * re-materializing EVERY accumulated row, so a window of B batches
-    * writes ≈ B/2 × the window's index bytes (a day at a 5-minute
-    * trigger: ~144× write amplification), exactly the cost the
-    * "the stream IS the index builder" production claim shouldn't pay.
-    * Here a batch checkpoints only its OWN delta (usually already
-    * materialized for the probe) and the index is the lazy union of
-    * the checkpointed deltas: per-batch write cost is the delta alone,
-    * the probe still reads the whole index (inherent — it probes it),
-    * and Catalyst's CombineUnions flattens the view into one n-ary
-    * Union over checkpointed scans, so plan depth stays constant in
-    * batch count. Mutated only from `foreachBatch`, whose micro-batches
-    * run sequentially on the driver.
+  /** Accumulated-arrival index with LOG-STRUCTURED delta checkpointing
+    * (round 15, two designs measured). The r14 replays advanced
+    * cross-batch state as `seen = seen.unionByName(delta)
+    * .localCheckpoint()` — each batch re-materializing EVERY accumulated
+    * row, so a window of B batches writes ≈ B/2 × the window's index
+    * bytes (a day at a 5-minute trigger: ~144× write amplification).
+    * The first r15 cut kept every batch's delta as its own checkpointed
+    * frame (write cost = the delta alone) — and the 32-micro-batch
+    * rehearsal showed it REGRESSING every replay 20–65% (SCALING.md
+    * r15): batch k's probes now scan a union of k tiny frames, so scan
+    * fanout — tasks, per-scan setup, plan size — grows linearly in
+    * batch count, and Σk = B²/2 of it beats the write amplification it
+    * removed at any index size the box holds.
+    *
+    * This is the classic small-runs problem, and the classic answer:
+    * Bentley–Saxe / LSM run merging. Deltas enter at level 0; two runs
+    * of the same level merge into one checkpointed run one level up, so
+    * the index is always ≤ log₂B+1 runs (probe fanout LOGARITHMIC in
+    * batch count) and each row is re-materialized at most once per
+    * level it rises through (amortized write cost log₂B × index bytes
+    * per window — at B=144: ~8×, vs the r14 full re-checkpoint's ~72×).
+    * Both failure modes bounded; neither end of the A/B table paid.
+    * Mutated only from `foreachBatch`, whose micro-batches run
+    * sequentially on the driver.
     */
   private final class DeltaIndex(zero: DataFrame) {
-    private val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](zero)
-    /** The index view — lazy union of every appended delta. */
-    def view: DataFrame = deltas.reduce(_.unionByName(_))
+    /** (level, run): runs(i) holds a merged run of ~2^level batch
+      * deltas, strictly decreasing levels from the head — merging only
+      * equal-level neighbors preserves the invariant.
+      */
+    private val runs = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]()
+    private val base = zero
+    /** The index view — lazy union of the ≤ log₂B+1 standing runs. */
+    def view: DataFrame = runs.foldLeft(base) { case (a, (_, r)) => a.unionByName(r) }
     /** Append a batch's delta — a checkpointed frame, or one derived
       * NARROWLY from a checkpointed frame (re-running a map/explode off
-      * a checkpointed RDD per probe is cheap; re-materializing the
-      * whole index per batch was the bug).
+      * a checkpointed RDD per probe is cheap). Equal-level runs merge
+      * into a checkpointed union one level up, carrying the amortized
+      * log-cost analysis above.
       */
-    def +=(delta: DataFrame): Unit = deltas += delta
+    def +=(delta: DataFrame): Unit = {
+      var lvl = 0
+      var cur = delta
+      while (runs.nonEmpty && runs.last._1 == lvl) {
+        val top = runs.remove(runs.size - 1)._2
+        cur = top.unionByName(cur).localCheckpoint()
+        lvl += 1
+      }
+      runs += ((lvl, cur))
+    }
   }
 
   /** [[drainDeltas]]' sibling for keyed-MERGE sinks ([[mergeByKey]]
