@@ -862,12 +862,14 @@ object StreamingPipeline {
     * Mutated only from `foreachBatch`, whose micro-batches run
     * sequentially on the driver.
     */
-  private final class DeltaIndex(zero: DataFrame) {
+  private[graft] final class DeltaIndex(zero: DataFrame) {
     /** (level, run): runs(i) holds a merged run of ~2^level batch
       * deltas, strictly decreasing levels from the head — merging only
       * equal-level neighbors preserves the invariant.
       */
     private val runs = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]()
+    /** Standing run count — spec hook for the ≤ log₂B+1 fanout bound. */
+    private[graft] def runCount: Int = runs.size
     private val base = zero
     /** The index view — lazy union of the ≤ log₂B+1 standing runs. */
     def view: DataFrame = runs.foldLeft(base) { case (a, (_, r)) => a.unionByName(r) }

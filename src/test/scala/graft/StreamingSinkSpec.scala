@@ -104,4 +104,34 @@ class StreamingSinkSpec extends SparkSpec {
       assert(d == 6.0)
     } finally ()
   }
+
+  test("DeltaIndex: view row set is batch-decomposition-invariant and fanout stays logarithmic") {
+    // The accumulated-arrival index behind the streaming replays: the
+    // same 64 rows arriving as 1, 2, or 32 batch deltas must yield the
+    // SAME index view (the replays' batch-decomposition-invariance rests
+    // on it), and the standing run count must respect the Bentley–Saxe
+    // bound (≤ log₂B + 1 — the A/B in SCALING.md r15 is the WHY: a flat
+    // run-per-batch list regressed every replay via linear scan fanout).
+    val all = (0L until 64L).toDF("k")
+    val zero = all.limit(0).localCheckpoint()
+    def build(batches: Seq[Seq[Long]]): StreamingPipeline.DeltaIndex = {
+      val idx = new StreamingPipeline.DeltaIndex(zero)
+      batches.foreach { b =>
+        idx += b.toDF("k").localCheckpoint()
+      }
+      idx
+    }
+    val oneGulp = build(Seq(0L until 64L))
+    val byTwo = build((0L until 64L).grouped(32).toSeq)
+    val byOne = build((0L until 64L).grouped(2).toSeq) // 32 batches of 2
+    val expect = (0L until 64L).toSeq
+    for (idx <- Seq(oneGulp, byTwo, byOne))
+      assert(idx.view.as[Long].collect().sorted.toSeq == expect)
+    // 32 appends = binary counter over levels: 32 = 2^5 → exactly 1 run;
+    // the bound for any B is popcount(B) ≤ log₂B + 1
+    assert(byOne.runCount == 1)
+    val byOneOdd = build((0L until 62L).grouped(2).toSeq) // 31 batches
+    assert(byOneOdd.runCount == 5) // popcount(31) = 5 ≤ log₂31 + 1
+    assert(byOneOdd.view.as[Long].collect().sorted.toSeq == (0L until 62L))
+  }
 }
