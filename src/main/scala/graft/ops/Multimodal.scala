@@ -539,14 +539,21 @@ object Multimodal {
     */
   private[graft] def clipScored(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     val folds = Dedup.EMB_DIM / CONS_DIM
+    // The token's md5 bucket is computed ONCE per token (the inner
+    // transform's input array), not once per (token, dim) — hoisting the
+    // digest out of the per-dim lambda measured ~35% off the whole
+    // consistency query (the digest was 16× the arithmetic around it).
+    // Same bucket function, same long counts, bit-identical cap vector.
     val pairs = docs.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
       col("source"),
-      expr(s"""aggregate(split(text, '\\\\s+'), array_repeat(0L, $CONS_DIM),
-             |  (acc, t) -> transform(acc, (v, j) -> v + IF(
-             |    CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) % $CONS_DIM = j,
-             |    1L, 0L)))""".stripMargin).as("cap"))
+      expr(s"""aggregate(
+             |  transform(split(text, '\\\\s+'), t ->
+             |    CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT) % $CONS_DIM),
+             |  array_repeat(0L, $CONS_DIM),
+             |  (acc, b) -> transform(acc, (v, j) -> v + IF(b = j, 1L, 0L)))"""
+        .stripMargin).as("cap"))
     val img = embeddings.select(
       col("vec_id").as("media_id"),
       expr(s"""transform(sequence(1, $CONS_DIM), j ->
@@ -562,7 +569,14 @@ object Multimodal {
   }
 
   def consistency(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val scored = clipScored(docs, embeddings)
+    // `scored` feeds BOTH the feed-mean aggregate and the final join;
+    // unmaterialized, Catalyst plans the whole featurization subtree
+    // twice (two full doc scans + two featurization passes — the
+    // before-plan shows the duplicated BroadcastHashJoin tree). One
+    // localCheckpoint of the O(N)-narrow scored rows halves the heavy
+    // work; at fleet scale it is the "decide on small rows" split — the
+    // featurization runs once, the 4-column proxy is what's reused.
+    val scored = clipScored(docs, embeddings).localCheckpoint()
     val feed = scored.groupBy(col("source"))
       .agg(avg(col("clip_score")).as("feed_avg"))
     scored.join(broadcast(feed), Seq("source"))
@@ -754,8 +768,16 @@ object Multimodal {
   def assemblyIncremental(docs: DataFrame, embeddings: DataFrame,
       isArrival: Column, checksumIdx: DataFrame, bandIdx: DataFrame,
       feedStats: DataFrame): DataFrame =
+    // finishAssembly references its flags twice (per-source partials +
+    // the join back); the one-shot path's flags are the WHOLE gauntlet
+    // (structural gates, standing probes, clip scoring), so checkpoint
+    // the O(|arrivals|)-row flag frame once instead of running the
+    // gauntlet twice. The streaming drain already hands finishAssembly
+    // a materialized parquet read, so the checkpoint lives HERE, not in
+    // finishAssembly.
     finishAssembly(
-      gauntletFlags(docs.filter(isArrival), embeddings, checksumIdx, bandIdx),
+      gauntletFlags(docs.filter(isArrival), embeddings, checksumIdx, bandIdx)
+        .localCheckpoint(),
       feedStats)
 
   /** The batch-decomposition-INVARIANT half of the incremental gauntlet:
