@@ -600,6 +600,10 @@ object Dedup {
     */
   private[graft] def ngramJaccardPairsFromSets(sets: DataFrame,
       nDocsHint: Long = -1L): DataFrame = {
+    // both verify kernels call sorted_intersect_count; the seam owns the
+    // registration so a caller handing in a pre-built set table (instead
+    // of coming through jaccardSets) doesn't depend on session state
+    graft.functions.ArrayFunctions.register(sets.sparkSession)
     val n = if (nDocsHint >= 0L) nDocsHint else sets.count()
     val pfx = jaccardPrefix(sets)
     if (n < jaccardGroupedN(sets.sparkSession)) jaccardVerifyJoin(sets, pfx)

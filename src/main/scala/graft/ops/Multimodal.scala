@@ -889,23 +889,33 @@ object Multimodal {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val standing = docs.filter(!(col("doc_id") % 10 >= ARRIVAL_DECILE))
-    val fp = FitStore.documentsFp(spark, sfDir)
-    val ck = SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
+    // lazy: FitStore.frame takes the fingerprint by-name so a session
+    // with no store root never pays the fingerprint scan — an eager val
+    // here was spending one agg job per cold call for nothing
+    lazy val fp = FitStore.documentsFp(spark, sfDir)
+    // the three standing builds are mutually independent; overlap their
+    // checkpoint jobs so each one's straggler tail back-fills the cores
+    // (guide §2.6 shape — distinct memo keys, benign-concurrent memo)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fCk = Future(SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
       FitStore.frame(spark, s"mm_checksum_idx_d$ARRIVAL_DECILE", fp) {
         standingChecksumIdx(standing)
       }.localCheckpoint()
-    }
-    val bi = SharedFits.memo(spark, s"mm_band_idx:$sfDir") {
+    })
+    val fBi = Future(SharedFits.memo(spark, s"mm_band_idx:$sfDir") {
       FitStore.frame(spark, s"mm_band_idx_d$ARRIVAL_DECILE", fp) {
         signatureBands(sliceFrames(standing))
       }.localCheckpoint()
-    }
-    val fs = SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
+    })
+    val fFs = Future(SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
       FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
         standingFeedStats(standing, emb)
       }.localCheckpoint()
-    }
-    (ck, bi, fs)
+    })
+    (Await.result(fCk, Duration.Inf), Await.result(fBi, Duration.Inf),
+      Await.result(fFs, Duration.Inf))
   }
 
   val multimodalAssemblyIncrementalSql: String =

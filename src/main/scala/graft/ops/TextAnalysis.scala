@@ -2429,12 +2429,16 @@ object TextAnalysis {
     * benchmark doc burning a standing doc — is corrected at merge time
     * by probing the postings index, never by re-scanning.
     */
-  private[graft] def caDocStats(standing: DataFrame): DataFrame = {
+  private[graft] def caDocStats(standing: DataFrame,
+      sets: DataFrame): DataFrame = {
     val contamIds = decontam(standing).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("c"))
     val keepIds = Dedup.exactGroups(standing)
       .select(col("keep_id").as("doc_id"), lit(true).as("k"))
-    val loserIds = Dedup.ngramJaccardPairs(standing)
+    // the near-dup pair chain reuses the caller's checkpointed shingle-set
+    // table (caShingleSets ≡ jaccardSets row-for-row) instead of
+    // re-shingling the standing corpus a second time
+    val loserIds = Dedup.ngramJaccardPairsFromSets(sets)
       .select(col("d2").as("doc_id")).distinct().withColumn("l", lit(true))
     quality(standing)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -2688,19 +2692,38 @@ object TextAnalysis {
         FitStore.frame(spark, name, FitStore.documentsFp(spark, sfDir)) { f }
           .localCheckpoint()
       }
-    val benchH = kept("ca_bench_h_t80") {
-      caShingleSets(standing.filter(col("doc_id") % lit(DECONTAM_MOD) === 0))
-        .select(explode(col("shs")).as("h")).distinct()
-    }
-    val fpIdx = kept("ca_fp_idx_t80") {
-      standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
-    }
+    // one shingle pass feeds all four shingle-derived artifacts: sets is
+    // built (and checkpointed) first, then bench hashes, postings and the
+    // doc-stats near-dup chain DERIVE from it — the fit used to re-run
+    // caShingleSets over the standing corpus four times for identical
+    // arrays (the id filter commutes with shingling, so the bench-doc
+    // slice of `sets` is exactly the bench docs' shingle sets)
     val sets = kept("ca_sets_t80") { caShingleSets(standing) }
-    val postings = kept("ca_postings_t80") {
-      caShingleSets(standing)
-        .select(col("doc_id"), explode(col("shs")).as("h"))
-    }
-    val docStats = kept("ca_doc_stats_t80") { caDocStats(standing) }
+    // the four remaining builds are independent of each other (three
+    // derive from the checkpointed `sets`, the fp index from the raw
+    // text); their checkpoint jobs were strictly sequential only because
+    // this method called them sequentially — overlapping them lets each
+    // build's straggler tail back-fill the 32 cores (guide §2.6 shape;
+    // memo keys are distinct, so the concurrent SharedFits writes are
+    // the documented benign case)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fBench = Future(kept("ca_bench_h_t80") {
+      sets.filter(col("doc_id") % lit(DECONTAM_MOD) === 0)
+        .select(explode(col("shs")).as("h")).distinct()
+    })
+    val fFpIdx = Future(kept("ca_fp_idx_t80") {
+      standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
+    })
+    val fPostings = Future(kept("ca_postings_t80") {
+      sets.select(col("doc_id"), explode(col("shs")).as("h"))
+    })
+    val fDocStats = Future(kept("ca_doc_stats_t80") { caDocStats(standing, sets) })
+    val benchH = Await.result(fBench, Duration.Inf)
+    val fpIdx = Await.result(fFpIdx, Duration.Inf)
+    val postings = Await.result(fPostings, Duration.Inf)
+    val docStats = Await.result(fDocStats, Duration.Inf)
     (benchH, fpIdx, sets, postings, docStats)
   }
 

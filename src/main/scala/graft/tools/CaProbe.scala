@@ -39,12 +39,12 @@ object CaProbe {
     time("postings") {
       TA.caShingleSets(standing).select(col("doc_id"), explode(col("shs")).as("h"))
     }
-    time("doc_stats") { TA.caDocStats(standing) }
+    time("doc_stats") { TA.caDocStats(standing, TA.caShingleSets(standing).localCheckpoint()) }
     time("ds_decontam") { TA.decontam(standing) }
     time("ds_exact_groups") { Dedup.exactGroups(standing) }
     time("ds_jaccard_pairs") { Dedup.ngramJaccardPairs(standing) }
     time("ds_quality") { TA.quality(standing) }
-    time("doc_stats_again") { TA.caDocStats(standing) }
+    time("doc_stats_again") { TA.caDocStats(standing, TA.caShingleSets(standing).localCheckpoint()) }
     spark.stop()
   }
 }

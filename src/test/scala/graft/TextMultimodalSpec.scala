@@ -380,7 +380,7 @@ class TextMultimodalSpec extends SparkSpec {
         fpIdx = standing.select(Dedup.exactFp($"text").as("fp")).distinct(),
         postings = stSets.select($"doc_id", explode($"shs").as("h")),
         sets = stSets,
-        docStats = TA.caDocStats(standing))
+        docStats = TA.caDocStats(standing, stSets.localCheckpoint()))
       .select("doc_id", "reason").as[(Long, String)].collect().toMap
     val batch = TA.corpusRejections(d)
       .select("doc_id", "reason").as[(Long, String)].collect()
@@ -446,7 +446,7 @@ class TextMultimodalSpec extends SparkSpec {
       .localCheckpoint()
     val postings = stSets.select($"doc_id", explode($"shs").as("h"))
       .localCheckpoint()
-    val docStats = TA.caDocStats(standing).localCheckpoint()
+    val docStats = TA.caDocStats(standing, stSets.localCheckpoint()).localCheckpoint()
     // id-ordered 2-batch split: 485 (the late bench) is in batch 2,
     // its victim 389 in batch 1; 395 (twin of 390) crosses batches too
     val batches = Seq(Seq(388L, 389L, 390L, 391L), Seq(392L, 393L, 394L, 395L, 484L, 485L))
