@@ -1858,14 +1858,19 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
       // path halving: jump to the representative's representative
       val repOf = labels.select(col("id").as("r_key"), col("rep").as("rep2"))
+      // monotone-sum convergence metric rides the checkpoint job itself
+      // (observe = accumulator collected while the round materializes) —
+      // the separate per-round scalar-agg job this loop used to pay was
+      // one of its two jobs per round at every scale
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = viaNeighbors
         .join(repOf, viaNeighbors("rep") === repOf("r_key"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+        .observe(obs, sum(col("rep").cast("decimal(38,0)")).as("s"))
         .localCheckpoint()
-      // monotone-sum convergence: exact, one scalar agg over the
-      // checkpointed output, no compare join (see scaladoc)
-      val nextSum = labelSum(next)
+      val nextSum = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       labels = next
