@@ -1877,14 +1877,21 @@ object Dedup {
       round += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc-debug] rounds=$round")
+    // Singletons (nodes with no edge) have cluster_size 1 BY DEFINITION and
+    // their rep set is disjoint from the labeled reps (a rep is always an
+    // edge endpoint), so sizes derive from `labels` alone and singletons
+    // union in with a literal — the old form unioned first and sized the
+    // union, which planned the anti-join TWICE in every consumer (once
+    // under sizes, once under the final join) and sized a larger frame.
     val singletons = nodes.select(col("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("rep"))
-    val all = labels.unionByName(singletons)
-    val sizes = all.groupBy(col("rep"))
+      .select(col("id"), col("id").as("rep_id"),
+        lit(1L).as("cluster_size"))
+    val sizes = labels.groupBy(col("rep"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
-    all.join(sizes, Seq("rep"))
+    labels.join(sizes, Seq("rep"))
       .select(col("id"), col("rep").as("rep_id"), col("cluster_size"))
+      .unionByName(singletons)
   }
 
   def duplicateClusters(docs: DataFrame): DataFrame =

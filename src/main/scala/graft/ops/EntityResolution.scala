@@ -375,13 +375,20 @@ object EntityResolution {
     val pairs = erPairs(spark, sfDir).select(col("a_id").as("d1"), col("b_id").as("d2"))
     val assign = Dedup.connectedComponents(r.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("rep_id").as("entity_id"))
-    val members = r.join(assign, Seq("doc_id"))
+    // members feeds FOUR aggregate consumers (src mode ×2, stats, rep
+    // name); unpinned, each replanned the records×assign SortMergeJoin and
+    // the CC finish from scratch (the before-plan shows the anti-join 8×
+    // and the members join 4×). One checkpoint of the O(N)-narrow frame
+    // runs that chain once — the multimodal scored/flags lesson.
+    val members = r.join(assign, Seq("doc_id")).localCheckpoint()
     // deterministic mode in two aggs (max count, then min source among
     // sources achieving it) — argmax-by-struct would need a numeric
     // inversion of the string tie-break key to be order-stable, which the
     // two-agg form gets for free, identically in both engines
+    // srcCnt feeds maxCnt AND the mode join — unpinned it would aggregate
+    // the corpus-sized members twice; the pinned frame is ≤|entities|·|sources| rows
     val srcCnt = members.groupBy(col("entity_id"), col("source"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
     val maxCnt = srcCnt.groupBy(col("entity_id")).agg(max(col("cnt")).as("mx"))
     val modeSrc = srcCnt.join(maxCnt, Seq("entity_id"))
       .filter(col("cnt") === col("mx"))
@@ -550,14 +557,20 @@ object EntityResolution {
     // standing partials at the (entity, source) / entity grain — one
     // linear scan off the persisted assignment (deployments persist the
     // partials themselves; the merge below is identical either way)
+    // membersSt/arrMembers are BATCH-BOUNDED after the remap inner join
+    // (only touched entities' members survive) and each feeds the source
+    // mode AND the stats partials — unpinned, every consumer replanned the
+    // corpus-side records join; pinned, the probe chain runs once
     val membersSt = rs.join(assignSt, Seq("doc_id"))
-      .join(broadcast(remap), Seq("entity_id"))
-    val arrMembers = ra.join(broadcast(arrAssign), Seq("doc_id"))
+      .join(broadcast(remap), Seq("entity_id")).localCheckpoint()
+    val arrMembers = ra.join(broadcast(arrAssign), Seq("doc_id")).localCheckpoint()
+    // srcMerged feeds maxCnt and the mode join (two consumers, tiny frame)
     val srcMerged = membersSt
       .groupBy(col("new_entity"), col("source")).agg(count(lit(1)).as("cnt"))
       .unionByName(arrMembers
         .groupBy(col("new_entity"), col("source")).agg(count(lit(1)).as("cnt")))
       .groupBy(col("new_entity"), col("source")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
     val maxCnt = srcMerged.groupBy(col("new_entity")).agg(max(col("cnt")).as("mx"))
     val modeSrc = srcMerged.join(maxCnt, Seq("new_entity"))
       .filter(col("cnt") === col("mx"))
