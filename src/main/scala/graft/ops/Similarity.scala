@@ -2493,8 +2493,6 @@ object Similarity {
   def simsearchGraphDegreeRecall(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    val truth = bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K)
-      .select(col("q_id"), col("n_id")).localCheckpoint()
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
     // The four per-degree NN-descent builds are independent (distinct
     // memo keys, distinct FitStore artifact names) and at bench corpus
@@ -2505,10 +2503,16 @@ object Similarity {
     // deterministic, and SharedFits races are benign by design
     // (first-put wins on identical values). Results are byte-identical
     // to the sequential build — same NND per degree, same oracle.
-    val adjByK = {
+    val (adjByK, truth) = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      GRAPH_DEGREES.map { k =>
+      // the brute-force truth table is independent of every build —
+      // overlap it with them instead of serializing it in front
+      val truthF = Future {
+        bruteForceTopk(emb, col("vec_id") < N_QUERIES, IVF_TOP_K)
+          .select(col("q_id"), col("n_id")).localCheckpoint()
+      }
+      val adj = GRAPH_DEGREES.map { k =>
         k -> Future {
           if (k == GRAPH_DEGREE) graphIndex(spark, sfDir).select(col("src"), col("dst"))
           else SharedFits.memo(spark, s"graph_adj_d$k:$sfDir") {
@@ -2521,6 +2525,7 @@ object Similarity {
       }.map { case (k, f) =>
         k -> Await.result(f, scala.concurrent.duration.Duration.Inf)
       }.toMap
+      (adj, Await.result(truthF, scala.concurrent.duration.Duration.Inf))
     }
     GRAPH_DEGREES.map { k =>
       val adj = adjByK(k)
@@ -2807,20 +2812,26 @@ object Similarity {
   private[graft] def beamTraverseFor(edges: DataFrame, base: DataFrame,
       queryIds: DataFrame, beamW: Int, rounds: Int = GRAPH_ROUNDS,
       pin: DataFrame => DataFrame = _.localCheckpoint(),
-      isNode: Column = lit(true)): DataFrame = {
+      isNode: Column = lit(true),
+      bitsHint: Option[Int] = None): DataFrame = {
     val ids = queryIds.select(col("vec_id"))
     val queries = base.join(ids, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nm").as("nq"))
-    beamLoop(edges, queries, beamSeedsFor(base, ids, pin, isNode),
+    beamLoop(edges, queries, beamSeedsFor(base, ids, pin, isNode, bitsHint),
       beamW, rounds, pin)
   }
 
   /** [[beamSeeds]]' frame-membership twin for [[beamTraverseFor]] —
-    * same occupancy-pinned geometry (see [[beamSeeds]]).
+    * same occupancy-pinned geometry (see [[beamSeeds]]). `bitsHint` lets
+    * a PER-MICRO-BATCH caller pass the standing base's bit geometry
+    * computed once at stream build instead of paying a count job per
+    * batch (the base is the same frame every batch; the count cannot
+    * change mid-stream).
     */
   private def beamSeedsFor(base: DataFrame, queryIds: DataFrame,
-      pin: DataFrame => DataFrame, isNode: Column): DataFrame = {
-    val bits = Dedup.hypBitsFor(base.count())
+      pin: DataFrame => DataFrame, isNode: Column,
+      bitsHint: Option[Int] = None): DataFrame = {
+    val bits = bitsHint.getOrElse(Dedup.hypBitsFor(base.count()))
     val withBuckets = base.select(col("vec_id"), col("embedding"), col("nm"),
         explode(array((0 until Dedup.HYP_TABLES).map(t =>
           struct(lit(t).as("t"),
@@ -2995,8 +3006,23 @@ object Similarity {
       .select(col("q_id"), col("n_id")).localCheckpoint()
     val denom = (N_QUERIES * IVF_TOP_K).toDouble
     val seeds = beamSeeds(base)
-    GRAPH_BEAMS.map { bw =>
-      val visited = beamTraverse(edges, base, bw, seeds = Some(seeds))
+    // The per-width traversals are independent chains of blocking
+    // checkpoint jobs over the SAME pinned seeds/edges; sequential
+    // construction left the session idle during each chain's driver
+    // latency (the degree-sweep overlap lesson, guide §2.6 — concurrent
+    // job submission backfills the tails). Results are byte-identical:
+    // each width's loop is deterministic and shares only read-only
+    // checkpointed inputs.
+    val visitedByW = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      GRAPH_BEAMS.map { bw =>
+        bw -> Future(beamTraverse(edges, base, bw, seeds = Some(seeds)))
+      }.map { case (bw, f) =>
+        bw -> Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }
+    }
+    visitedByW.map { case (bw, visited) =>
       val cand = visited.agg(count(lit(1)).as("n_candidates"))
       val hits = graphTopkFrom(visited).select(col("q_id"), col("n_id"))
         .join(truth, Seq("q_id", "n_id"), "left_semi")

@@ -674,6 +674,9 @@ object StreamingPipeline {
     val emb = Tables.embeddings(spark, sfDir)
     val base = graft.ops.Similarity.withNorm(emb).localCheckpoint()
     val edges = graft.ops.Similarity.graphIndex(spark, sfDir, half = Some(0))
+    // the seed-bucket bit geometry depends only on the pinned base — one
+    // count at stream build, not one count JOB per micro-batch
+    val baseBits = graft.ops.Dedup.hypBitsFor(base.count())
     val q = Tables.embeddingsStream(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"))
@@ -684,7 +687,8 @@ object StreamingPipeline {
         val ids = batch.select(col("vec_id")).localCheckpoint()
         val visited = graft.ops.Similarity.beamTraverseFor(
           edges, base, ids, graft.ops.Similarity.GRAPH_BEAM,
-          isNode = col("vec_id") % 2 === 0)
+          isNode = col("vec_id") % 2 === 0,
+          bitsHint = Some(baseBits))
         // idempotent under at-least-once retries: each micro-batch owns a
         // batchId-derived directory and OVERWRITES it, so a replayed batch
         // rewrites its own rows instead of appending them twice (a plain
