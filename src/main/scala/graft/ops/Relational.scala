@@ -1372,7 +1372,9 @@ object Relational {
       .localCheckpoint()
     val itemSup = items.groupBy(col("part")).agg(count(lit(1)).as("sup"))
     val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
-    val pairs = basketPairsFrom(items)
+    // the directed union reads pairs TWICE; unpinned, each side replanned
+    // the whole items self-join + top-k — pinned it is a 20-row frame
+    val pairs = basketPairsFrom(items).localCheckpoint()
     val directed = pairs.select(col("p1").as("antecedent"),
         col("p2").as("consequent"), col("support"))
       .unionByName(pairs.select(col("p2").as("antecedent"),
