@@ -2046,11 +2046,15 @@ object Dedup {
     * ∈ standing|joined|new) over the full corpus.
     */
   def incrementalClusters(newDocs: DataFrame, priorDocs: DataFrame,
-      priorClusters: DataFrame): DataFrame = {
-    val newSets = shingleSets(newDocs).localCheckpoint()
+      priorClusters: DataFrame,
+      newSetsIn: Option[DataFrame] = None,
+      newBandsIn: Option[DataFrame] = None,
+      priorBandsIn: Option[DataFrame] = None): DataFrame = {
+    val newSets = newSetsIn.getOrElse(shingleSets(newDocs).localCheckpoint())
     val priorSets = shingleSets(priorDocs)
-    val newBands = minhashBands(newDocs) // one checkpointed sig build, two probes
-    val priorBands = minhashBands(priorDocs)
+    // one checkpointed sig build, two probes
+    val newBands = newBandsIn.getOrElse(minhashBands(newDocs))
+    val priorBands = priorBandsIn.getOrElse(minhashBands(priorDocs))
     val cands = newBands
       .select(col("band_no"), col("bucket"), col("doc_id").as("new_id"))
       .join(priorBands
@@ -2117,10 +2121,21 @@ object Dedup {
 
   def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    incrementalClusters(
-      docs.filter(col("doc_id") % 2 === 1),
-      docs.filter(col("doc_id") % 2 === 0),
-      sharedPriorClusters(spark, sfDir))
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val priorDocs = docs.filter(col("doc_id") % 2 === 0)
+    // the standing CC fit, the standing band projection and the batch-side
+    // shingle/band pins are three independent chains of blocking jobs that
+    // used to run strictly sequentially — overlap them so the probe prep
+    // rides the standing fit's idle capacity (guide §2.6; bounded pool,
+    // Overlap.scala)
+    val r = Overlap.all(Seq[() => Any](
+      () => sharedPriorClusters(spark, sfDir),
+      () => minhashBands(priorDocs),
+      () => (shingleSets(newDocs).localCheckpoint(), minhashBands(newDocs))))
+    val (newSets, newBands) = r(2).asInstanceOf[(DataFrame, DataFrame)]
+    incrementalClusters(newDocs, priorDocs, r(0).asInstanceOf[DataFrame],
+      newSetsIn = Some(newSets), newBandsIn = Some(newBands),
+      priorBandsIn = Some(r(1).asInstanceOf[DataFrame]))
   }
 
   val dedupClustersIncrementalSql: String =

@@ -502,10 +502,18 @@ object EntityResolution {
     */
   def erGoldenIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    erGoldenIncrementalOver(
-      docs.filter(col("doc_id") % 2 === 0),
-      docs.filter(col("doc_id") % 2 === 1),
-      sharedStandingAssignment(spark, sfDir))
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val arrivals = docs.filter(col("doc_id") % 2 === 1)
+    // the standing fit, the arrival-touching pair probe and the arrival
+    // record pin are mutually independent chains of blocking jobs —
+    // overlap them so the probe side rides the fit's idle capacity
+    // (guide §2.6; bounded pool, Overlap.scala)
+    val r = Overlap.all(Seq(
+      () => sharedStandingAssignment(spark, sfDir),
+      () => erPairsIncrementalOver(standing, arrivals)
+        .select(col("a_id"), col("b_id")).localCheckpoint(),
+      () => records(arrivals).localCheckpoint()))
+    erGoldenFinish(standing, arrivals, r(0), r(1), raIn = Some(r(2)))
   }
 
   private[graft] def erGoldenIncrementalOver(standing: DataFrame,
@@ -524,9 +532,9 @@ object EntityResolution {
     */
   private[graft] def erGoldenFinish(standing: DataFrame,
       arrivals: DataFrame, assignSt: DataFrame,
-      newPairs: DataFrame): DataFrame = {
+      newPairs: DataFrame, raIn: Option[DataFrame] = None): DataFrame = {
     val rs = records(standing)
-    val ra = records(arrivals).localCheckpoint()
+    val ra = raIn.getOrElse(records(arrivals).localCheckpoint())
     // contract standing endpoints to their entity label (left join: an
     // arrival endpoint has no standing assignment and keeps its own id).
     // Unhinted: assignSt is corpus-proportional; AQE broadcasts the
@@ -561,9 +569,13 @@ object EntityResolution {
     // (only touched entities' members survive) and each feeds the source
     // mode AND the stats partials — unpinned, every consumer replanned the
     // corpus-side records join; pinned, the probe chain runs once
-    val membersSt = rs.join(assignSt, Seq("doc_id"))
-      .join(broadcast(remap), Seq("entity_id")).localCheckpoint()
-    val arrMembers = ra.join(broadcast(arrAssign), Seq("doc_id")).localCheckpoint()
+    // the two member pins depend only on the checkpointed cc2 — overlap
+    val mr = Overlap.all(Seq(
+      () => rs.join(assignSt, Seq("doc_id"))
+        .join(broadcast(remap), Seq("entity_id")).localCheckpoint(),
+      () => ra.join(broadcast(arrAssign), Seq("doc_id")).localCheckpoint()))
+    val membersSt = mr(0)
+    val arrMembers = mr(1)
     // srcMerged feeds maxCnt and the mode join (two consumers, tiny frame)
     val srcMerged = membersSt
       .groupBy(col("new_entity"), col("source")).agg(count(lit(1)).as("cnt"))

@@ -895,27 +895,25 @@ object Multimodal {
     lazy val fp = FitStore.documentsFp(spark, sfDir)
     // the three standing builds are mutually independent; overlap their
     // checkpoint jobs so each one's straggler tail back-fills the cores
-    // (guide §2.6 shape — distinct memo keys, benign-concurrent memo)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fCk = Future(SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
-      FitStore.frame(spark, s"mm_checksum_idx_d$ARRIVAL_DECILE", fp) {
-        standingChecksumIdx(standing)
-      }.localCheckpoint()
-    })
-    val fBi = Future(SharedFits.memo(spark, s"mm_band_idx:$sfDir") {
-      FitStore.frame(spark, s"mm_band_idx_d$ARRIVAL_DECILE", fp) {
-        signatureBands(sliceFrames(standing))
-      }.localCheckpoint()
-    })
-    val fFs = Future(SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
-      FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
-        standingFeedStats(standing, emb)
-      }.localCheckpoint()
-    })
-    (Await.result(fCk, Duration.Inf), Await.result(fBi, Duration.Inf),
-      Await.result(fFs, Duration.Inf))
+    // (guide §2.6 shape — distinct memo keys, benign-concurrent memo;
+    // bounded dedicated pool per the round-15 verdict, Overlap.scala)
+    val r = Overlap.all(Seq(
+      () => SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
+        FitStore.frame(spark, s"mm_checksum_idx_d$ARRIVAL_DECILE", fp) {
+          standingChecksumIdx(standing)
+        }.localCheckpoint()
+      },
+      () => SharedFits.memo(spark, s"mm_band_idx:$sfDir") {
+        FitStore.frame(spark, s"mm_band_idx_d$ARRIVAL_DECILE", fp) {
+          signatureBands(sliceFrames(standing))
+        }.localCheckpoint()
+      },
+      () => SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
+        FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
+          standingFeedStats(standing, emb)
+        }.localCheckpoint()
+      }))
+    (r(0), r(1), r(2))
   }
 
   val multimodalAssemblyIncrementalSql: String =

@@ -2527,11 +2527,13 @@ object TextAnalysis {
 
   private[graft] def rejectionsIncremental(arrivals: DataFrame,
       benchH: DataFrame, fpIdx: DataFrame, postings: DataFrame,
-      sets: DataFrame, docStats: DataFrame): DataFrame = {
+      sets: DataFrame, docStats: DataFrame,
+      aSetsIn: Option[DataFrame] = None,
+      abenchIn: Option[DataFrame] = None): DataFrame = {
     val isBenchA = col("doc_id") % lit(DECONTAM_MOD) === 0
-    val aSets = caShingleSets(arrivals).localCheckpoint()
-    val abench = aSets.filter(isBenchA)
-      .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
+    val aSets = aSetsIn.getOrElse(caShingleSets(arrivals).localCheckpoint())
+    val abench = abenchIn.getOrElse(aSets.filter(isBenchA)
+      .select(explode(col("shs")).as("h")).distinct().localCheckpoint())
     rejStreamFinish(
       rejStreamFlags(arrivals, aSets, fpIdx, postings, sets),
       aSets.select(col("doc_id"), explode(col("shs")).as("h")),
@@ -2674,8 +2676,24 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     val t = caThreshold(docs)
     val arrivals = docs.filter(col("doc_id") >= t)
-    val (benchH, fpIdx, sets, postings, docStats) = sharedCaState(spark, sfDir)
-    rejectionsIncremental(arrivals, benchH, fpIdx, postings, sets, docStats)
+    // the arrival-side shingle chain (aSets → abench pins) touches only
+    // the arrival slice and is independent of all five standing builds —
+    // overlap the two chains so the probe prep rides the standing fit's
+    // idle capacity (guide §2.6; bounded pool, Overlap.scala)
+    val isBenchA = col("doc_id") % lit(DECONTAM_MOD) === 0
+    val r = Overlap.all(Seq[() => Any](
+      () => sharedCaState(spark, sfDir),
+      () => {
+        val aSets = caShingleSets(arrivals).localCheckpoint()
+        val abench = aSets.filter(isBenchA)
+          .select(explode(col("shs")).as("h")).distinct().localCheckpoint()
+        (aSets, abench)
+      }))
+    val (benchH, fpIdx, sets, postings, docStats) =
+      r(0).asInstanceOf[(DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
+    val (aSets, abench) = r(1).asInstanceOf[(DataFrame, DataFrame)]
+    rejectionsIncremental(arrivals, benchH, fpIdx, postings, sets, docStats,
+      aSetsIn = Some(aSets), abenchIn = Some(abench))
   }
 
   /** The five FitStore-persisted standing artifacts the incremental AND
@@ -2706,25 +2724,20 @@ object TextAnalysis {
     // build's straggler tail back-fill the 32 cores (guide §2.6 shape;
     // memo keys are distinct, so the concurrent SharedFits writes are
     // the documented benign case)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fBench = Future(kept("ca_bench_h_t80") {
-      sets.filter(col("doc_id") % lit(DECONTAM_MOD) === 0)
-        .select(explode(col("shs")).as("h")).distinct()
-    })
-    val fFpIdx = Future(kept("ca_fp_idx_t80") {
-      standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
-    })
-    val fPostings = Future(kept("ca_postings_t80") {
-      sets.select(col("doc_id"), explode(col("shs")).as("h"))
-    })
-    val fDocStats = Future(kept("ca_doc_stats_t80") { caDocStats(standing, sets) })
-    val benchH = Await.result(fBench, Duration.Inf)
-    val fpIdx = Await.result(fFpIdx, Duration.Inf)
-    val postings = Await.result(fPostings, Duration.Inf)
-    val docStats = Await.result(fDocStats, Duration.Inf)
-    (benchH, fpIdx, sets, postings, docStats)
+    // (bounded dedicated pool per the round-15 verdict, Overlap.scala)
+    val r = Overlap.all(Seq(
+      () => kept("ca_bench_h_t80") {
+        sets.filter(col("doc_id") % lit(DECONTAM_MOD) === 0)
+          .select(explode(col("shs")).as("h")).distinct()
+      },
+      () => kept("ca_fp_idx_t80") {
+        standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
+      },
+      () => kept("ca_postings_t80") {
+        sets.select(col("doc_id"), explode(col("shs")).as("h"))
+      },
+      () => kept("ca_doc_stats_t80") { caDocStats(standing, sets) }))
+    (r(0), r(1), sets, r(2), r(3))
   }
 
   lazy val textCorpusRejectionsIncrementalSql: String =
