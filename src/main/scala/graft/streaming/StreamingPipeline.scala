@@ -677,6 +677,11 @@ object StreamingPipeline {
     // the seed-bucket bit geometry depends only on the pinned base — one
     // count at stream build, not one count JOB per micro-batch
     val baseBits = graft.ops.Dedup.hypBitsFor(base.count())
+    // likewise the WHOLE standing-side bucket table: the base cannot
+    // change mid-stream, so the corpus explode is stream-build work, not
+    // per-trigger work (round-15 verdict ask #4)
+    val standingBuckets = graft.ops.Similarity.seedNodeBuckets(
+      base, baseBits, isNode = col("vec_id") % 2 === 0).localCheckpoint()
     val q = Tables.embeddingsStream(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"))
@@ -688,7 +693,8 @@ object StreamingPipeline {
         val visited = graft.ops.Similarity.beamTraverseFor(
           edges, base, ids, graft.ops.Similarity.GRAPH_BEAM,
           isNode = col("vec_id") % 2 === 0,
-          bitsHint = Some(baseBits))
+          bitsHint = Some(baseBits),
+          nodeBuckets = Some(standingBuckets))
         // idempotent under at-least-once retries: each micro-batch owns a
         // batchId-derived directory and OVERWRITES it, so a replayed batch
         // rewrites its own rows instead of appending them twice (a plain
@@ -1765,12 +1771,14 @@ object StreamingPipeline {
       sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("ss_enrich_replay")
     val priceDir = s"$tmp/price_feed"
-    Tables.dailyPrice(spark, sfDir)
+    val priceFeed = Tables.dailyPrice(spark, sfDir)
       .select(col("chain"), col("price_date").cast("timestamp").as("price_ts"),
         col("price"))
-      .write.parquet(priceDir)
+    priceFeed.write.parquet(priceDir)
+    // the feed's schema is known from the frame just written — re-reading
+    // the directory for it paid a listing + footer job per run
     val priceStream = spark.readStream
-      .schema(spark.read.parquet(priceDir).schema).parquet(priceDir)
+      .schema(priceFeed.schema).parquet(priceDir)
     val tx = Tables.txFrom(Tables.eventsStream(spark, sfDir))
       .filter(col("createdAt") > lit(java.sql.Timestamp.valueOf(Tables.WM)))
     val out = s"$tmp/enriched"

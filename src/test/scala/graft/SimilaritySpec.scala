@@ -223,6 +223,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("shared widest-cut NND seed: rank<=k over the kCut=max cands equals knnGraph(k) per degree") {
+    // the prefix-pruning identity the degree sweep's shared init rests
+    // on: per-bucket top-kCut at kCut = max degree is a complete
+    // candidate superset for every k <= kCut, and the global rank<=k
+    // prefix over it is row-identical to the per-degree kernel's
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.pipeline.Tables.embeddings(spark, sfDir)
+    val (base, cands) = Similarity.sharedNndSeed(spark, sfDir)
+    Similarity.GRAPH_DEGREES.foreach { k =>
+      val shared = Similarity.nndInitFor(cands, k)
+        .as[(Long, Long)].collect().toSet
+      val direct = graft.ops.Dedup.knnGraph(emb, k = k)
+        .select(col("vec_id"), col("nn_id")).as[(Long, Long)].collect().toSet
+      assert(shared == direct, s"init at degree $k must match knnGraph($k)")
+    }
+    // and the full construction threaded through the shared seed is the
+    // same adjacency the self-contained build produces
+    val k = Similarity.GRAPH_DEGREES(1)
+    val viaShared = Similarity.nnDescentAdj(emb, k = k,
+        init = Some(Similarity.nndInitFor(cands, k)), payIn = Some(base))
+      .as[(Long, Long)].collect().toSet
+    val selfContained = Similarity.nnDescentAdj(emb, k = k)
+      .as[(Long, Long)].collect().toSet
+    assert(viaShared == selfContained, "shared-seed NND must be row-identical")
+  }
+
   test("index drift: standing fit on prior half, drift columns and refit flag behave") {
     val emb = graft.pipeline.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.indexDrift(emb)
