@@ -805,15 +805,26 @@ object StreamingPipeline {
   def erGoldenReplay(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import graft.ops.EntityResolution
-    val (out, standing, rsKept) =
-      erFrozenReplayBody(spark, sfDir, "er_golden_replay")
     val arrivals = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 2 === 1)
-    val drained = drainDeltas(spark, out) {
-      EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0))
-    }.select(col("a_id"), col("b_id")).localCheckpoint()
+    // the standing-assignment fit reads only the even half and is
+    // independent of the whole frozen-cap replay — build it while the
+    // stream drains instead of serializing it behind the drain
+    // (guide §2.6; bounded pool, Overlap.scala)
+    val r = graft.ops.Overlap.all(Seq[() => Any](
+      () => {
+        val (out, standing, rsKept) =
+          erFrozenReplayBody(spark, sfDir, "er_golden_replay")
+        val drained = drainDeltas(spark, out) {
+          EntityResolution.erStreamProbe(rsKept.limit(0), rsKept.limit(0))
+        }.select(col("a_id"), col("b_id")).localCheckpoint()
+        (standing, drained)
+      },
+      () => EntityResolution.sharedStandingAssignment(spark, sfDir)))
+    val (standing, drained) =
+      r(0).asInstanceOf[(DataFrame, DataFrame)]
     EntityResolution.erGoldenFinish(standing, arrivals,
-      EntityResolution.sharedStandingAssignment(spark, sfDir), drained)
+      r(1).asInstanceOf[DataFrame], drained)
   }
 
   /** The ORACLE-GATED streaming TRIANGLE-STATS twin — completing the
