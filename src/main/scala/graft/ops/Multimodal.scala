@@ -886,6 +886,20 @@ object Multimodal {
     */
   private[graft] def sharedStandingState(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (ck, bi, fsJ) = sharedStandingStateAsync(spark, sfDir)
+    (ck, bi, fsJ())
+  }
+
+  /** [[sharedStandingState]] split by WHEN each artifact is consumed:
+    * the two the gauntlet probes per batch (checksum index, band index)
+    * returned built, and the feed stats — read only by the END-OF-WINDOW
+    * [[finishAssembly]] — returned as a JOIN handle on an async build,
+    * so the streaming replay starts as soon as the per-batch state is
+    * ready and the drain-only fit builds while the stream runs (guide
+    * §2.6). Same memo keys, same frames; only the join point moves.
+    */
+  private[graft] def sharedStandingStateAsync(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, () => DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val standing = docs.filter(!(col("doc_id") % 10 >= ARRIVAL_DECILE))
@@ -897,6 +911,13 @@ object Multimodal {
     // checkpoint jobs so each one's straggler tail back-fills the cores
     // (guide §2.6 shape — distinct memo keys, benign-concurrent memo;
     // bounded dedicated pool per the round-15 verdict, Overlap.scala)
+    // drain-only feed stats first — its handle outlives this call
+    val late = Overlap.begin(Seq(
+      () => SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
+        FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
+          standingFeedStats(standing, emb)
+        }.localCheckpoint()
+      }), cap = 1)
     val r = Overlap.all(Seq(
       () => SharedFits.memo(spark, s"mm_checksum_idx:$sfDir") {
         FitStore.frame(spark, s"mm_checksum_idx_d$ARRIVAL_DECILE", fp) {
@@ -907,13 +928,8 @@ object Multimodal {
         FitStore.frame(spark, s"mm_band_idx_d$ARRIVAL_DECILE", fp) {
           signatureBands(sliceFrames(standing))
         }.localCheckpoint()
-      },
-      () => SharedFits.memo(spark, s"mm_feed_stats:$sfDir") {
-        FitStore.frame(spark, s"mm_feed_stats_d$ARRIVAL_DECILE", fp) {
-          standingFeedStats(standing, emb)
-        }.localCheckpoint()
       }))
-    (r(0), r(1), r(2))
+    (r(0), r(1), late(0))
   }
 
   val multimodalAssemblyIncrementalSql: String =

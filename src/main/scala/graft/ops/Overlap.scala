@@ -28,6 +28,19 @@ object Overlap {
 
   def all[A](thunks: Seq[() => A], cap: Int = DEFAULT_CAP): Seq[A] = {
     if (thunks.lengthCompare(2) < 0) thunks.map(_())
+    else begin(thunks, cap).map(_())
+  }
+
+  /** Start the thunks on their own bounded daemon pool and return JOIN
+    * handles instead of blocking — the deferred form of [[all]] for
+    * work whose consumer is far downstream (e.g. a streaming replay's
+    * drain-only standing fits, which can build while the stream runs
+    * instead of delaying its start). Each handle blocks until its thunk
+    * finishes and rethrows its failure; the pool drains itself after
+    * the last thunk (shutdown is pre-issued, threads are daemons).
+    */
+  def begin[A](thunks: Seq[() => A], cap: Int = DEFAULT_CAP): Seq[() => A] = {
+    if (thunks.isEmpty) Seq.empty
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(math.max(cap, 1), thunks.size),
@@ -40,11 +53,10 @@ object Overlap {
         })
       implicit val ec: scala.concurrent.ExecutionContextExecutorService =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val fs = thunks.map(t => scala.concurrent.Future(t()))
-        fs.map(f =>
-          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
+      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      pool.shutdown() // already-submitted tasks still run; pool dies after
+      fs.map(f => () =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     }
   }
 }

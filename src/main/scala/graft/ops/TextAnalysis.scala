@@ -2702,6 +2702,22 @@ object TextAnalysis {
     */
   private[graft] def sharedCaState(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (sets, fpIdx, postings, benchHJ, docStatsJ) =
+      sharedCaStateAsync(spark, sfDir)
+    (benchHJ(), fpIdx, sets, postings, docStatsJ())
+  }
+
+  /** [[sharedCaState]] split by WHEN each artifact is consumed: the
+    * three the audits probe per batch (sets, fp index, postings)
+    * returned built, and the two only the end-of-window finish reads
+    * (bench hashes, doc stats) returned as JOIN handles on an async
+    * build — the streaming replay starts its stream as soon as the
+    * per-batch state is ready and the drain-only fits build while the
+    * stream runs (guide §2.6). Same memo keys, same frames; only the
+    * join point moves.
+    */
+  private[graft] def sharedCaStateAsync(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, () => DataFrame, () => DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val t = caThreshold(docs)
     val standing = docs.filter(col("doc_id") < t)
@@ -2725,19 +2741,21 @@ object TextAnalysis {
     // memo keys are distinct, so the concurrent SharedFits writes are
     // the documented benign case)
     // (bounded dedicated pool per the round-15 verdict, Overlap.scala)
-    val r = Overlap.all(Seq(
+    // drain-only pair first — their handles outlive this call
+    val late = Overlap.begin(Seq(
       () => kept("ca_bench_h_t80") {
         sets.filter(col("doc_id") % lit(DECONTAM_MOD) === 0)
           .select(explode(col("shs")).as("h")).distinct()
       },
+      () => kept("ca_doc_stats_t80") { caDocStats(standing, sets) }), cap = 2)
+    val r = Overlap.all(Seq(
       () => kept("ca_fp_idx_t80") {
         standing.select(Dedup.exactFp(col("text")).as("fp")).distinct()
       },
       () => kept("ca_postings_t80") {
         sets.select(col("doc_id"), explode(col("shs")).as("h"))
-      },
-      () => kept("ca_doc_stats_t80") { caDocStats(standing, sets) }))
-    (r(0), r(1), sets, r(2), r(3))
+      }))
+    (sets, r(0), r(1), late(0), late(1))
   }
 
   lazy val textCorpusRejectionsIncrementalSql: String =

@@ -1073,7 +1073,9 @@ object StreamingPipeline {
     val tmp = java.nio.file.Files.createTempDirectory("mm_assembly_replay")
     val out = s"$tmp/flags"
     val emb = Tables.embeddings(spark, sfDir)
-    val (ck, bi, fs) = Multimodal.sharedStandingState(spark, sfDir)
+    // the feed-stats fit is read only at DRAIN (finishAssembly) — take
+    // it as a join handle so it builds while the stream runs
+    val (ck, bi, fsJ) = Multimodal.sharedStandingStateAsync(spark, sfDir)
     val seenCk = new DeltaIndex(ck.limit(0).localCheckpoint())
     val seenBands = new DeltaIndex(bi.limit(0).localCheckpoint())
     val q = Tables.documentsStream(spark, sfDir)
@@ -1103,7 +1105,7 @@ object StreamingPipeline {
     Multimodal.finishAssembly(
       drainOr(spark, out,
         Multimodal.gauntletFlags(Tables.documents(spark, sfDir).limit(0),
-          emb, ck, bi)).drop("batch"), fs)
+          emb, ck, bi)).drop("batch"), fsJ())
   }
 
   /** The ORACLE-GATED streaming CORPUS-REJECTIONS twin — the assembly
@@ -1133,12 +1135,18 @@ object StreamingPipeline {
     val out = s"$tmp/flags"
     val docs = Tables.documents(spark, sfDir)
     val t = TA.caThreshold(docs)
-    val (benchH, fpIdx, sets, postings, docStats) = TA.sharedCaState(spark, sfDir)
+    // the bench-hash and doc-stats fits are read only at DRAIN — take
+    // them as join handles so they build while the stream runs, instead
+    // of delaying stream start behind fits no micro-batch touches
+    val (sets, fpIdx, postings, benchHJ, docStatsJ) =
+      TA.sharedCaStateAsync(spark, sfDir)
     val isBench = col("doc_id") % lit(graft.ops.TextAnalysis.DECONTAM_MOD) === 0
     val seenFp = new DeltaIndex(fpIdx.limit(0).localCheckpoint())
     val seenPost = new DeltaIndex(postings.limit(0).localCheckpoint())
     val seenSets = new DeltaIndex(sets.limit(0).localCheckpoint())
-    val seenBench = new DeltaIndex(benchH.limit(0).localCheckpoint())
+    // schema-only init (one `h` column) — benchH itself is still building
+    val seenBench = new DeltaIndex(
+      postings.limit(0).select(col("h")).localCheckpoint())
     val q = Tables.documentsStream(spark, sfDir)
       .filter(col("doc_id") >= t)
       .writeStream
@@ -1171,7 +1179,8 @@ object StreamingPipeline {
       drainOr(spark, out,
         TA.rejStreamFlags(docs.limit(0), TA.caShingleSets(docs.limit(0)),
           fpIdx, postings, sets, batchBounded = true)).drop("batch"),
-      seenPost.view, seenBench.view.distinct(), benchH, postings, docStats)
+      seenPost.view, seenBench.view.distinct(), benchHJ(), postings,
+      docStatsJ())
   }
 
   /** The ORACLE-GATED streaming PRIVACY-AUDIT twin — k-anonymity
