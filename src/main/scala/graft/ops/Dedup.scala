@@ -902,10 +902,14 @@ object Dedup {
     * sides are bucket/prefix-bounded plans — nothing here is quadratic.
     */
   def lshQuality(docs: DataFrame): DataFrame = {
-    val truth = ngramJaccardPairs(exactReps(docs))
-      .select(col("d1"), col("d2")).localCheckpoint()
-    val cand = minhashPairs(docs)
-      .select(col("d1"), col("d2")).localCheckpoint()
+    // truth (AllPairs over the keep set) and candidates (band buckets)
+    // are independent pinned builds — overlap them (guide §2.6)
+    val r = Overlap.all(Seq(
+      () => ngramJaccardPairs(exactReps(docs))
+        .select(col("d1"), col("d2")).localCheckpoint(),
+      () => minhashPairs(docs)
+        .select(col("d1"), col("d2")).localCheckpoint()))
+    val (truth, cand) = (r(0), r(1))
     val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
     val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
     val nHit = cand.join(truth, Seq("d1", "d2"), "left_semi")

@@ -48,14 +48,18 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = PR_ITERS): DataFrame = {
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
-    // static per-iteration build side: (src, dst, out-degree), moved once
-    val e = edges.join(outDeg, Seq("src"))
-      .select(col("src"), col("dst"), col("k"))
-      .repartition(col("src"))
-      .localCheckpoint()
-    // node frame pre-partitioned on id: the per-round left join then
+    // the static build side and the node frame are independent pinned
+    // builds — overlap them (guide §2.6):
+    // e: (src, dst, out-degree), moved once per run;
+    // n0: node frame pre-partitioned on id, so the per-round left join
     // reshuffles only the contribution aggregate, never the node set
-    val n0 = nodes.select(col("id")).repartition(col("id")).localCheckpoint()
+    val r = Overlap.all(Seq(
+      () => edges.join(outDeg, Seq("src"))
+        .select(col("src"), col("dst"), col("k"))
+        .repartition(col("src"))
+        .localCheckpoint(),
+      () => nodes.select(col("id")).repartition(col("id")).localCheckpoint()))
+    val (e, n0) = (r(0), r(1))
     val n = n0.count()
     require(n > 0, "pageRank needs a non-empty node set")
     val r0 = PR_SCALE / n

@@ -2595,6 +2595,9 @@ object Similarity {
       init: Option[DataFrame] = None,
       payIn: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
+    // NOT overlapped (measured): racing the cheap payload pin against
+    // the wide LSH-kernel init stole kernel slots inside callers that
+    // already overlap this whole build (graph_insert_stream 5.3→5.6 s)
     val pay = payIn.getOrElse(withNorm(emb)
       .select(col("vec_id"), col("embedding"), col("nm")).localCheckpoint())
     var adj = init.getOrElse(Dedup.knnGraph(emb, k = k, dim = dim)

@@ -569,14 +569,17 @@ object TextAnalysis {
     val tgt = docs.filter(col("lang") === "en" && qualityKeep)
     // vocab-sized LM tables, checkpointed once: uni fans into the total
     // and TWO probe joins, cb into one — without the checkpoint every
-    // consumer re-tokenizes the target slice
-    val uni = Tables.tokens(tgt)
-      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
+    // consumer re-tokenizes the target slice; the two builds are
+    // independent, so overlap them (guide §2.6)
+    val lm = Overlap.all(Seq(
+      () => Tables.tokens(tgt)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint(),
+      () => Tables.bigrams(tgt)
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()))
+    val (uni, bigrams) = (lm(0), lm(1))
     val nTot = uni.agg(sum(col("cu")).as("n_tot"))
-    val bigrams = Tables.bigrams(tgt)
-      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
     val docBg = Tables.bigrams(docs)
     val scored = docBg
       .join(broadcast(bigrams), Seq("prev", "cur"), "left_outer")
@@ -1215,16 +1218,19 @@ object TextAnalysis {
           .stripMargin)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
     // raw pair counts fan into the min-count survivors AND the corpus
-    // pair total; checkpoint so the pair explode runs once
-    val pc0 = pairs.groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).cast("long").as("c_xy"))
-      .localCheckpoint()
+    // pair total; unigram counts fan into both pair-side joins and the
+    // token total — checkpoint each so its pass runs once, and overlap
+    // the two independent builds (guide §2.6)
+    val cnt = Overlap.all(Seq(
+      () => pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).cast("long").as("c_xy"))
+        .localCheckpoint(),
+      () => Tables.tokens(docs).groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()))
+    val (pc0, uni) = (cnt(0), cnt(1))
     val pairCounts = pc0.filter(col("c_xy") >= COOC_MIN_COUNT)
     val nPair = pc0.agg(sum(col("c_xy")).cast("double").as("n_pair"))
-    // unigram counts fan into both pair-side joins and the token total
-    val uni = Tables.tokens(docs).groupBy(col("tok"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint()
     val nTok = uni.agg(sum(col("c")).cast("double").as("n_tok"))
     val scored = pairCounts
       .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
