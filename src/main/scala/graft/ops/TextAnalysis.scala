@@ -2330,11 +2330,22 @@ object TextAnalysis {
   private[ops] def assemblyFlags(docs: DataFrame): DataFrame =
     assemblyFlags(docs, Dedup.ngramJaccardPairs(docs))
 
-  private[ops] def assemblyFlags(docs: DataFrame, jaccardPairs: DataFrame): DataFrame = {
-    val contamIds = decontam(docs).filter(col("contaminated"))
-      .select(col("doc_id"), lit(true).as("is_contam"))
-    val keepIds = Dedup.exactGroups(docs)
-      .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+  private[ops] def assemblyFlags(docs: DataFrame, jaccardPairs: DataFrame): DataFrame =
+    assemblyFlagsFrom(docs, jaccardPairs)
+
+  /** [[assemblyFlags]] with the contaminated-id and exact-representative
+    * gates optionally PRE-PINNED by the caller — same frames, same join
+    * shape; [[sharedFlags]] builds the three independent gate chains in
+    * overlap instead of serially inside the one flags job.
+    */
+  private[ops] def assemblyFlagsFrom(docs: DataFrame, jaccardPairs: DataFrame,
+      contamIdsIn: Option[DataFrame] = None,
+      keepIdsIn: Option[DataFrame] = None): DataFrame = {
+    val contamIds = contamIdsIn.getOrElse(
+      decontam(docs).filter(col("contaminated"))
+        .select(col("doc_id"), lit(true).as("is_contam")))
+    val keepIds = keepIdsIn.getOrElse(Dedup.exactGroups(docs)
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper")))
     val loserIds = jaccardPairs
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
@@ -2351,9 +2362,23 @@ object TextAnalysis {
     SharedFits.memo(spark, s"assembly_flags:$sfDir") {
       // the near-dup-loser gate reads the session-shared pair frame — the
       // AllPairs pair-gen is the chain's dominant stage and also feeds the
-      // duplicate-cluster family, so it must not run once per family
-      assemblyFlags(Tables.documents(spark, sfDir),
-        Dedup.sharedJaccardPairs(spark, sfDir)).localCheckpoint()
+      // duplicate-cluster family, so it must not run once per family.
+      // The flags pass's three gate inputs are independent corpus chains
+      // (contaminated ids via the shingle probe, exact representatives
+      // via the fp groupBy, the AllPairs pair frame) that the single
+      // composed plan ran serially inside one job — pre-pin them in
+      // overlap (guide §2.6; the id sets are corpus-bounded narrow
+      // frames) and let the flags pass join the pinned gates
+      val docs = Tables.documents(spark, sfDir)
+      val g = Overlap.all(Seq(
+        () => Dedup.sharedJaccardPairs(spark, sfDir),
+        () => decontam(docs).filter(col("contaminated"))
+          .select(col("doc_id"), lit(true).as("is_contam")).localCheckpoint(),
+        () => Dedup.exactGroups(docs)
+          .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+          .localCheckpoint()))
+      assemblyFlagsFrom(docs, g(0), contamIdsIn = Some(g(1)),
+        keepIdsIn = Some(g(2))).localCheckpoint()
     }
 
   private def rejectionsFrom(flags: DataFrame): DataFrame = {
