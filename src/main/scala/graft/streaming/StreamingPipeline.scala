@@ -1210,6 +1210,13 @@ object StreamingPipeline {
     import graft.ops.Privacy
     val tmp = java.nio.file.Files.createTempDirectory("privacy_kanon_replay")
     val out = s"$tmp/classes"
+    // the standing fit reads only the static even half — build it while
+    // the stream drains instead of behind it (guide §2.6, join handle)
+    val standingJ = graft.ops.Overlap.begin(Seq(
+      () => Privacy.sharedClassCounts(spark, sfDir,
+        "privacy_qik_st", Privacy.qiK,
+        Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))),
+      cap = 1)(0)
     withStatePartitions(spark, 8) {
       val q = Tables.customerStream(spark, sfDir)
         .filter(col("c_custkey") % 2 === 1)
@@ -1225,9 +1232,7 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    val standing = Privacy.sharedClassCounts(spark, sfDir,
-      "privacy_qik_st", Privacy.qiK,
-      Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
+    val standing = standingJ()
     Privacy.kHistogram(
       Privacy.mergeCounts(standing, drainMerged(spark, out)(standing.limit(0)))
         .select(col("qi"), col("k")))
@@ -1250,6 +1255,12 @@ object StreamingPipeline {
     import graft.ops.Privacy
     val tmp = java.nio.file.Files.createTempDirectory("privacy_ldiv_replay")
     val out = s"$tmp/cells"
+    // standing fit is stream-independent — overlap with the drain
+    val standingJ = graft.ops.Overlap.begin(Seq(
+      () => Privacy.sharedClassCounts(spark, sfDir,
+        "privacy_qiseg_st", Privacy.qiSeg,
+        Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))),
+      cap = 1)(0)
     withStatePartitions(spark, 8) {
       val q = Tables.customerStream(spark, sfDir)
         .filter(col("c_custkey") % 2 === 1)
@@ -1265,9 +1276,7 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    val standing = Privacy.sharedClassCounts(spark, sfDir,
-      "privacy_qiseg_st", Privacy.qiSeg,
-      Tables.customer(spark, sfDir).filter(col("c_custkey") % 2 === 0))
+    val standing = standingJ()
     Privacy.lHistogram(
       Privacy.mergeCounts(standing, drainMerged(spark, out)(standing.limit(0))))
   }
@@ -1289,6 +1298,9 @@ object StreamingPipeline {
     import graft.ops.Privacy
     val tmp = java.nio.file.Files.createTempDirectory("privacy_ladder_replay")
     val out = s"$tmp/classes"
+    // standing ladder fit is stream-independent — overlap with the drain
+    val standingJ = graft.ops.Overlap.begin(Seq(
+      () => Privacy.sharedLadderCounts(spark, sfDir)), cap = 1)(0)
     withStatePartitions(spark, 8) {
       val q = Privacy.ladderCounts(
           Tables.customerStream(spark, sfDir)
@@ -1304,7 +1316,7 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     }
-    val standing = Privacy.sharedLadderCounts(spark, sfDir)
+    val standing = standingJ()
     Privacy.ladderRollup(
       standing
         .unionByName(drainMerged(spark, out)(standing.limit(0)))
