@@ -982,7 +982,10 @@ object StreamingPipeline {
     val out = s"$tmp/stats"
     val und = Graph.sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
-    val statsSt = Graph.sharedStandingTriStats(spark, sfDir, undS)
+    // the standing triangle stats are read only at DRAIN — build them
+    // while the stream runs (guide §2.6, join handle)
+    val statsStJ = graft.ops.Overlap.begin(Seq(
+      () => Graph.sharedStandingTriStats(spark, sfDir, undS)), cap = 1)(0)
     val seenEdges = new DeltaIndex(undS.localCheckpoint())
     val arrived = new DeltaIndex(
       und.select(col("u").as("id")).limit(0).localCheckpoint())
@@ -1003,7 +1006,7 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Graph.triStreamMerge(statsSt, drainDeltas(spark, out) {
+    Graph.triStreamMerge(statsStJ(), drainDeltas(spark, out) {
       Graph.triStreamEmit(undS.limit(0), undS.limit(0))
     })
   }
@@ -1031,7 +1034,10 @@ object StreamingPipeline {
     val out = s"$tmp/deltas"
     val und = Graph.sharedUnd(spark, sfDir)
     val undS = und.filter(col("u") % 2 === 0 && col("v") % 2 === 0)
-    val scoredS = Graph.sharedStandingLinkScores(spark, sfDir, undS)
+    // the standing link scores are read only at DRAIN — build them
+    // while the stream runs (guide §2.6, join handle)
+    val scoredSJ = graft.ops.Overlap.begin(Seq(
+      () => Graph.sharedStandingLinkScores(spark, sfDir, undS)), cap = 1)(0)
     val seenEdges = new DeltaIndex(undS.localCheckpoint())
     val arrived = new DeltaIndex(
       und.select(col("u").as("id")).limit(0).localCheckpoint())
@@ -1053,7 +1059,7 @@ object StreamingPipeline {
       .start()
     q.awaitTermination()
     Graph.linkFinish(
-      Graph.linkMerge(scoredS, drainDeltas(spark, out) {
+      Graph.linkMerge(scoredSJ(), drainDeltas(spark, out) {
         Graph.linkDeltas(undS.limit(0), undS.limit(0))
       }), und)
   }
