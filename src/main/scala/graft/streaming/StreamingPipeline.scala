@@ -1465,9 +1465,12 @@ object StreamingPipeline {
     */
   def anomalyStream(events: DataFrame, history: DataFrame,
       lateness: String = "1 day"): DataFrame = {
+    // the per-type z profile is STATIC — pinned at stream build, so the
+    // stream-static join never re-aggregates the history per trigger
+    // (|types| rows; the standing history cannot change mid-stream)
     val stats = graft.ops.Relational.typeStats(
       history.groupBy(col("event_type"), to_date(col("ts")).as("d"))
-        .agg(count(lit(1)).cast("long").as("n_events")))
+        .agg(count(lit(1)).cast("long").as("n_events"))).localCheckpoint()
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
